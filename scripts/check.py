@@ -26,6 +26,10 @@ def load_result(outdir, name):
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: list(v) if isinstance(v, np.ndarray) else v)
     return df
 
 

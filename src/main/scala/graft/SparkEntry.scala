@@ -7,7 +7,11 @@ object SparkEntry {
 
   /** Every judged operator, aggregated from the query modules. */
   lazy val declared: Seq[Declared] =
-    _root_.graft.queries.Relational.all
+    _root_.graft.queries.Relational.all ++
+      _root_.graft.queries.Aggregates.all ++
+      _root_.graft.queries.Windows.all ++
+      _root_.graft.queries.SetOps.all ++
+      _root_.graft.queries.SqlSurface.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

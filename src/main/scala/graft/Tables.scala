@@ -15,7 +15,15 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+      // as a timestamp. Read it as raw nanos and truncate to a µs timestamp
+      // (event queries stay at ≥ms granularity for oracle parity).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts DIV 1000)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every fixture table as a temp view (for spark.sql queries). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.{Declared, Tables}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY §2.B "aggregation"): hash agg with partial
+  * (map-side) combine comes free from Catalyst; every query here groups on a
+  * low-cardinality key so the final shuffle is tiny at any scale.
+  */
+object Aggregates {
+  import Tables.t
+
+  val stats = Declared(
+    "q_agg_stats",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(stddev_pop(col("l_quantity")), 6).as("sdp_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(var_pop(col("l_quantity")), 6).as("varp_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"),
+          round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covp_qty_disc"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      round(stddev_samp(l_quantity),6) AS sd_qty,
+      round(stddev_pop(l_quantity),6) AS sdp_qty,
+      round(var_samp(l_quantity),6) AS var_qty,
+      round(var_pop(l_quantity),6) AS varp_qty,
+      round(corr(l_quantity, l_extendedprice),6) AS corr_qty_price,
+      round(covar_samp(l_quantity, l_discount),6) AS cov_qty_disc,
+      round(covar_pop(l_quantity, l_discount),6) AS covp_qty_disc
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). The approximate variant is q_agg_approx.
+    */
+  val percentiles = Declared(
+    "q_agg_percentile",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      round(quantile_cont(l_quantity, 0.5),4) AS p50_qty,
+      round(quantile_cont(l_quantity, 0.9),4) AS p90_qty,
+      round(quantile_cont(l_extendedprice, 0.25),4) AS p25_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** array_agg / string_agg; sorted inside the aggregate so the value is
+    * order-insensitive (distributed agg has no stable input order).
+    */
+  val collects = Declared(
+    "q_agg_collect",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          array_sort(collect_set(col("o_orderstatus"))).as("status_arr"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+      string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+      list_sort(list(DISTINCT o_orderstatus)) AS status_arr,
+      count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** min/max/min_by/max_by battery (unique ordering key keeps *_by
+    * deterministic).
+    */
+  val minmax = Declared(
+    "q_agg_minmax",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"),
+          min_by(col("o_orderpriority"), col("o_orderkey")).as("first_prio"),
+          max_by(col("o_orderpriority"), col("o_orderkey")).as("last_prio"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"))
+        .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      round(min(o_totalprice),2) AS min_price, round(max(o_totalprice),2) AS max_price,
+      min_by(o_orderpriority, o_orderkey) AS first_prio,
+      max_by(o_orderpriority, o_orderkey) AS last_prio,
+      min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  val boolBit = Declared(
+    "q_agg_bool_bit",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("bit_and(l_linenumber)").as("band"),
+          expr("bit_or(l_linenumber)").as("bor"),
+          expr("bit_xor(l_linenumber)").as("bxor"),
+          expr("bool_and(l_quantity > 0)").as("all_pos"),
+          expr("bool_or(l_quantity > 49)").as("any_big"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      bit_and(l_linenumber) AS band, bit_or(l_linenumber) AS bor,
+      bit_xor(l_linenumber) AS bxor,
+      bool_and(l_quantity > 0) AS all_pos, bool_or(l_quantity > 49) AS any_big
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Multiple exact count-distincts in one aggregate (expand-based plan). */
+  val countDistinctQ = Declared(
+    "q_count_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      count(DISTINCT l_partkey) AS n_parts,
+      count(DISTINCT l_suppkey) AS n_supps,
+      count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+      count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Approximate aggregates (HLL / GK-quantile sketches). Sketch values are
+    * engine-specific, so no SQL oracle — the spec bounds relative error
+    * against the exact values instead.
+    */
+  val approx = Declared(
+    "q_agg_approx",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_price"))
+        .orderBy(col("l_returnflag")),
+    None)
+
+  /** GROUPING SETS / ROLLUP / CUBE. Fixture keys are never null, so
+    * coalesce('ALL') unambiguously marks subtotal rows.
+    */
+  val rollupQ = Declared(
+    "q_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rflag"), col("lstatus")),
+    Some("""SELECT coalesce(l_returnflag,'ALL') AS rflag,
+      coalesce(l_linestatus,'ALL') AS lstatus,
+      round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY rflag, lstatus"""))
+
+  val cubeQ = Declared(
+    "q_cube",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("prio")),
+    Some("""SELECT coalesce(o_orderstatus,'ALL') AS status,
+      coalesce(o_orderpriority,'ALL') AS prio,
+      count(*) AS n, round(sum(o_totalprice),2) AS total
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, prio"""))
+
+  val groupingSets = Declared(
+    "q_grouping_sets",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT coalesce(l_returnflag,'ALL') AS rflag,
+        coalesce(l_linestatus,'ALL') AS lstatus,
+        count(*) AS n, round(sum(l_extendedprice),2) AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rflag, lstatus""")
+    },
+    Some("""SELECT coalesce(l_returnflag,'ALL') AS rflag,
+      coalesce(l_linestatus,'ALL') AS lstatus,
+      count(*) AS n, round(sum(l_extendedprice),2) AS total
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rflag, lstatus"""))
+
+  val all: Seq[Declared] = Seq(
+    stats, percentiles, collects, minmax, boolBit, countDistinctQ, approx,
+    rollupQ, cubeQ, groupingSets)
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{Declared, Tables}
+
+/** SQL-passthrough surface: CTEs, scalar/IN/correlated subqueries, VALUES
+  * (SURVEY §2.B "subqueries/CTE"). These run through `spark.sql` over temp
+  * views — the direct analog of the reference's `ctx.sql`
+  * (/root/reference/src/bin/main.rs:182) — and exercise Catalyst's
+  * decorrelation rewrites.
+  */
+object SqlSurface {
+
+  /** Same text runs in Spark and DuckDB (conservative ANSI). */
+  private def both(name: String, sql: String) = Declared(
+    name,
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) },
+    Some(sql))
+
+  val cte = both(
+    "q_cte",
+    """WITH big_orders AS (
+        SELECT o_custkey, count(*) AS n_big
+        FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_custkey),
+      seg AS (
+        SELECT c_custkey, c_mktsegment FROM customer)
+      SELECT seg.c_mktsegment, CAST(sum(b.n_big) AS BIGINT) AS total_big
+      FROM big_orders b JOIN seg ON b.o_custkey = seg.c_custkey
+      GROUP BY seg.c_mktsegment
+      ORDER BY seg.c_mktsegment""")
+
+  val subqueryScalar = both(
+    "q_subquery_scalar",
+    """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders
+      WHERE o_totalprice > 2.0 * (SELECT avg(o_totalprice) FROM orders)
+      ORDER BY o_orderkey""")
+
+  val subqueryIn = both(
+    "q_subquery_in",
+    """SELECT o_orderkey, o_custkey
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        AND o_orderstatus = 'O'
+      ORDER BY o_orderkey""")
+
+  val subqueryCorrelated = both(
+    "q_subquery_correlated",
+    """SELECT c.c_custkey, round(c.c_acctbal, 2) AS acctbal
+      FROM customer c
+      WHERE c.c_acctbal > 1.5 * (SELECT avg(c2.c_acctbal) FROM customer c2
+                                 WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c.c_custkey""")
+
+  val valuesQ = both(
+    "q_values",
+    """SELECT v.tier, count(*) AS n
+      FROM orders
+      JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+                   ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+                   ('5-LOW', 'cold')) AS v(prio, tier)
+        ON orders.o_orderpriority = v.prio
+      GROUP BY v.tier
+      ORDER BY v.tier""")
+
+  /** HAVING over an aggregate (reachable via the query surface). */
+  val having = both(
+    "q_having",
+    """SELECT l_suppkey, count(*) AS n_items
+      FROM lineitem
+      GROUP BY l_suppkey
+      HAVING count(*) > 550
+      ORDER BY l_suppkey""")
+
+  val all: Seq[Declared] = Seq(
+    cte, subqueryScalar, subqueryIn, subqueryCorrelated, valuesQ, having)
+}
