@@ -24,12 +24,25 @@ def load_result(outdir, name):
     return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
 
 
+import datetime
+
+
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: list(v) if isinstance(v, np.ndarray) else v)
+        if str(df[c].dtype).startswith("datetime64"):
+            s = pd.to_datetime(df[c])
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[ns]")
+        elif df[c].dtype == object:
+            vals = df[c].dropna()
+            if len(vals) and isinstance(vals.iloc[0], datetime.date) \
+                    and not isinstance(vals.iloc[0], datetime.datetime):
+                df[c] = pd.to_datetime(df[c])
+            else:
+                df[c] = df[c].apply(
+                    lambda v: list(v) if isinstance(v, np.ndarray) else v)
     return df
 
 
@@ -42,6 +55,8 @@ def compare(name, exp, got):
         return [f"row count differs: oracle={len(exp)} spark={len(got)}"]
     for c in exp.columns:
         e, g = exp[c], got[c]
+        if str(e.dtype) != str(g.dtype):
+            problems.append(f"col {c}: DTYPE differs oracle={e.dtype} spark={g.dtype}")
         try:
             if e.dtype.kind == "f" or g.dtype.kind == "f":
                 ef, gf = e.astype(float), g.astype(float)

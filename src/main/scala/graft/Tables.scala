@@ -22,7 +22,9 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts DIV 1000)"))
+          // NTZ to match the tz-naive convention of every fixture timestamp
+          // (and DuckDB's TIMESTAMP) — the session is pinned to UTC anyway
+          "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every fixture table as a temp view (for spark.sql queries). */

@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.{Declared, Tables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream batch queries: time bucketing (date_bin analog), JSON
+  * extraction, sessionization (gaps-and-islands), as-of join, pivot.
+  * All per-user-partitioned — bounded state per key at any scale.
+  */
+object EventsQ {
+  import Tables.t
+
+  /** date_bin: fixed 15-minute buckets (Spark `window`, DuckDB `time_bucket`). */
+  val dateBin = Declared(
+    "q_date_bin",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "15 minutes").getField("start").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("bucket")),
+    Some("""SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS bucket,
+      count(*) AS n, round(sum(value),2) AS total
+      FROM events GROUP BY bucket ORDER BY bucket"""))
+
+  /** JSON scalar extraction (Spark's real JSON path function; the oracle uses
+    * a regexp equivalent to stay independent of DuckDB's json extension).
+    */
+  val jsonExtract = Declared(
+    "q_json_extract",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .filter(col("k_val") >= 50)
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+      CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k_val
+      FROM events
+      WHERE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) >= 50
+      ORDER BY event_id"""))
+
+  val hourly = Declared(
+    "q_event_hourly",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          date_trunc("hour", col("ts")).as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("h"), col("event_type")),
+    Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+      event_type, count(*) AS n, round(avg(value),4) AS avg_value
+      FROM events GROUP BY h, event_type ORDER BY h, event_type"""))
+
+  /** Sessionization with a 30-minute inactivity gap — classic
+    * gaps-and-islands: flag gap>30min, running sum of flags = session id.
+    * One shuffle on user_id; per-key window state is O(1).
+    */
+  val sessionize = Declared(
+    "q_sessionize",
+    (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("double") -
+              col("prev_ts").cast("timestamp").cast("double") > 1800.0).cast("long"))
+        .withColumn("session_seq",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          round(sum(col("value")), 2).as("session_value"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+    Some("""WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800.0
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT user_id, ts, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged)
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        count(*) AS n_events,
+        CAST(min(ts) AS TIMESTAMP) AS session_start,
+        CAST(max(ts) AS TIMESTAMP) AS session_end,
+        round(sum(value),2) AS session_value
+      FROM numbered GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq"""))
+
+  /** Backward as-of join: each event picks up the most recent (inclusive)
+    * purchase by the same user. Purchases are pre-deduped to one row per
+    * (user, ts) so the match is unique. Oracle uses DuckDB's native ASOF.
+    */
+  val asof = Declared(
+    "q_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(
+          max(col("event_id")).as("purchase_id"),
+          round(max(col("value")), 2).as("purchase_value"))
+      AsOfJoin.backward(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, key = "user_id", leftTs = "ts", rightTs = "ts",
+        payload = Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"), col("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id, p.purchase_id, p.purchase_value
+      FROM events e
+      ASOF LEFT JOIN (
+        SELECT user_id, ts, max(event_id) AS purchase_id,
+               round(max(value),2) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+        ON e.user_id = p.user_id AND e.ts >= p.ts
+      ORDER BY e.event_id"""))
+
+  /** PIVOT: per-user counts by event type (explicit value list keeps the
+    * output schema static — required for a deterministic plan at scale).
+    */
+  val pivot = Declared(
+    "q_event_pivot",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+      count(*) FILTER (event_type = 'click') AS click,
+      count(*) FILTER (event_type = 'error') AS error,
+      count(*) FILTER (event_type = 'purchase') AS purchase,
+      count(*) FILTER (event_type = 'signup') AS signup,
+      count(*) FILTER (event_type = 'view') AS view
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  val all: Seq[Declared] = Seq(dateBin, jsonExtract, hourly, sessionize, asof, pivot)
+}

@@ -28,7 +28,8 @@ object Windows {
         .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("rk"), col("drk"))
         .orderBy(col("o_custkey"), col("rn"))
     },
-    Some("""SELECT o_custkey, o_orderkey, rn, rk, drk FROM (
+    Some("""SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn,
+      CAST(rk AS INTEGER) AS rk, CAST(drk AS INTEGER) AS drk FROM (
       SELECT o_custkey, o_orderkey,
         row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
       FROM orders
@@ -113,7 +114,7 @@ object Windows {
           round(cume_dist().over(w), 6).as("cume"))
         .orderBy(col("o_orderkey"))
     },
-    Some("""SELECT o_orderkey, o_orderstatus, ntile(4) OVER w AS quartile,
+    Some("""SELECT o_orderkey, o_orderstatus, CAST(ntile(4) OVER w AS INTEGER) AS quartile,
       round(percent_rank() OVER w, 6) AS pct_rank,
       round(cume_dist() OVER w, 6) AS cume
       FROM orders
