@@ -13,7 +13,8 @@ object SparkEntry {
       _root_.graft.queries.SetOps.all ++
       _root_.graft.queries.SqlSurface.all ++
       _root_.graft.queries.Scalars.all ++
-      _root_.graft.queries.EventsQ.all
+      _root_.graft.queries.EventsQ.all ++
+      _root_.graft.queries.Ops.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,126 @@
+package graft.cli
+
+import graft.operators._
+import graft.sources.Formats
+import org.apache.spark.sql.SparkSession
+
+/** CLI mirroring the reference's seven subcommands
+  * (/root/reference/src/bin/main.rs:29-99). Thin by design: every command is
+  * one call into the operators package; the driver talks to SparkEntry, not
+  * this.
+  *
+  * Usage:
+  *   view <file> [--limit N]
+  *   schema <file>
+  *   count --table <file>
+  *   convert [--single-file] [--zstd] <in> <out>
+  *   query [--table f]... [--tables dir] (--sql s | --sql-file f) [--output p] [--verbose]
+  *   view-parquet-meta <file>
+  *   compare <f1> <f2> [--epsilon e] [--no-header-row]
+  */
+object Main {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val exit = dispatch(spark, args.toList)
+      spark.stop()
+      if (exit != 0) sys.exit(exit)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"Error: ${e.getMessage}")
+        spark.stop()
+        sys.exit(-1)
+    }
+  }
+
+  private def flag(args: List[String], name: String): Boolean = args.contains(name)
+
+  private def opt(args: List[String], name: String): Option[String] =
+    args.sliding(2).collectFirst { case `name` :: v :: Nil => v }
+
+  private def opts(args: List[String], name: String): List[String] =
+    args.sliding(2).collect { case `name` :: v :: Nil => v }.toList
+
+  private def positional(args: List[String]): List[String] = {
+    val flagNames = Set("--single-file", "-s", "--zstd", "-z", "--verbose", "-v", "--no-header-row")
+    val valueFlags = Set("--limit", "--table", "--tables", "--sql", "--sql-file", "--output", "--epsilon")
+    def loop(rest: List[String]): List[String] = rest match {
+      case Nil => Nil
+      case f :: _ :: tail if valueFlags(f) => loop(tail)
+      case f :: tail if flagNames(f) => loop(tail)
+      case x :: tail => x :: loop(tail)
+    }
+    loop(args)
+  }
+
+  def dispatch(spark: SparkSession, args: List[String]): Int = args match {
+    case "view" :: rest =>
+      val path = positional(rest).head
+      val limit = opt(rest, "--limit").map(_.toInt).getOrElse(10)
+      val df = Formats.read(spark, path)
+      if (limit == 0) df.show(df.count().toInt, truncate = false)
+      else df.show(limit, truncate = false)
+      0
+
+    case "schema" :: rest =>
+      SchemaOp.describePath(spark, positional(rest).head)
+        .show(1000, truncate = false)
+      0
+
+    case "count" :: rest =>
+      val path = opt(rest, "--table").getOrElse(positional(rest).head)
+      val (name, _) = Formats.registerTable(spark, path)
+      spark.sql(s"SELECT COUNT(*) FROM $name").show()
+      0
+
+    case "convert" :: rest =>
+      val ps = positional(rest)
+      Convert.convert(spark, ps(0), ps(1),
+        singleFile = flag(rest, "--single-file") || flag(rest, "-s"),
+        zstd = flag(rest, "--zstd") || flag(rest, "-z"))
+      0
+
+    case "query" :: rest =>
+      val sql = opt(rest, "--sql").orElse(
+        opt(rest, "--sql-file").map(f =>
+          new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))))
+        .getOrElse(throw new IllegalArgumentException("provide --sql or --sql-file"))
+      QueryRunner.run(spark, opts(rest, "--table"), opt(rest, "--tables"), sql,
+        opt(rest, "--output"), flag(rest, "--verbose") || flag(rest, "-v"))
+        .show(100, truncate = false)
+      0
+
+    case "view-parquet-meta" :: rest =>
+      val path = positional(rest).head
+      ParquetMeta.fileInfo(spark, path).show(truncate = false)
+      ParquetMeta.metadata(spark, path).show(1000, truncate = false)
+      0
+
+    case "compare" :: rest =>
+      val ps = positional(rest)
+      val result = Compare.compareFiles(spark, ps(0), ps(1),
+        epsilon = opt(rest, "--epsilon").map(_.toDouble).getOrElse(0.0),
+        noHeaderRow = flag(rest, "--no-header-row"))
+      result.show(truncate = false)
+      // exit -1 on mismatch like the reference (main.rs:104-107,241-246)
+      if (result.head().getBoolean(4)) 0 else -1
+
+    case other =>
+      System.err.println(s"unknown command: ${other.headOption.getOrElse("")}")
+      System.err.println("commands: view schema count convert query view-parquet-meta compare")
+      1
+  }
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{Declared, Tables}
+import graft.operators.{Compare, Convert, ParquetMeta, SchemaOp}
+import org.apache.spark.sql.functions._
+
+/** The reference's native operators (SURVEY §2.A), each declared as a judged
+  * query. view/schema/count are trivially SQL-checkable; convert and compare
+  * are exercised through deterministic round trips; parquet-meta is checked
+  * against DuckDB's parquet_metadata() on the fixed sf0.01 verify path.
+  */
+object Ops {
+  import Tables.t
+
+  /** op 1 `view`: first N rows. The reference shows file order; we order by
+    * the primary key so the result is well-defined under parallel scans.
+    */
+  val view = Declared(
+    "op_view",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .limit(10),
+    Some("""SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 10"""))
+
+  /** op 2 `schema`: information_schema.columns shape. */
+  val schemaQ = Declared(
+    "op_schema",
+    (s, dir) => SchemaOp.describe(s, t(s, dir, "lineitem")),
+    Some("""SELECT column_name, data_type, is_nullable,
+      CAST(ordinal_position AS INTEGER) AS ordinal_position
+      FROM information_schema.columns WHERE table_name = 'lineitem'
+      ORDER BY ordinal_position"""))
+
+  /** op 3 `count`. */
+  val countQ = Declared(
+    "op_count",
+    (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("n")),
+    Some("SELECT count(*) AS n FROM lineitem"))
+
+  /** op 4 `convert`: parquet → zstd parquet (single file, dictionary off)
+    * round trip; the re-read aggregate proves losslessness.
+    */
+  val convertRoundtrip = Declared(
+    "op_convert_roundtrip",
+    (s, dir) => {
+      val out = s"/tmp/graft_convert/lineitem_zstd.parquet"
+      Convert.convert(s, s"$dir/lineitem.parquet", out, singleFile = true, zstd = true)
+      s.read.parquet(out)
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    },
+    Some("""SELECT count(*) AS n, round(sum(l_quantity),2) AS sum_qty,
+      round(sum(l_extendedprice),2) AS sum_price FROM lineitem"""))
+
+  /** op 7 `compare`: equal inputs → zero diffs. */
+  val compareEqual = Declared(
+    "op_compare_equal",
+    (s, dir) => {
+      val sorted = t(s, dir, "lineitem").orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      Compare.summarize(s, sorted, sorted)
+    },
+    Some("""SELECT count(*) AS rows_left, count(*) AS rows_right,
+      CAST(0 AS BIGINT) AS n_diffs, CAST(NULL AS BIGINT) AS first_diff_index,
+      true AS is_equal FROM lineitem"""))
+
+  /** op 7 `compare`, diff path: perturb every row with l_orderkey % 1000 = 0
+    * by +1 quantity; compare finds exactly those rows, positionally.
+    */
+  val compareDiff = Declared(
+    "op_compare_diff",
+    (s, dir) => {
+      val sorted = t(s, dir, "lineitem").orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      val perturbed = sorted.withColumn("l_quantity",
+        when(col("l_orderkey") % 1000 === 0, col("l_quantity") + 1.0)
+          .otherwise(col("l_quantity")))
+      Compare.summarize(s, sorted, perturbed)
+    },
+    Some("""WITH indexed AS (
+        SELECT l_orderkey,
+          row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS idx
+        FROM lineitem)
+      SELECT
+        (SELECT count(*) FROM lineitem) AS rows_left,
+        (SELECT count(*) FROM lineitem) AS rows_right,
+        count(*) AS n_diffs,
+        min(idx) AS first_diff_index,
+        false AS is_equal
+      FROM indexed WHERE l_orderkey % 1000 = 0"""))
+
+  /** op 7 `compare`, epsilon path: +0.005 on a double column is invisible at
+    * eps=0.01 but not at eps=0 → is_equal true with epsilon.
+    */
+  val compareEpsilon = Declared(
+    "op_compare_epsilon",
+    (s, dir) => {
+      val sorted = t(s, dir, "lineitem").orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      val nudged = sorted.withColumn("l_quantity", col("l_quantity") + 0.005)
+      Compare.summarize(s, sorted, nudged, epsilon = 0.01)
+    },
+    Some("""SELECT count(*) AS rows_left, count(*) AS rows_right,
+      CAST(0 AS BIGINT) AS n_diffs, CAST(NULL AS BIGINT) AS first_diff_index,
+      true AS is_equal FROM lineitem"""))
+
+  /** op 6 `view-parquet-meta`: footer stats vs DuckDB parquet_metadata().
+    * The oracle path is the fixed t2-verify scale factor (sf0.01).
+    */
+  val parquetMeta = Declared(
+    "op_parquet_meta",
+    (s, dir) =>
+      ParquetMeta.metadata(s, s"$dir/lineitem.parquet")
+        .orderBy(col("row_group_id"), col("column_id")),
+    Some("""SELECT row_group_id, row_group_num_rows, column_id, path_in_schema,
+      type, num_values, stats_null_count, stats_min_value, stats_max_value,
+      compression
+      FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+      ORDER BY row_group_id, column_id"""))
+
+  val all: Seq[Declared] = Seq(
+    view, schemaQ, countQ, convertRoundtrip, compareEqual, compareDiff,
+    compareEpsilon, parquetMeta)
+}

@@ -56,11 +56,11 @@ object Relational {
           col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("net_price"),
           col("l_returnflag"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("net_price"), col("l_returnflag")),
     Some("""SELECT l_orderkey, l_linenumber,
       round(l_extendedprice*(1.0-l_discount),4) AS net_price, l_returnflag
       FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
-      ORDER BY l_orderkey, l_linenumber"""))
+      ORDER BY l_orderkey, l_linenumber, net_price, l_returnflag"""))
 
   val distinctQ = Declared(
     "q_distinct",

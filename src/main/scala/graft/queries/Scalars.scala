@@ -85,7 +85,7 @@ object Scalars {
           round(atan2(col("l_quantity"), col("l_linenumber").cast("double")), 6).as("at2"),
           round(radians(col("l_quantity")), 6).as("qty_rad"),
           round(degrees(col("l_discount")), 6).as("disc_deg"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("abs_dev"), col("price_ceil")),
     Some("""SELECT l_orderkey, l_linenumber,
       abs(l_quantity - 25.0) AS abs_dev,
       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
@@ -105,7 +105,7 @@ object Scalars {
       round(radians(l_quantity), 6) AS qty_rad,
       round(degrees(l_discount), 6) AS disc_deg
       FROM lineitem WHERE l_orderkey <= 500
-      ORDER BY l_orderkey, l_linenumber"""))
+      ORDER BY l_orderkey, l_linenumber, abs_dev, price_ceil"""))
 
   val dateFuncs = Declared(
     "q_date_funcs",

@@ -33,7 +33,10 @@ object Formats {
     val f = new File(path)
     val target =
       if (f.isDirectory)
-        f.listFiles().filter(_.isFile).map(_.getName).sorted.headOption
+        f.listFiles().filter(_.isFile).map(_.getName)
+          // skip Spark/Hadoop bookkeeping files (_SUCCESS, .crc, ...)
+          .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+          .sorted.headOption
           .map(n => s"$path/$n").getOrElse(path)
       else path
     extension(target) match {
