@@ -14,7 +14,10 @@ object SparkEntry {
       _root_.graft.queries.SqlSurface.all ++
       _root_.graft.queries.Scalars.all ++
       _root_.graft.queries.EventsQ.all ++
-      _root_.graft.queries.Ops.all
+      _root_.graft.queries.Ops.all ++
+      _root_.graft.queries.DedupQ.all ++
+      _root_.graft.queries.SimilarityQ.all ++
+      _root_.graft.queries.TextQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing.
+  *
+  * Spark's xxhash64/murmur are fast but engine-specific. For operators whose
+  * results must be reproducible outside Spark (and oracle-checkable), we use
+  * the top 60 bits of md5 as a portable 60-bit hash: identical in any engine
+  * with md5 + hex parsing, and fits a signed 64-bit int.
+  *
+  * MinHash uses the 2-universal family h_k(x) = h1(x) + k*h2(x) (Indyk;
+  * standard MinHash practice) so one pass computes two base hashes and all K
+  * signature positions derive arithmetically.
+  */
+object Hashing {
+
+  /** Portable 60-bit hash: first 15 hex chars of md5. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Same, as a SQL snippet for DuckDB oracles. */
+  def md5Hash60Sql(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Spark-fast (non-portable) 64-bit hash with seed column mixed in. */
+  def fastHash(seed: Column, c: Column): Column = xxhash64(seed, c)
+
+  /** MinHash base hashes for a shingle column. */
+  def minhashBase(shingle: Column): (Column, Column) =
+    (xxhash64(shingle), xxhash64(lit("graft-salt"), shingle))
+}

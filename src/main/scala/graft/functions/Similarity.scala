@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over ArrayType(FloatType) embedding columns, via
+  * higher-order functions (zip_with / aggregate) — executes inside codegen,
+  * no UDF. Elements are widened to double BEFORE multiplying so results are
+  * bit-identical to engines that accumulate in double (e.g. DuckDB's
+  * list_cosine_similarity).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-LSH bucket id from a fixed hyperplane matrix: bit j = 1 iff
+    * dot(v, planes(j)) > 0. With P planes keys fall into 2^P buckets;
+    * near-identical vectors collide w.h.p. Planes are ±1-valued and
+    * generated from a fixed seed so any engine can reproduce the bucketing.
+    */
+  def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (p, j) =>
+        val planeCol = array(p.map(lit): _*)
+        when(dot(v, planeCol) > 0.0, lit(1 << j)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+
+  /** Deterministic ±1 hyperplanes (java.util.Random is a specified LCG, so
+    * these values are stable across JVMs; they are also embedded literally
+    * into oracle SQL, so cross-engine agreement doesn't depend on the RNG).
+    */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** The same bucket computation as DuckDB SQL (planes inlined as literals). */
+  def lshBucketSql(vecExpr: String, planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex
+      .map { case (p, j) =>
+        val lst = p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product($vecExpr, $lst) > 0.0 THEN ${1 << j} ELSE 0 END"
+      }
+      .mkString(" + ")
+}

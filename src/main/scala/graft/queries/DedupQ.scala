@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.{Declared, Tables}
+import graft.functions.{Similarity, TextFns}
+import graft.operators.{MinHashLsh, SimHash}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family (BASELINE.json north star): exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup. Every variant is
+  * shuffle-bounded (group-by or bucket-join; no all-pairs stage anywhere).
+  */
+object DedupQ {
+  import Tables.t
+
+  /** Exact dedup: one group per distinct text, keeper = min doc_id. */
+  val exact = Declared(
+    "dedup_exact",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keeper")),
+    Some("""SELECT md5(text) AS text_md5, min(doc_id) AS keeper,
+      count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keeper"""))
+
+  /** Exact dedup, keep-first-row form (row_number over the dup group). */
+  val exactRows = Declared(
+    "dedup_exact_rows",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("text")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1 ORDER BY doc_id"""))
+
+  /** Exact n-gram (4-char shingle) Jaccard over prefix-blocked candidate
+    * pairs. Blocking on a 40-char prefix keeps the pair count near-linear;
+    * the Jaccard itself is exact set arithmetic on shingle arrays.
+    */
+  val ngramJaccard = Declared(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        substring(col("text"), 1, 40).as("pfx"),
+        TextFns.charShingles("text", 4).as("sh"))
+      val a = docs.select(col("doc_id").as("id1"), col("pfx"), col("sh").as("sh1"))
+      val b = docs.select(col("doc_id").as("id2"), col("pfx"), col("sh").as("sh2"))
+      a.join(b, Seq("pfx"))
+        .filter(col("id1") < col("id2"))
+        .select(
+          col("id1"), col("id2"),
+          round(TextFns.jaccard(col("sh1"), col("sh2")), 6).as("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id, substr(text, 1, 40) AS pfx,
+          list_distinct(list_transform(range(1, greatest(len(text) - 3, 1) + 1),
+            i -> substr(text, CAST(i AS INTEGER), 4))) AS shingles
+        FROM documents)
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+        round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+      ORDER BY id1, id2"""))
+
+  /** MinHash+LSH candidate pairs (signature-estimated Jaccard ≥ 0.35).
+    * Hash functions are Spark-native (xxhash64) so there is no SQL oracle;
+    * the driver's rows-only check applies and MinHashLshSpec pins semantics
+    * (est-Jaccard vs exact-Jaccard agreement on known near-dups).
+    */
+  val minhash = Declared(
+    "dedup_minhash",
+    (s, dir) =>
+      MinHashLsh.nearDuplicates(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.35),
+    None)
+
+  /** Portable SimHash fingerprints — oracle-checked bit-for-bit. */
+  val simhash = Declared(
+    "dedup_simhash",
+    (s, dir) =>
+      SimHash.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some(SimHash.oracleSql()))
+
+  /** SimHash near-dup candidate groups: docs sharing a 16-bit half of the
+    * fingerprint (Hamming-≤1 pairs always share one half). Output is each
+    * group's size — the shape a dedup planner consumes.
+    */
+  val simhashBuckets = Declared(
+    "dedup_simhash_buckets",
+    (s, dir) => {
+      val sh = SimHash.simhash(t(s, dir, "documents"), "doc_id", "text")
+      sh.select(
+          col("doc_id"),
+          (col("simhash").bitwiseAND(lit(0xFFFFL))).as("lo16"),
+          shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)).as("hi16"))
+        .select(col("doc_id"), explode(array(
+          concat(lit("L"), col("lo16")), concat(lit("H"), col("hi16")))).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH sh AS (${SimHash.oracleSql().replace("ORDER BY doc_id", "")}),
+      buckets AS (
+        SELECT doc_id, 'L' || CAST(simhash & 65535 AS VARCHAR) AS bucket FROM sh
+        UNION ALL
+        SELECT doc_id, 'H' || CAST((simhash >> 16) & 65535 AS VARCHAR) AS bucket FROM sh)
+      SELECT bucket, count(*) AS n_docs, min(doc_id) AS first_doc
+      FROM buckets GROUP BY bucket HAVING count(*) > 1
+      ORDER BY bucket"""))
+
+  private val dedupPlanes = Similarity.planes(nPlanes = 8, dim = 64)
+
+  /** Embedding near-dup pairs: 8-plane sign-LSH bucketing, exact cosine
+    * inside buckets, threshold 0.8. The hyperplanes are fixed literals
+    * shared with the oracle, so bucketing is engine-identical.
+    */
+  val embedCosine = Declared(
+    "dedup_embed_cosine",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").select(
+        col("vec_id"),
+        col("embedding"),
+        Similarity.lshBucket(col("embedding"), dedupPlanes).as("bucket"))
+      val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("bucket"))
+      val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))
+        .filter(col("cos") >= 0.8)
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""WITH b AS (
+        SELECT vec_id, embedding,
+          ${Similarity.lshBucketSql("embedding", dedupPlanes)} AS bucket
+        FROM embeddings)
+      SELECT * FROM (
+        SELECT a.vec_id AS id1, b2.vec_id AS id2,
+          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])), 6) AS cos
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+      WHERE cos >= 0.8 ORDER BY id1, id2"""))
+
+  val all: Seq[Declared] = Seq(
+    exact, exactRows, ngramJaccard, minhash, simhash, simhashBuckets, embedCosine)
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.{Declared, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis (BASELINE.json north star): token stats, BPE-ish token
+  * counting, n-gram-heuristic language ID, quality scoring, fingerprinting.
+  * Pure per-row built-ins — fully codegen'd map-side work, no shuffle at all
+  * except the declared ORDER BY.
+  */
+object TextQ {
+  import Tables.t
+
+  val tokenStats = Declared(
+    "text_token_stats",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          size(TextFns.words(col("text"))).as("n_tokens"),
+          size(array_distinct(TextFns.words(col("text")))).as("n_uniq_tokens"),
+          TextFns.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          round(
+            expr("aggregate(split(trim(text), '\\\\s+'), 0, (acc, w) -> acc + length(w))")
+              .cast("double") / size(TextFns.words(col("text"))), 6).as("avg_token_len"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+      CAST(len(text) AS INTEGER) AS n_chars_m,
+      CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+      CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS INTEGER) AS n_uniq_tokens,
+      CAST(len(regexp_extract_all(text, '${TextFns.bpeTokenPattern}', 0)) AS INTEGER) AS n_bpe_tokens,
+      round(CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'), w -> len(w))) AS DOUBLE) /
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6) AS avg_token_len
+      FROM documents ORDER BY doc_id"""))
+
+  /** Stopword lists per language for the n-gram/stopword language heuristic. */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "es", "en", "un", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "有", "和"))
+
+  private def scoreCol(wordsCol: Column, ws: Seq[String]): Column =
+    size(filter(wordsCol, w => array_contains(array(ws.map(lit): _*), w)))
+
+  private def scoreSql(ws: Seq[String], wordsExpr: String = "ws"): String = {
+    val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($wordsExpr, x -> list_contains($lst, x)))"
+  }
+
+  /** Language ID: argmax of per-language stopword hit counts (deterministic
+    * lexicographic tiebreak), scored against the labeled lang column.
+    */
+  val langid = Declared(
+    "text_langid",
+    (s, dir) => {
+      val withScores = t(s, dir, "documents")
+        .withColumn("ws", TextFns.words(col("text")))
+        .select(
+          Seq(col("doc_id"), col("lang")) ++
+            stopwords.map { case (l, ws) => scoreCol(col("ws"), ws).as(s"s_$l") }: _*)
+      val langs = stopwords.map(_._1)
+      val best = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+      val predicted = langs.foldRight(lit("und"): Column) { case (l, acc) =>
+        when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+      }
+      // foldRight makes the FIRST (lexicographically smallest) winner stick:
+      // each earlier lang overrides later ones when it attains the max.
+      withScores
+        .select(
+          Seq(col("doc_id"), col("lang"), predicted.as("predicted_lang"),
+            (predicted === col("lang")).as("correct")) ++
+            langs.map(l => col(s"s_$l")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val scores = stopwords.map { case (l, ws) => s"${scoreSql(ws)} AS s_$l" }.mkString(",\n        ")
+      val langs = stopwords.map(_._1)
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val pred = langs.reverse.foldLeft("'und'") { case (acc, l) =>
+        s"CASE WHEN s_$l = $best AND $best > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH scored AS (
+        SELECT doc_id, lang,
+        $scores
+        FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws FROM documents))
+      SELECT doc_id, lang, $pred AS predicted_lang,
+        ($pred = lang) AS correct,
+        ${langs.map(l => s"CAST(s_$l AS INTEGER) AS s_$l").mkString(", ")}
+      FROM scored ORDER BY doc_id"""
+    })
+
+  /** Quality scoring: length/punctuation/stopword/repetition signals → a
+    * composite score and a keep/drop flag (the C4/Gopher-style filter shape).
+    */
+  val quality = Declared(
+    "text_quality",
+    (s, dir) => {
+      val w = TextFns.words(col("text"))
+      val nTok = size(w).cast("double")
+      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+      val sw = scoreCol(w, stopwords.toMap.apply("en")).cast("double")
+      val uniqRatio = size(array_distinct(w)).cast("double") / nTok
+      val avgLen = length(regexp_replace(col("text"), lit("\\s+"), lit(""))).cast("double") / nTok
+      val score = round(
+        uniqRatio * 0.4 +
+          least(sw / nTok * 10.0, lit(1.0)) * 0.2 +
+          (lit(1.0) - least(punct / greatest(length(col("text")).cast("double"), lit(1.0)) * 10.0, lit(1.0))) * 0.2 +
+          when(avgLen.between(3.0, 8.0), 0.2).otherwise(0.0), 6)
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          round(uniqRatio, 6).as("uniq_ratio"),
+          round(avgLen, 6).as("avg_word_len"),
+          score.as("quality_score"),
+          (score >= 0.5).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val ws = "string_split_regex(trim(text), '\\s+')"
+      val nTok = s"CAST(len($ws) AS DOUBLE)"
+      val punct = s"CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) AS DOUBLE)"
+      val sw = s"CAST(${scoreSql(stopwords.toMap.apply("en"), ws)} AS DOUBLE)"
+      val uniq = s"CAST(len(list_distinct($ws)) AS DOUBLE) / $nTok"
+      val avgLen = s"CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $nTok"
+      val score = s"""round($uniq * 0.4 +
+        least($sw / $nTok * 10.0, 1.0) * 0.2 +
+        (1.0 - least($punct / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2 +
+        CASE WHEN $avgLen BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 6)"""
+      s"""SELECT doc_id,
+        round($uniq, 6) AS uniq_ratio,
+        round($avgLen, 6) AS avg_word_len,
+        $score AS quality_score,
+        ($score >= 0.5) AS keep
+      FROM (SELECT doc_id, text FROM documents) ORDER BY doc_id"""
+    })
+
+  /** Content fingerprints: raw and whitespace-normalized md5 (the dedup key
+    * a pipeline persists). The rolling-hash variant is the custom-Expression
+    * showcase in functions.RollingHash (spec-tested; engine-specific).
+    */
+  val fingerprint = Declared(
+    "text_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("md5_raw"),
+          md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("md5_norm"),
+          substring(md5(col("text")), 1, 8).as("shard_key"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, md5(text) AS md5_raw,
+      md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS md5_norm,
+      substr(md5(text), 1, 8) AS shard_key
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Declared] = Seq(tokenStats, langid, quality, fingerprint)
+}
