@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up codegen/shuffle machinery so the first measured query doesn't
+    // absorb JVM startup
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().orderBy("r_name").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

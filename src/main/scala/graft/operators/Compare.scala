@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** `compare` op: row-by-row, column-by-column, ORDER-SENSITIVE, position-based
@@ -14,41 +15,46 @@ import org.apache.spark.sql.types._
   *    anything beyond strings/ints/floats/dates, utils.rs:193-196).
   *
   * Scale: the reference collects both files into driver memory
-  * (compare.rs:116-143). Here both sides are indexed with zipWithIndex and
-  * cogrouped on the index — one shuffle per side, no driver materialization,
-  * so it works at any size. Row order must be deterministic for the result to
-  * be meaningful; pass pre-sorted inputs (Spark's parquet split order is not
-  * file order — splits are scheduled by size).
+  * (compare.rs:116-143). Here the only RDD step is zipWithIndex (positional
+  * ids need partition offsets); the join and the per-column comparison run
+  * as DataFrame ops — Tungsten binary shuffle + codegen'd equality — so the
+  * whole compare is two scans, one hash shuffle per side, one aggregate.
+  * Row order must be deterministic for the result to be meaningful; pass
+  * pre-sorted inputs (Spark's parquet split order is not file order).
   */
 object Compare {
 
-  /** One mismatch, or the overall summary via [[summarize]]. */
-  private def valuesEqual(l: Any, r: Any, eps: Double): Boolean = (l, r) match {
-    case (null, null) => true
-    case (null, _) | (_, null) => false
-    case (a: Float, b: Float)   => math.abs(a.toDouble - b.toDouble) <= eps
-    case (a: Double, b: Double) => math.abs(a - b) <= eps
-    case (a: Float, b: Double)  => math.abs(a.toDouble - b) <= eps
-    case (a: Double, b: Float)  => math.abs(a - b.toDouble) <= eps
-    case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
-    case (a: Number, b: Number) if integral(a) && integral(b) =>
-      a.longValue == b.longValue
-    case (a, b) => a == b
+  /** DataFrame with a leading contiguous position column plus the original
+    * columns renamed to prefix0..prefixN (positional semantics — names are
+    * deliberately dropped).
+    */
+  private def indexed(spark: SparkSession, df: DataFrame, prefix: String): DataFrame = {
+    val schema = StructType(
+      StructField("__idx", LongType, nullable = false) +:
+        df.schema.fields.zipWithIndex.map { case (f, i) =>
+          StructField(s"$prefix$i", f.dataType, nullable = true) })
+    val rdd = df.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(i +: row.toSeq) }
+    spark.createDataFrame(rdd, schema)
   }
 
-  private def integral(n: Number): Boolean = n match {
-    case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
-         _: java.lang.Long => true
+  private def isFloaty(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
     case _ => false
   }
 
-  private def rowsEqual(l: Row, r: Row, eps: Double): Boolean =
-    l.length == r.length &&
-      (0 until l.length).forall(i => valuesEqual(l.get(i), r.get(i), eps))
+  /** Null-safe positional equality for one column pair, with epsilon on
+    * float/double pairs (mirrors the reference's float-only epsilon scope).
+    */
+  private def colEqual(l: Column, lt: DataType, r: Column, rt: DataType, eps: Double): Column =
+    if (isFloaty(lt) && isFloaty(rt) && eps > 0.0)
+      when(l.isNull || r.isNull, l <=> r)
+        .otherwise(abs(l.cast("double") - r.cast("double")) <= eps)
+    else l <=> r
 
   /** Distributed summary: rows on each side, number of differing positions,
-    * index of the first difference. A missing row (length mismatch between
-    * sides) counts as a diff at its index.
+    * index of the first difference. A row present on one side only counts as
+    * a diff at its index; sides with different column counts differ on every
+    * row (positional row-length check, reference compare.rs:55-63).
     */
   def summarize(
       spark: SparkSession,
@@ -56,31 +62,33 @@ object Compare {
       right: DataFrame,
       epsilon: Double = 0.0): DataFrame = {
 
-    val l = left.rdd.zipWithIndex().map(_.swap)
-    val r = right.rdd.zipWithIndex().map(_.swap)
+    val lFields = left.schema.fields
+    val rFields = right.schema.fields
 
-    val (nDiffs, firstDiff) = l.fullOuterJoin(r)
-      .flatMap {
-        case (i, (Some(lr), Some(rr))) =>
-          if (rowsEqual(lr, rr, epsilon)) None else Some(i)
-        case (i, _) => Some(i) // present on one side only
-      }
-      .aggregate((0L, Long.MaxValue))(
-        (acc, i) => (acc._1 + 1, math.min(acc._2, i)),
-        (a, b) => (a._1 + b._1, math.min(a._2, b._2)))
+    val l = indexed(spark, left, "l").withColumn("__lp", lit(true))
+    val r = indexed(spark, right, "r").withColumn("__rp", lit(true))
+    val joined = l.join(r, Seq("__idx"), "full_outer")
 
-    val rowsLeft = left.count()
-    val rowsRight = right.count()
-    val first: Any = if (nDiffs == 0) null else firstDiff
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        Seq(Row(rowsLeft, rowsRight, nDiffs, first, nDiffs == 0L && rowsLeft == rowsRight)), 1),
-      StructType(Seq(
-        StructField("rows_left", LongType, nullable = false),
-        StructField("rows_right", LongType, nullable = false),
-        StructField("n_diffs", LongType, nullable = false),
-        StructField("first_diff_index", LongType, nullable = true),
-        StructField("is_equal", BooleanType, nullable = false))))
+    val sameArity = lFields.length == rFields.length
+    val valuesEqual: Column =
+      if (!sameArity) lit(false)
+      else if (lFields.isEmpty) lit(true)
+      else lFields.indices
+        .map(i => colEqual(col(s"l$i"), lFields(i).dataType, col(s"r$i"), rFields(i).dataType, epsilon))
+        .reduce(_ && _)
+    val rowEqual = col("__lp").isNotNull && col("__rp").isNotNull && valuesEqual
+
+    val agg = joined.agg(
+      count(col("__lp")).as("rows_left"),
+      count(col("__rp")).as("rows_right"),
+      sum(when(rowEqual, 0L).otherwise(1L)).as("n_diffs"),
+      min(when(!rowEqual, col("__idx"))).as("first_diff_index"))
+
+    agg.select(
+      col("rows_left"), col("rows_right"),
+      coalesce(col("n_diffs"), lit(0L)).as("n_diffs"),
+      col("first_diff_index"),
+      (coalesce(col("n_diffs"), lit(0L)) === 0L).as("is_equal"))
   }
 
   /** File-level entry mirroring the reference CLI (CSV/Parquet only there;
