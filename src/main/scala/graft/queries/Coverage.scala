@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.{Declared, Tables}
+import graft.operators.QueryRunner
+import org.apache.spark.sql.functions._
+
+/** Remaining SQL-surface rows from SURVEY §2.B: OFFSET, NULLS FIRST/LAST,
+  * null propagation, TRY_CAST, predicate battery, UNPIVOT, null-safe join,
+  * partition discovery/pruning, and the registration path of the query op.
+  */
+object Coverage {
+  import Tables.t
+
+  /** LIMIT + OFFSET (sort + fetch-skip). */
+  val offset = Declared(
+    "q_offset",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderkey, o_custkey FROM orders
+        ORDER BY o_orderkey LIMIT 10 OFFSET 25""")
+    },
+    Some("""SELECT o_orderkey, o_custkey FROM orders
+      ORDER BY o_orderkey LIMIT 10 OFFSET 25"""))
+
+  /** Explicit NULLS FIRST / NULLS LAST (engine defaults differ — this is the
+    * portability-critical form). Nulls are injected via nullif.
+    */
+  val nullsOrder = Declared(
+    "q_nulls_order",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(
+          col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"))
+        .orderBy(col("status_or_null").asc_nulls_first, col("o_orderkey").desc),
+    Some("""SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_or_null
+      FROM orders WHERE o_orderkey < 100
+      ORDER BY status_or_null ASC NULLS FIRST, o_orderkey DESC"""))
+
+  /** Null propagation through aggregates/expressions: count(col) skips
+    * nulls, sum/avg ignore nulls, arithmetic with null is null.
+    */
+  val nullHandling = Declared(
+    "q_null_handling",
+    (s, dir) => {
+      val withNulls = t(s, dir, "orders")
+        .withColumn("p_or_null",
+          when(col("o_orderstatus") === "P", col("o_totalprice")))
+      withNulls.groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("p_or_null")).as("n_nonnull"),
+          round(coalesce(sum(col("p_or_null")), lit(0.0)), 2).as("sum_p"),
+          round(avg(col("p_or_null")), 2).as("avg_p"),
+          sum(col("p_or_null").isNull.cast("long")).as("n_null"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+      count(*) AS n_rows,
+      count(p_or_null) AS n_nonnull,
+      round(coalesce(sum(p_or_null), 0.0), 2) AS sum_p,
+      round(avg(p_or_null), 2) AS avg_p,
+      CAST(sum(CASE WHEN p_or_null IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+      FROM (SELECT o_orderpriority,
+              CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS p_or_null
+            FROM orders)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** TRY_CAST: malformed input → null instead of error. */
+  val tryCast = Declared(
+    "q_try_cast",
+    (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_partkey") < 100)
+        .select(
+          col("p_partkey"),
+          expr("try_cast(p_brand AS INT)").as("brand_int"),
+          expr("try_cast(substr(p_brand, 7, 2) AS INT)").as("brand_num"),
+          // all-null DATE columns load with ambiguous pandas dtype; string
+          // form keeps the oracle comparison well-typed
+          expr("CAST(try_cast(p_name AS DATE) AS STRING)").as("name_date"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      TRY_CAST(p_brand AS INTEGER) AS brand_int,
+      TRY_CAST(substr(p_brand, 7, 2) AS INTEGER) AS brand_num,
+      CAST(TRY_CAST(p_name AS DATE) AS VARCHAR) AS name_date
+      FROM part WHERE p_partkey < 100 ORDER BY p_partkey"""))
+
+  /** Predicate battery: LIKE / ILIKE / BETWEEN / IN / NOT IN. */
+  val predicates = Declared(
+    "q_predicates",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          col("p_name").like("%iron%").as("has_iron"),
+          col("p_name").ilike("%IRON%").as("has_iron_ci"),
+          col("p_size").between(10, 20).as("mid_size"),
+          col("p_brand").isin("Brand#11", "Brand#22", "Brand#33").as("fav_brand"),
+          (!col("p_type").isin("STANDARD", "SMALL")).as("odd_type"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      p_name LIKE '%iron%' AS has_iron,
+      p_name ILIKE '%IRON%' AS has_iron_ci,
+      p_size BETWEEN 10 AND 20 AS mid_size,
+      p_brand IN ('Brand#11', 'Brand#22', 'Brand#33') AS fav_brand,
+      p_type NOT IN ('STANDARD', 'SMALL') AS odd_type
+      FROM part ORDER BY p_partkey"""))
+
+  /** UNPIVOT / melt: wide per-order money columns → long (k, v) rows. */
+  val unpivot = Declared(
+    "q_unpivot",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 50)
+        .select(
+          col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("total"),
+          round(col("o_totalprice") * 0.1, 2).as("tax_est"))
+        .unpivot(
+          Array(col("o_orderkey")),
+          Array(col("total"), col("tax_est")),
+          "k", "v")
+        .orderBy(col("o_orderkey"), col("k")),
+    Some("""SELECT o_orderkey, k, v FROM (
+        SELECT o_orderkey, round(o_totalprice, 2) AS total,
+               round(o_totalprice * 0.1, 2) AS tax_est
+        FROM orders WHERE o_orderkey < 50)
+      UNPIVOT (v FOR k IN (total, tax_est))
+      ORDER BY o_orderkey, k"""))
+
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM). */
+  val nullSafeJoin = Declared(
+    "q_join_nullsafe",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("st"))
+      val dim = t(s, dir, "orders")
+        .select(nullif(col("o_orderstatus"), lit("P")).as("st"))
+        .distinct()
+        .select(col("st"), coalesce(col("st"), lit("PENDING")).as("label"))
+      o.join(dim, o("st") <=> dim("st"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st FROM orders),
+      dim AS (SELECT st, coalesce(st, 'PENDING') AS label
+              FROM (SELECT DISTINCT nullif(o_orderstatus, 'P') AS st FROM orders))
+      SELECT label, count(*) AS n
+      FROM o JOIN dim ON o.st IS NOT DISTINCT FROM dim.st
+      GROUP BY label ORDER BY label"""))
+
+  /** Hive-style partition discovery + pruning: write events partitioned by
+    * event_type, read back filtered — the scan must touch one partition
+    * (PartitionFilters; asserted in PartitionSpec), then aggregate.
+    */
+  val partitionedScan = Declared(
+    "q_partitioned_scan",
+    (s, dir) => {
+      val out = "/tmp/graft_partitioned/events"
+      t(s, dir, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id ORDER BY user_id"""))
+
+  /** The `query` op's registration path: file → sanitized-stem view → SQL. */
+  val queryRunnerQ = Declared(
+    "op_query_runner",
+    (s, dir) =>
+      QueryRunner.run(
+        s, tables = Seq(s"$dir/nation.parquet", s"$dir/region.parquet"),
+        tableDir = None,
+        sql = """SELECT r_name, count(*) AS n_nations
+                 FROM nation JOIN region ON n_regionkey = r_regionkey
+                 GROUP BY r_name ORDER BY r_name"""),
+    Some("""SELECT r_name, count(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
+  val all: Seq[Declared] = Seq(
+    offset, nullsOrder, nullHandling, tryCast, predicates, unpivot,
+    nullSafeJoin, partitionedScan, queryRunnerQ)
+}

