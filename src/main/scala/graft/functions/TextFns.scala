@@ -17,12 +17,18 @@ object TextFns {
     array_distinct(expr(
       s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), i -> substr($textCol, i, $k))"))
 
-  /** Distinct word k-shingles (k consecutive tokens joined by a space). */
+  /** Distinct word k-shingles (k consecutive tokens joined by a space).
+    * The token array is bound once via a lambda (`transform` over a 1-element
+    * wrapper) — inlining `split(...)` into the position lambda would
+    * re-tokenize the text for every shingle position (O(words²) per doc).
+    */
   def wordShingles(textCol: String, k: Int): Column =
-    array_distinct(expr(
-      s"""transform(
-            sequence(0, greatest(size(split(trim($textCol), '\\\\s+')) - $k, 0)),
-            i -> array_join(slice(split(trim($textCol), '\\\\s+'), i + 1, $k), ' '))"""))
+    expr(
+      s"""array_distinct(flatten(transform(
+            array(split(trim($textCol), '\\\\s+')),
+            ws -> transform(
+              sequence(0, greatest(size(ws) - $k, 0)),
+              i -> array_join(slice(ws, i + 1, $k), ' ')))))""")
 
   /** GPT2-ish byte-pair-encoding proxy: letter runs, digits, and single
     * non-space symbols each count as one token.

@@ -33,7 +33,12 @@ object Compare {
       StructField("__idx", LongType, nullable = false) +:
         df.schema.fields.zipWithIndex.map { case (f, i) =>
           StructField(s"$prefix$i", f.dataType, nullable = true) })
-    val rdd = df.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(i +: row.toSeq) }
+    // zipWithIndex needs two passes (partition sizes, then the indexed one);
+    // localCheckpoint materializes the upstream sort once to executor-local
+    // storage so it isn't re-executed — the standard snapshot for positional
+    // ids at any scale
+    val rdd = df.localCheckpoint().rdd
+      .zipWithIndex().map { case (row, i) => Row.fromSeq(i +: row.toSeq) }
     spark.createDataFrame(rdd, schema)
   }
 

@@ -26,21 +26,39 @@ object MinHashLsh {
   val BANDS = 16
   val ROWS = 4 // K / BANDS
 
-  /** (idCol, signature: array<bigint> of length K) — one row per document. */
+  /** (idCol, signature: array<bigint> of length K) — one row per document.
+    * The K running minima live in ONE custom TypedImperativeAggregate buffer
+    * ([[graft.functions.MinHashSignatureAgg]]); `signaturesBuiltin` keeps the
+    * pure-built-in formulation (K separate min() columns) — same results
+    * (MinHashLshSpec pins equality), one aggregate state instead of K.
+    */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val shingled = docs
-      .select(col(idCol), explode(TextFns.wordShingles(textCol, 3)).as("shingle"))
-    val (h1, h2) = Hashing.minhashBase(col("shingle"))
-    // mask to 32 bits so h1 + 63*h2 can't overflow a long (ANSI mode traps)
-    val hashed = shingled.select(
-      col(idCol),
-      h1.bitwiseAND(lit(0xFFFFFFFFL)).as("h1"),
-      h2.bitwiseAND(lit(0xFFFFFFFFL)).as("h2"))
+    val hashed = baseHashes(docs, idCol, textCol)
+    hashed
+      .groupBy(col(idCol))
+      .agg(graft.functions.MinHashSignatureAgg
+        .minhash_signature(col("h1"), col("h2"), K).as("signature"))
+  }
+
+  /** Built-in-only variant: K min() aggregate columns, then array(). */
+  def signaturesBuiltin(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = baseHashes(docs, idCol, textCol)
     val aggs = (0 until K).map(k => min(col("h1") + lit(k.toLong) * col("h2")).as(s"sig_$k"))
     hashed
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until K).map(k => col(s"sig_$k")): _*).as("signature"))
+  }
+
+  private def baseHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val shingled = docs
+      .select(col(idCol), explode(TextFns.wordShingles(textCol, 3)).as("shingle"))
+    val (h1, h2) = Hashing.minhashBase(col("shingle"))
+    // mask to 32 bits so h1 + 63*h2 can't overflow a long (ANSI mode traps)
+    shingled.select(
+      col(idCol),
+      h1.bitwiseAND(lit(0xFFFFFFFFL)).as("h1"),
+      h2.bitwiseAND(lit(0xFFFFFFFFL)).as("h2"))
   }
 
   /** Candidate pairs (id1 < id2) that share at least one LSH band bucket,

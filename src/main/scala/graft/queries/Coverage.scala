@@ -186,7 +186,27 @@ object Coverage {
       FROM nation JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name"""))
 
+  /** Skew-mitigation shape: two-phase salted aggregate (hot keys spread over
+    * 8 sub-keys, partials recombined). Same answer as the plain GROUP BY —
+    * which is exactly what the oracle checks.
+    */
+  val saltedAgg = Declared(
+    "q_salted_agg",
+    (s, dir) =>
+      graft.operators.SkewJoin
+        .saltedAgg(t(s, dir, "lineitem"), "l_returnflag", salts = 8,
+          Seq("l_quantity", "l_extendedprice"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"),
+          round(col("sum_l_extendedprice"), 2).as("sum_price"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, count(*) AS n,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[Declared] = Seq(
     offset, nullsOrder, nullHandling, tryCast, predicates, unpivot,
-    nullSafeJoin, partitionedScan, queryRunnerQ)
+    nullSafeJoin, partitionedScan, queryRunnerQ, saltedAgg)
 }

@@ -215,3 +215,48 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(names.distinct.size == names.size)
   }
 }
+
+class MinHashAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("TypedImperativeAggregate signature equals the built-in formulation") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents").limit(100)
+    val a = MinHashLsh.signatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = MinHashLsh.signaturesBuiltin(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, sig) => assert(sig == b(k), s"doc $k") }
+  }
+}
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("salted aggregate equals plain aggregate") {
+    val li = Tables.t(spark, TestSpark.sf, "lineitem")
+    val salted = graft.operators.SkewJoin
+      .saltedAgg(li, "l_returnflag", salts = 8, Seq("l_quantity"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100))).toSet
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100))).toSet
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val o = Tables.t(spark, TestSpark.sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.t(spark, TestSpark.sf, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val salted = graft.operators.SkewJoin.saltedJoin(o, c, "o_custkey", 4)
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = o.join(c, "o_custkey")
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+}
