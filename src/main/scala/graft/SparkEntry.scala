@@ -19,7 +19,8 @@ object SparkEntry {
       _root_.graft.queries.SimilarityQ.all ++
       _root_.graft.queries.TextQ.all ++
       _root_.graft.queries.ExtrasQ.all ++
-      _root_.graft.queries.Coverage.all
+      _root_.graft.queries.Coverage.all ++
+      _root_.graft.queries.Coverage2.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
