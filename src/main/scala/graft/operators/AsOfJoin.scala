@@ -19,6 +19,47 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Forward as-of: earliest right row with `rightTs >= leftTs` (inclusive).
+    * Same machinery as [[backward]] with time reversed via negated sort.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    // negate the time axis (epoch micros) and reuse the backward scan
+    def flip(df: DataFrame, ts: String): DataFrame =
+      df.withColumn("__negts", -col(ts).cast("timestamp").cast("double"))
+    val out = backward(flip(left, leftTs), flip(right, rightTs),
+      key, "__negts", "__negts", payload)
+    out.drop("__negts")
+  }
+
+  /** Backward as-of with a max-staleness tolerance: matches older than
+    * `toleranceSeconds` before the left timestamp are nulled out.
+    */
+  def backwardTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      toleranceSeconds: Double): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    val withTs = backward(left, right.withColumnRenamed(rightTs, "__rts")
+      .withColumn(rightTs, col("__rts")), key, leftTs, rightTs, payload :+ "__rts")
+    val fresh = col("__rts").isNotNull &&
+      (col(leftTs).cast("timestamp").cast("double") -
+        col("__rts").cast("timestamp").cast("double")) <= toleranceSeconds
+    payload.foldLeft(withTs) { (df, c) =>
+      df.withColumn(c, when(fresh, col(c)))
+    }.drop("__rts")
+  }
+
   /** @param payload right-side columns to carry (aliased as-is onto output) */
   def backward(
       left: DataFrame,

@@ -150,5 +150,21 @@ object Coverage2 {
       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 10 AS k_mod
       FROM events WHERE event_id < 500 ORDER BY event_id"""))
 
-  val all: Seq[Declared] = Seq(simIvf, regr, stringFuncs2, mathFuncs2, jsonSchema)
+  /** typeof introspection (the reference exposes DataFusion's arrow_typeof).
+    * Restricted to the type names Spark and DuckDB spell identically
+    * (bigint/double); the full cross-engine mapping lives in SchemaOp.
+    */
+  val typeofQ = Declared(
+    "q_typeof",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .limit(1)
+        .select(
+          lower(expr("typeof(l_orderkey)")).as("t_key"),
+          lower(expr("typeof(l_quantity)")).as("t_qty")),
+    Some("""SELECT lower(typeof(l_orderkey)) AS t_key,
+      lower(typeof(l_quantity)) AS t_qty
+      FROM lineitem LIMIT 1"""))
+
+  val all: Seq[Declared] = Seq(simIvf, regr, stringFuncs2, mathFuncs2, jsonSchema, typeofQ)
 }

@@ -260,3 +260,61 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 }
+
+class AsOfVariantsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val left = Seq(
+    (1L, 10L, "e1"), (1L, 20L, "e2"), (2L, 10L, "e3")
+  ).toDF("k", "ts", "name")
+  private val right = Seq(
+    (1L, 12L, 120.0), (1L, 25L, 250.0), (2L, 5L, 50.0)
+  ).toDF("k", "ts", "price")
+
+  test("forward as-of picks earliest right row at-or-after") {
+    val out = AsOfJoin.forward(left, right, "k", "ts", "ts", Seq("price"))
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    assert(out == Set(
+      ("e1", 120.0), // 12 is the earliest >= 10
+      ("e2", 250.0), // 25 is the earliest >= 20
+      ("e3", -1.0))) // right row at 5 is before 10 -> no forward match
+  }
+
+  test("backward tolerance nulls out stale matches") {
+    def run(tol: Double) = AsOfJoin.backwardTolerance(
+      left, right, "k", "ts", "ts", Seq("price"), toleranceSeconds = tol)
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    // e1@10: no right row at-or-before; e2@20: match@12 (8s stale);
+    // e3@10: match@5 (5s stale)
+    assert(run(8.0) == Set(("e1", -1.0), ("e2", 120.0), ("e3", 50.0)))
+    assert(run(3.0) == Set(("e1", -1.0), ("e2", -1.0), ("e3", -1.0)))
+  }
+}
+
+class TopKAggregatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bounded top-k per group matches window-function top-k") {
+    val ev = Tables.t(spark, TestSpark.sf, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+    val agg = new graft.functions.TopKAggregator(3)
+    val typed = ev.map { case (u, id, v) => (u, (id, v)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("top3"))
+      .collect().map { case (u, ids) => u -> ids.toList }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    val expected = Tables.t(spark, TestSpark.sf, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .orderBy(col("user_id"), col("rn"))
+      .collect().groupBy(_.getLong(2)).map { case (u, rows) =>
+        u -> rows.sortBy(_.getInt(rows.head.length - 1)).map(_.getLong(0)).toList }
+    expected.foreach { case (u, ids) => assert(typed(u) == ids, s"user $u") }
+  }
+}
