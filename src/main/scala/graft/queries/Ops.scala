@@ -118,7 +118,44 @@ object Ops {
       FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
       ORDER BY row_group_id, column_id"""))
 
+  /** CSV source path: parquet → headered CSV (convert) → inferred-schema CSV
+    * read → join+agg. Int/string columns only, so the text round trip is
+    * exact and the oracle can stay on the original tables.
+    */
+  val csvRoundtrip = Declared(
+    "op_csv_roundtrip",
+    (s, dir) => {
+      val out = "/tmp/graft_convert/nation_csv.csv"
+      Convert.convert(s, s"$dir/nation.parquet", out, singleFile = true)
+      val nation = graft.sources.Formats.read(s, out)
+      val region = t(s, dir, "region")
+      nation.join(region, nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+        .orderBy(col("r_name"))
+    },
+    Some("""SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
+  /** NDJSON source path, same shape (reference JSON = newline-delimited). */
+  val jsonRoundtrip = Declared(
+    "op_json_roundtrip",
+    (s, dir) => {
+      val out = "/tmp/graft_convert/supplier_json.json"
+      Convert.convert(s, s"$dir/supplier.parquet", out, singleFile = true)
+      graft.sources.Formats.read(s, out)
+        // JSON schema inference widens integers to bigint; restore the
+        // source's int32 for schema parity with the oracle
+        .withColumn("s_nationkey", col("s_nationkey").cast("int"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS total_bal
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   val all: Seq[Declared] = Seq(
-    view, schemaQ, countQ, convertRoundtrip, compareEqual, compareDiff,
-    compareEpsilon, parquetMeta)
+    view, schemaQ, countQ, convertRoundtrip, csvRoundtrip, jsonRoundtrip,
+    compareEqual, compareDiff, compareEpsilon, parquetMeta)
 }
