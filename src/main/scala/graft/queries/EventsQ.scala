@@ -59,26 +59,30 @@ object EventsQ {
     * gaps-and-islands: flag gap>30min, running sum of flags = session id.
     * One shuffle on user_id; per-key window state is O(1).
     */
+  /** Session table (user_id, session_seq, bounds, stats) — shared by the
+    * sessionize query and the range join below.
+    */
+  def sessionsDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          col("ts").cast("timestamp").cast("double") -
+            col("prev_ts").cast("timestamp").cast("double") > 1800.0).cast("long"))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 2).as("session_value"))
+  }
+
   val sessionize = Declared(
     "q_sessionize",
-    (s, dir) => {
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      t(s, dir, "events")
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_session",
-          (col("prev_ts").isNull ||
-            col("ts").cast("timestamp").cast("double") -
-              col("prev_ts").cast("timestamp").cast("double") > 1800.0).cast("long"))
-        .withColumn("session_seq",
-          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("session_seq"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"),
-          round(sum(col("value")), 2).as("session_value"))
-        .orderBy(col("user_id"), col("session_seq"))
-    },
+    (s, dir) => sessionsDf(s, dir).orderBy(col("user_id"), col("session_seq")),
     Some("""WITH flagged AS (
         SELECT user_id, event_id, ts, value,
           CASE WHEN lag(ts) OVER w IS NULL
@@ -148,5 +152,46 @@ object EventsQ {
       count(*) FILTER (event_type = 'view') AS view
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
-  val all: Seq[Declared] = Seq(dateBin, jsonExtract, hourly, sessionize, asof, pivot)
+  /** Range (interval) join: each event matched to its containing session via
+    * the binned equi-join strategy (operators.RangeJoin — no nested loop;
+    * blow-up = interval/bin). Sessions are disjoint per user, so every event
+    * lands in exactly one.
+    */
+  val rangeJoin = Declared(
+    "q_range_join",
+    (s, dir) => {
+      val sessions = sessionsDf(s, dir)
+        .select(col("user_id"), col("session_seq"),
+          col("session_start"), col("session_end"))
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.RangeJoin.binned(
+        ev, sessions, key = "user_id", leftPoint = "ts",
+        rightStart = "session_start", rightEnd = "session_end",
+        binSeconds = 3600L)
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH flagged AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800.0
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT user_id, ts,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged),
+      sessions AS (
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          min(ts) AS s, max(ts) AS e
+        FROM numbered GROUP BY user_id, session_seq)
+      SELECT e.event_id, e.user_id, s.session_seq
+      FROM events e JOIN sessions s
+        ON e.user_id = s.user_id AND e.ts BETWEEN s.s AND s.e
+      ORDER BY e.event_id"""))
+
+  val all: Seq[Declared] = Seq(
+    dateBin, jsonExtract, hourly, sessionize, asof, pivot, rangeJoin)
 }

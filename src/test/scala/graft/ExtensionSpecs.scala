@@ -318,3 +318,31 @@ class TopKAggregatorSpec extends AnyFunSuite {
     expected.foreach { case (u, ids) => assert(typed(u) == ids, s"user $u") }
   }
 }
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("binned range join equals the naive BETWEEN join") {
+    val points = Seq((1L, 100L, 5.0), (1L, 250L, 6.0), (2L, 100L, 7.0), (1L, 9999L, 8.0))
+      .toDF("k", "ts", "v")
+    val ranges = Seq((1L, 50L, 150L, "r1"), (1L, 200L, 300L, "r2"), (2L, 90L, 110L, "r3"))
+      .toDF("k", "rs", "re", "name")
+    val binned = graft.operators.RangeJoin
+      .binned(points, ranges, "k", "ts", "rs", "re", binSeconds = 60L)
+      .select("ts", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = points.join(ranges,
+        points("k") === ranges("k") && points("ts") >= ranges("rs") && points("ts") <= ranges("re"))
+      .select("ts", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(binned == naive)
+    assert(binned == Set((100L, "r1"), (250L, "r2"), (100L, "r3")))
+  }
+
+  test("interval spanning many bins still matches once") {
+    val points = Seq((1L, 5000L, 1.0)).toDF("k", "ts", "v")
+    val ranges = Seq((1L, 0L, 100000L, "wide")).toDF("k", "rs", "re", "name")
+    val out = graft.operators.RangeJoin
+      .binned(points, ranges, "k", "ts", "rs", "re", binSeconds = 60L)
+    assert(out.count() == 1)
+  }
+}
