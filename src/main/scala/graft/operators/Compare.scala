@@ -96,6 +96,51 @@ object Compare {
       (coalesce(col("n_diffs"), lit(0L)) === 0L).as("is_equal"))
   }
 
+  /** Keyed compare — the ORDER-FREE variant for data that has a primary key.
+    * No sort, no zipWithIndex, no snapshot: one full-outer hash join on the
+    * key and a codegen'd column comparison, so it scales exactly like any
+    * equi-join. Reports rows only-left / only-right / differing / equal.
+    * (The positional [[summarize]] stays for bdt CLI parity where inputs are
+    * keyless files.)
+    */
+  def summarizeByKey(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      epsilon: Double = 0.0): DataFrame = {
+
+    val valueCols = left.columns.filterNot(keys.contains).toSeq
+    require(right.columns.filterNot(keys.contains).toSeq == valueCols,
+      "keyed compare requires identical non-key column names")
+
+    val l = valueCols.foldLeft(left)((df, c) => df.withColumnRenamed(c, s"__l_$c"))
+      .withColumn("__lp", lit(true))
+    val r = valueCols.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"__r_$c"))
+      .withColumn("__rp", lit(true))
+    val joined = l.join(r, keys, "full_outer")
+
+    val valuesEqual: Column =
+      if (valueCols.isEmpty) lit(true)
+      else valueCols.map { c =>
+        colEqual(
+          col(s"__l_$c"), left.schema(c).dataType,
+          col(s"__r_$c"), right.schema(c).dataType, epsilon)
+      }.reduce(_ && _)
+
+    joined.agg(
+      sum(when(col("__lp").isNotNull && col("__rp").isNull, 1L).otherwise(0L)).as("only_left"),
+      sum(when(col("__lp").isNull && col("__rp").isNotNull, 1L).otherwise(0L)).as("only_right"),
+      sum(when(col("__lp").isNotNull && col("__rp").isNotNull && !valuesEqual, 1L).otherwise(0L)).as("differing"),
+      sum(when(col("__lp").isNotNull && col("__rp").isNotNull && valuesEqual, 1L).otherwise(0L)).as("equal_rows"))
+      .select(
+        coalesce(col("only_left"), lit(0L)).as("only_left"),
+        coalesce(col("only_right"), lit(0L)).as("only_right"),
+        coalesce(col("differing"), lit(0L)).as("differing"),
+        coalesce(col("equal_rows"), lit(0L)).as("equal_rows"),
+        (coalesce(col("only_left"), lit(0L)) + coalesce(col("only_right"), lit(0L)) +
+          coalesce(col("differing"), lit(0L)) === 0L).as("is_equal"))
+  }
+
   /** File-level entry mirroring the reference CLI (CSV/Parquet only there;
     * we accept any supported format). `noHeaderRow` applies to CSV inputs.
     */

@@ -155,7 +155,31 @@ object Ops {
     Some("""SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS total_bal
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
+  /** Keyed (order-free) compare: orders vs orders with every 500th row's
+    * price perturbed and two rows dropped — categorized diff counts.
+    */
+  val compareKeyed = Declared(
+    "op_compare_keyed",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val perturbed = o
+        .filter(col("o_orderkey") % 777 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 500 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      Compare.summarizeByKey(o, perturbed, Seq("o_orderkey"))
+    },
+    Some("""SELECT
+      CAST(sum(CASE WHEN o_orderkey % 777 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_left,
+      CAST(0 AS BIGINT) AS only_right,
+      CAST(sum(CASE WHEN o_orderkey % 777 <> 0 AND o_orderkey % 500 = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS differing,
+      CAST(sum(CASE WHEN o_orderkey % 777 <> 0 AND o_orderkey % 500 <> 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS equal_rows,
+      false AS is_equal
+      FROM orders"""))
+
   val all: Seq[Declared] = Seq(
     view, schemaQ, countQ, convertRoundtrip, csvRoundtrip, jsonRoundtrip,
-    compareEqual, compareDiff, compareEpsilon, parquetMeta)
+    compareEqual, compareDiff, compareEpsilon, compareKeyed, parquetMeta)
 }

@@ -138,3 +138,52 @@ class PropertySpecs extends AnyFunSuite {
     }
   }
 }
+
+/** Audit EVERY declared query's physical plan: no accidental cartesian /
+  * unbounded nested-loop joins — only the queries that intend one (tiny
+  * dims or a broadcast-single-row probe) may contain them.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val allowedCartesian = Set(
+    "q_join_cross",     // intentional CROSS of two tiny dims
+    "sim_topk_brute",   // 1-row broadcast query vector
+    "sim_ann_lsh", "sim_ivf", // same broadcast-probe shape
+    "sim_pairs_label0", // bounded all-pairs within one label
+    "q_join_theta"      // residual-only fallback is fine on tiny dims
+  )
+
+  test("no unplanned cartesian or nested-loop joins anywhere") {
+    val offenders = SparkEntry.declared
+      .filterNot(d => allowedCartesian.contains(d.name))
+      .filterNot(d => d.name.startsWith("op_") || d.name == "stream_window_agg" ||
+        d.name == "mm_decode_features" || d.name == "dedup_minhash")
+      .flatMap { d =>
+        try {
+          val plan = d.run(spark, TestSpark.sf).queryExecution.executedPlan.toString
+          if (plan.contains("CartesianProduct") ||
+              plan.contains("BroadcastNestedLoopJoin")) Some(d.name) else None
+        } catch { case _: Throwable => None }
+      }
+    assert(offenders.isEmpty, s"unexpected cartesian/BNLJ in: $offenders")
+  }
+}
+
+/** Approximate aggregates must land near the exact values. */
+class ApproxAccuracySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("approx_count_distinct within 5% and approx median within p40-p60") {
+    val li = Tables.t(spark, TestSpark.sf, "lineitem")
+    val row = li.agg(
+      approx_count_distinct(col("l_partkey")).as("approx"),
+      countDistinct(col("l_partkey")).as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("amed"),
+      expr("percentile(l_extendedprice, 0.4)").as("p40"),
+      expr("percentile(l_extendedprice, 0.6)").as("p60")).head()
+    val (approx, exact) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+    assert(row.getDouble(2) >= row.getDouble(3) && row.getDouble(2) <= row.getDouble(4))
+  }
+}
