@@ -95,5 +95,18 @@ object ExtrasQ {
       event_type, count(*) AS n, round(sum(value), 2) AS total
       FROM events GROUP BY h, event_type ORDER BY h, event_type"""))
 
-  val all: Seq[Declared] = Seq(mmCatalog, mmFrames, mmDecode, rollingHashQ, streamWindow)
+  /** Streaming exact dedup (state-bounded dropDuplicates) — the oracle is
+    * the batch distinct count per type over the same content key.
+    */
+  val streamDedup = Declared(
+    "stream_dedup",
+    (s, dir) => StreamingOps.dedupStream(s, dir),
+    Some("""SELECT event_type, count(*) AS n_unique FROM (
+        SELECT DISTINCT event_type,
+          md5(CAST(user_id AS VARCHAR) || '|' || event_type || '|' || props) AS ck
+        FROM events)
+      GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Declared] = Seq(
+    mmCatalog, mmFrames, mmDecode, rollingHashQ, streamWindow, streamDedup)
 }

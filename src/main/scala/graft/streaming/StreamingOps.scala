@@ -49,6 +49,41 @@ object StreamingOps {
     spark.table(name).orderBy(col("h"), col("event_type"))
   }
 
+  /** Streaming exact dedup: dropDuplicates over a content hash with a
+    * watermark bounding the dedup state (the incremental form of
+    * dedup_exact — at 100 TB the state store holds one hash per unique doc
+    * inside the watermark horizon instead of the full history).
+    */
+  def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      // dedup key: the payload identity (same user+type+props = duplicate)
+      .withColumn("content_key",
+        md5(concat_ws("|", col("user_id"), col("event_type"), col("props"))))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("content_key")
+
+    val agg = stream
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+
+    val name = s"graft_dedup_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(name).orderBy(col("event_type"))
+  }
+
   case class SessionState(start: Long, end: Long, n: Long, value: Double)
   case class SessionOut(
       user_id: Long, session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
