@@ -24,6 +24,17 @@ object Hashing {
   def md5Hash60Sql(expr: String): String =
     s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
 
+  /** Portable 32-bit hash (8 hex chars of md5 at 1-based `offset`) as a Spark
+    * SQL snippet — usable inside higher-order-function lambdas where a Column
+    * can't reach. Pair with [[md5Hash32DuckSql]] for the oracle side.
+    */
+  def md5Hash32SparkSql(expr: String, offset: Int = 1): String =
+    s"CAST(conv(substring(md5($expr), $offset, 8), 16, 10) AS BIGINT)"
+
+  /** The same 32-bit hash as DuckDB SQL. */
+  def md5Hash32DuckSql(expr: String, offset: Int = 1): String =
+    s"CAST(concat('0x', substr(md5($expr), $offset, 8)) AS BIGINT)"
+
   /** Spark-fast (non-portable) 64-bit hash with seed column mixed in. */
   def fastHash(seed: Column, c: Column): Column = xxhash64(seed, c)
 

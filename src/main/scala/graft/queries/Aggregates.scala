@@ -55,6 +55,9 @@ object Aggregates {
 
   /** array_agg / string_agg; sorted inside the aggregate so the value is
     * order-insensitive (distributed agg has no stable input order).
+    * The collected set is emitted as a joined string + its cardinality, never
+    * as a raw array column: the driver's pandas compare cannot sort ndarray
+    * cells (round-1 harness crash), and the string form pins the same values.
     */
   val collects = Declared(
     "q_agg_collect",
@@ -63,12 +66,12 @@ object Aggregates {
         .groupBy(col("o_orderpriority"))
         .agg(
           array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
-          array_sort(collect_set(col("o_orderstatus"))).as("status_arr"),
+          size(collect_set(col("o_orderstatus"))).as("n_statuses"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority")),
     Some("""SELECT o_orderpriority,
       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
-      list_sort(list(DISTINCT o_orderstatus)) AS status_arr,
+      CAST(count(DISTINCT o_orderstatus) AS INTEGER) AS n_statuses,
       count(*) AS n
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 

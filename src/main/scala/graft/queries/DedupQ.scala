@@ -41,36 +41,83 @@ object DedupQ {
         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
       FROM documents) WHERE rn = 1 ORDER BY doc_id"""))
 
-  /** Exact n-gram (4-char shingle) Jaccard over prefix-blocked candidate
-    * pairs. Blocking on a 40-char prefix keeps the pair count near-linear;
-    * the Jaccard itself is exact set arithmetic on shingle arrays.
+  /** Exact n-gram (4-char shingle) Jaccard with MinHash-band blocking.
+    * Round 1 blocked on a 40-char prefix — quadratic under boilerplate skew
+    * and blind to near-dups differing in the first 40 chars. Now: a portable
+    * (md5-based, oracle-reproducible) K=8 MinHash signature per doc, 4 bands
+    * of 2 rows; candidates share ≥1 band; exact shingle-Jaccard ≥ 0.5 is the
+    * verify stage. The band shuffle carries (doc_id, band, 2-row key) only —
+    * shingle arrays never cross the network; they re-join by id afterwards.
     */
   val ngramJaccard = Declared(
     "dedup_ngram_jaccard",
     (s, dir) => {
-      val docs = t(s, dir, "documents").select(
+      val K = 8; val BANDS = 4; val ROWS = 2
+      val h1 = graft.functions.Hashing.md5Hash32SparkSql("x", 1)
+      val h2 = graft.functions.Hashing.md5Hash32SparkSql("x", 9)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.charShingles("text", 4).as("sh"))
+        .withColumn("h1s", expr(s"transform(sh, x -> $h1)"))
+        .withColumn("h2s", expr(s"transform(sh, x -> $h2)"))
+        .withColumn("sig", expr(
+          s"transform(sequence(0, ${K - 1}), k -> array_min(zip_with(h1s, h2s, (a, b) -> a + k * b)))"))
+      val banded = docs.select(
         col("doc_id"),
-        substring(col("text"), 1, 40).as("pfx"),
-        TextFns.charShingles("text", 4).as("sh"))
-      val a = docs.select(col("doc_id").as("id1"), col("pfx"), col("sh").as("sh1"))
-      val b = docs.select(col("doc_id").as("id2"), col("pfx"), col("sh").as("sh2"))
-      a.join(b, Seq("pfx"))
+        posexplode(expr(
+          s"""transform(sequence(0, ${BANDS - 1}),
+              b -> array_join(transform(slice(sig, b * $ROWS + 1, $ROWS),
+                              v -> CAST(v AS STRING)), ','))"""))
+          .as(Seq("band", "bkey")))
+      val cand = banded.select(col("doc_id").as("id1"), col("band"), col("bkey"))
+        .join(banded.select(col("doc_id").as("id2"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
         .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
         .select(
           col("id1"), col("id2"),
           round(TextFns.jaccard(col("sh1"), col("sh2")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
         .orderBy(col("id1"), col("id2"))
     },
-    Some("""WITH sh AS (
-        SELECT doc_id, substr(text, 1, 40) AS pfx,
-          list_distinct(list_transform(range(1, greatest(len(text) - 3, 1) + 1),
-            i -> substr(text, CAST(i AS INTEGER), 4))) AS shingles
-        FROM documents)
-      SELECT a.doc_id AS id1, b.doc_id AS id2,
-        round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-              CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) AS jaccard
-      FROM sh a JOIN sh b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
-      ORDER BY id1, id2"""))
+    Some {
+      val K = 8; val ROWS = 2
+      val d1 = graft.functions.Hashing.md5Hash32DuckSql("x", 1)
+      val d2 = graft.functions.Hashing.md5Hash32DuckSql("x", 9)
+      val sigCols = (0 until K).map(k =>
+        s"list_min(list_transform(sh, x -> $d1 + $k * $d2)) AS sig_$k").mkString(",\n          ")
+      val bandSelects = (0 until K / ROWS).map { b =>
+        val key = (0 until ROWS).map(r => s"CAST(sig_${b * ROWS + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 3, 1) + 1),
+          i -> substr(text, CAST(i AS INTEGER), 4))) AS sh
+        FROM documents),
+      sig AS (
+        SELECT doc_id,
+          $sigCols
+        FROM sh),
+      banded AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      SELECT * FROM (
+        SELECT id1, id2,
+          round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+                CAST(len(list_distinct(list_concat(s1.sh, s2.sh))) AS DOUBLE), 6) AS jaccard
+        FROM cand
+        JOIN sh s1 ON s1.doc_id = cand.id1
+        JOIN sh s2 ON s2.doc_id = cand.id2)
+      WHERE jaccard >= 0.5
+      ORDER BY id1, id2"""
+    })
 
   /** MinHash+LSH candidate pairs (signature-estimated Jaccard ≥ 0.35).
     * Hash functions are Spark-native (xxhash64) so there is no SQL oracle;

@@ -47,7 +47,7 @@ object EventsQ {
     (s, dir) =>
       t(s, dir, "events")
         .groupBy(
-          date_trunc("hour", col("ts")).as("h"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
         .orderBy(col("h"), col("event_type")),

@@ -118,7 +118,7 @@ object Scalars {
           month(col("o_orderdate")).as("m"),
           dayofmonth(col("o_orderdate")).as("d"),
           quarter(col("o_orderdate")).as("q"),
-          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
           last_day(col("o_orderdate")).as("month_end"),
           (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
           datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
@@ -202,7 +202,7 @@ object Scalars {
           (col("c_custkey") % 2 === 0).cast("string").as("even_str"),
           lit("123").cast("int").as("s2i"),
           lit("2024-03-05").cast("date").as("s2d"),
-          lit("2024-03-05 06:07:08").cast("timestamp").as("s2ts"))
+          lit("2024-03-05 06:07:08").cast("timestamp_ntz").as("s2ts"))
         .orderBy(col("c_custkey")),
     Some("""SELECT c_custkey,
       CAST(c_custkey AS VARCHAR) AS key_str,

@@ -65,27 +65,62 @@ object SimilarityQ {
       FROM b CROSS JOIN q WHERE bucket = qbucket
       ORDER BY cos DESC, vec_id LIMIT 10"""))
 
-  /** Bounded all-pairs: top-5 most similar pairs within one label partition
-    * (the per-group variant a clustering/linkage step consumes).
+  /** 4 independent sign-LSH tables (6 planes each) for the pair query below:
+    * a similar pair is a candidate iff it collides in ANY band (OR over
+    * tables), the standard recall amplification for pairwise LSH.
+    */
+  private val pairBands: Seq[Seq[Array[Double]]] =
+    (0 until 4).map(b => Similarity.planes(nPlanes = 6, dim = 64, seed = 101L + b))
+
+  /** Top-5 most similar pairs within one label partition (the per-group
+    * variant a clustering/linkage step consumes). Candidates come from a
+    * banded sign-LSH bucket join — NOT all-pairs: each doc explodes into 4
+    * (band, bucket) keys (ints only; embeddings never cross that shuffle),
+    * the self-join is a plain equi-join bounded by bucket size, and exact
+    * cosine runs only on the deduped candidate pairs after re-joining the
+    * vectors by id. Survives a hot label at 100× where crossJoin cannot.
     */
   val pairsWithinLabel = Declared(
     "sim_pairs_label0",
     (s, dir) => {
       val e = t(s, dir, "embeddings").filter(col("label") === 0)
-      val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
-      val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
-      a.crossJoin(b)
+        .select(col("vec_id"), col("embedding"))
+      val banded = e.select(
+        col("vec_id"),
+        posexplode(array(pairBands.map(ps =>
+          Similarity.lshBucket(col("embedding"), ps)): _*)).as(Seq("band", "bucket")))
+      val cand = banded.select(col("vec_id").as("id1"), col("band"), col("bucket"))
+        .join(banded.select(col("vec_id").as("id2"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
         .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+        .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
         .select(col("id1"), col("id2"),
           round(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))
         .orderBy(col("cos").desc, col("id1"), col("id2"))
         .limit(5)
     },
-    Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
-      round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
-      FROM embeddings a JOIN embeddings b
-        ON a.label = 0 AND b.label = 0 AND a.vec_id < b.vec_id
-      ORDER BY cos DESC, id1, id2 LIMIT 5"""))
+    Some {
+      val bandSelects = pairBands.zipWithIndex.map { case (ps, b) =>
+        s"SELECT vec_id, $b AS band, ${Similarity.lshBucketSql("embedding", ps)} AS bucket FROM e"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+      banded AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT id1, id2,
+        round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])), 6) AS cos
+      FROM cand
+      JOIN e e1 ON e1.vec_id = cand.id1
+      JOIN e e2 ON e2.vec_id = cand.id2
+      ORDER BY cos DESC, id1, id2 LIMIT 5"""
+    })
 
   val all: Seq[Declared] = Seq(topkBrute, annLsh, pairsWithinLabel)
 }

@@ -150,7 +150,6 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_join_cross",     // intentional CROSS of two tiny dims
     "sim_topk_brute",   // 1-row broadcast query vector
     "sim_ann_lsh", "sim_ivf", // same broadcast-probe shape
-    "sim_pairs_label0", // bounded all-pairs within one label
     "q_join_theta"      // residual-only fallback is fine on tiny dims
   )
 
