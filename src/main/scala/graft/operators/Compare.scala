@@ -56,16 +56,14 @@ object Compare {
         .otherwise(abs(l.cast("double") - r.cast("double")) <= eps)
     else l <=> r
 
-  /** Distributed summary: rows on each side, number of differing positions,
-    * index of the first difference. A row present on one side only counts as
-    * a diff at its index; sides with different column counts differ on every
-    * row (positional row-length check, reference compare.rs:55-63).
+  /** Indexed full-outer join of both sides plus the per-row equality
+    * predicate — shared by [[summarize]] and [[firstDiff]].
     */
-  def summarize(
+  private def positionalJoin(
       spark: SparkSession,
       left: DataFrame,
       right: DataFrame,
-      epsilon: Double = 0.0): DataFrame = {
+      epsilon: Double): (DataFrame, Column) = {
 
     val lFields = left.schema.fields
     val rFields = right.schema.fields
@@ -81,7 +79,21 @@ object Compare {
       else lFields.indices
         .map(i => colEqual(col(s"l$i"), lFields(i).dataType, col(s"r$i"), rFields(i).dataType, epsilon))
         .reduce(_ && _)
-    val rowEqual = col("__lp").isNotNull && col("__rp").isNotNull && valuesEqual
+    (joined, col("__lp").isNotNull && col("__rp").isNotNull && valuesEqual)
+  }
+
+  /** Distributed summary: rows on each side, number of differing positions,
+    * index of the first difference. A row present on one side only counts as
+    * a diff at its index; sides with different column counts differ on every
+    * row (positional row-length check, reference compare.rs:55-63).
+    */
+  def summarize(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      epsilon: Double = 0.0): DataFrame = {
+
+    val (joined, rowEqual) = positionalJoin(spark, left, right, epsilon)
 
     val agg = joined.agg(
       count(col("__lp")).as("rows_left"),
@@ -94,6 +106,27 @@ object Compare {
       coalesce(col("n_diffs"), lit(0L)).as("n_diffs"),
       col("first_diff_index"),
       (coalesce(col("n_diffs"), lit(0L)) === 0L).as("is_equal"))
+  }
+
+  /** The two rows at the first differing position, side by side — the
+    * reference prints both rows at its first diff
+    * (/root/reference/src/compare.rs:72-114). Columns: __idx, l0..lN, r0..rN.
+    * No collect of the data: the diff set is filtered distributed, the scalar
+    * min index is broadcast back in as a 1-row join, and only the surviving
+    * row reaches the driver. Empty result when the sides are equal.
+    */
+  def firstDiff(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      epsilon: Double = 0.0): DataFrame = {
+
+    val (joined, rowEqual) = positionalJoin(spark, left, right, epsilon)
+    val diffs = joined.filter(!rowEqual)
+    val firstIdx = diffs.agg(min(col("__idx")).as("__first"))
+    diffs
+      .join(broadcast(firstIdx), col("__idx") === col("__first"))
+      .drop("__first", "__lp", "__rp")
   }
 
   /** Keyed compare — the ORDER-FREE variant for data that has a primary key.
@@ -143,6 +176,18 @@ object Compare {
 
   /** File-level entry mirroring the reference CLI (CSV/Parquet only there;
     * we accept any supported format). `noHeaderRow` applies to CSV inputs.
+    *
+    * Positional compare needs FILE order, but Spark packs file splits by
+    * size, not by file/offset order — a multi-row-group parquet or multi-part
+    * directory would be compared in an arbitrary order. So:
+    *  - parquet: rows are ordered by the `_metadata` (file_path, row_index)
+    *    columns — exact file order, any number of splits/parts, fully
+    *    distributed;
+    *  - csv/json (no row_index metadata): the read is forced to one split per
+    *    file and snapshotted eagerly, which preserves in-file order; multiple
+    *    files are then concatenated in partition order, so for directories of
+    *    text files pass single files (documented CLI limitation, matching the
+    *    reference's single-file compare).
     */
   def compareFiles(
       spark: SparkSession,
@@ -150,10 +195,29 @@ object Compare {
       path2: String,
       epsilon: Double = 0.0,
       noHeaderRow: Boolean = false): DataFrame = {
-    def read(p: String): DataFrame =
-      if (noHeaderRow && p.toLowerCase.endsWith(".csv"))
-        graft.sources.Formats.readCsvNoHeader(spark, p)
-      else graft.sources.Formats.read(spark, p)
+    def read(p: String): DataFrame = {
+      val lower = p.toLowerCase
+      if (lower.endsWith(".parquet")) {
+        graft.sources.Formats.read(spark, p)
+          .select(col("*"),
+            col("_metadata.file_path").as("__f"),
+            col("_metadata.row_index").as("__i"))
+          .orderBy(col("__f"), col("__i"))
+          .drop("__f", "__i")
+      } else {
+        val conf = spark.conf
+        val key = "spark.sql.files.maxPartitionBytes"
+        val old = conf.get(key)
+        conf.set(key, (8L << 30).toString) // one split per text file
+        try {
+          val df =
+            if (noHeaderRow && lower.endsWith(".csv"))
+              graft.sources.Formats.readCsvNoHeader(spark, p)
+            else graft.sources.Formats.read(spark, p)
+          df.localCheckpoint() // materialize while the conf override is active
+        } finally conf.set(key, old)
+      }
+    }
     summarize(spark, read(path1), read(path2), epsilon)
   }
 }

@@ -63,17 +63,46 @@ object MinHashLsh {
 
   /** Candidate pairs (id1 < id2) that share at least one LSH band bucket,
     * with the signature-estimated Jaccard similarity.
+    *
+    * Skew guard (`bucketCap`): boilerplate-heavy corpora put millions of docs
+    * into ONE band bucket, and an unsalted self-join makes that bucket an n²
+    * single-reducer. Buckets larger than `bucketCap` are salted
+    * pair-set-preservingly: fan = ceil(bucket/cap); the left side keeps one
+    * deterministic salt per row, the right side replicates each row to every
+    * salt, and the join adds the salt to the key — every (x, y) pair still
+    * meets exactly once (at x's salt), but a hot bucket's work spreads over
+    * `fan` reducers at the cost of replicating only that bucket's rows
+    * (ints, not documents) `fan`×. Normal buckets have fan = 1 and pay one
+    * broadcast-joined count lookup. SkewSaltingSpec pins pair-set equality.
     */
-  def candidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
+  def candidatePairs(
+      sigs: DataFrame, idCol: String, bucketCap: Int = 100000): DataFrame = {
     val banded = sigs.select(
       col(idCol),
       posexplode(expr(
         s"transform(sequence(0, ${BANDS - 1}), b -> xxhash64(slice(signature, b * $ROWS + 1, $ROWS)))"))
         .as(Seq("band", "band_hash")))
 
-    val a = banded.select(col(idCol).as("id1"), col("band"), col("band_hash"))
-    val b = banded.select(col(idCol).as("id2"), col("band"), col("band_hash"))
-    val cand = a.join(b, Seq("band", "band_hash"))
+    // only OVERSIZED buckets get a fan > 1; there are ≤ total/cap of them by
+    // definition, so the fan table is always tiny and broadcastable (the
+    // full per-bucket count table would be ∝ corpus size — never broadcast
+    // that). Everything else defaults to fan = 1 via the left join.
+    val hotFans = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > bucketCap)
+      .select(col("band"), col("band_hash"),
+        ceil(col("__bn").cast("double") / bucketCap).cast("int").as("__fan"))
+    val withFan = banded
+      .join(broadcast(hotFans), Seq("band", "band_hash"), "left")
+      .na.fill(1, Seq("__fan"))
+
+    val a = withFan.select(
+      col(idCol).as("id1"), col("band"), col("band_hash"),
+      pmod(xxhash64(col(idCol)), col("__fan").cast("long")).cast("int").as("__salt"))
+    val b = withFan.select(
+      col(idCol).as("id2"), col("band"), col("band_hash"),
+      explode(sequence(lit(0), col("__fan") - 1)).as("__salt"))
+    val cand = a.join(b, Seq("band", "band_hash", "__salt"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
       .distinct()

@@ -21,10 +21,11 @@ object SkewJoin {
       salts: Int,
       sumCols: Seq[String]): DataFrame = {
 
-    // deterministic salt: spread rows of one key across `salts` sub-keys
-    // (hash of the whole row would also do; pmod keeps it cheap)
+    // row-unique salt: a content hash would map IDENTICAL rows (the
+    // duplicate-heavy hot-key case this operator exists for) to ONE salt and
+    // spread nothing; the partition-unique row id spreads unconditionally
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(sumCols.map(col): _*), lit(salts.toLong)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
 
     val partialAggs: Seq[Column] =
       count(lit(1)).as("__n") +: sumCols.map(c => sum(col(c)).as(s"__sum_$c"))
@@ -50,8 +51,9 @@ object SkewJoin {
       key: String,
       salts: Int): DataFrame = {
 
+    // row-unique salt (not a content hash) for the same reason as saltedAgg
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")

@@ -153,6 +153,38 @@ object Aggregates {
         .orderBy(col("l_returnflag")),
     None)
 
+  /** Hash-checked accuracy bound for the approx family: each engine computes
+    * its OWN sketch (Spark HLL/GK vs DuckDB HLL/t-digest — raw values are
+    * engine-specific, so q_agg_approx stays rows-only) AND its own exact
+    * values, and emits booleans asserting the sketch lands within the bound.
+    * The booleans (plus the exact counts) hash-match across engines, so the
+    * driver verifies the accuracy contract itself.
+    */
+  val approxBound = Declared(
+    "q_agg_approx_bound",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+            .cast("double") / countDistinct(col("l_partkey")).cast("double") <= 0.05)
+            .as("parts_within_5pct"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+            .between(
+              expr("percentile(l_extendedprice, 0.4)"),
+              expr("percentile(l_extendedprice, 0.6)"))
+            .as("median_within_band"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      count(DISTINCT l_partkey) AS exact_parts,
+      CAST(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) AS DOUBLE)
+        / CAST(count(DISTINCT l_partkey) AS DOUBLE) <= 0.05 AS parts_within_5pct,
+      approx_quantile(l_extendedprice, 0.5)
+        BETWEEN quantile_cont(l_extendedprice, 0.4) AND quantile_cont(l_extendedprice, 0.6)
+        AS median_within_band
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** GROUPING SETS / ROLLUP / CUBE. Fixture keys are never null, so
     * coalesce('ALL') unambiguously marks subtotal rows.
     */
@@ -210,5 +242,5 @@ object Aggregates {
 
   val all: Seq[Declared] = Seq(
     stats, percentiles, collects, minmax, boolBit, countDistinctQ, approx,
-    rollupQ, cubeQ, groupingSets)
+    approxBound, rollupQ, cubeQ, groupingSets)
 }

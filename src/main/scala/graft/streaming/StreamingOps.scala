@@ -49,10 +49,16 @@ object StreamingOps {
     spark.table(name).orderBy(col("h"), col("event_type"))
   }
 
-  /** Streaming exact dedup: dropDuplicates over a content hash with a
-    * watermark bounding the dedup state (the incremental form of
-    * dedup_exact — at 100 TB the state store holds one hash per unique doc
-    * inside the watermark horizon instead of the full history).
+  /** Streaming exact dedup: dropDuplicatesWithinWatermark over a content
+    * hash (the incremental form of dedup_exact). Plain
+    * dropDuplicates("content_key") would IGNORE the watermark for state
+    * eviction — without the event-time column in the dedup keys its state
+    * grows one entry per unique key forever; dropDuplicatesWithinWatermark
+    * is the Spark 3.5+/4 operator whose state the watermark actually evicts,
+    * so at 100 TB the store holds one hash per unique doc inside the
+    * watermark horizon instead of the full history. (In a finite single-batch
+    * replay like this fixture all rows share a batch, so the result equals a
+    * global dedup and stays oracle-checkable.)
     */
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -66,7 +72,7 @@ object StreamingOps {
       .withColumn("content_key",
         md5(concat_ws("|", col("user_id"), col("event_type"), col("props"))))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("content_key")
+      .dropDuplicatesWithinWatermark("content_key")
 
     val agg = stream
       .groupBy(col("event_type"))

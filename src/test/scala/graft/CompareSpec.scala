@@ -59,4 +59,37 @@ class CompareSpec extends AnyFunSuite {
     val b = Seq(1L, 2L).toDF("i") // long
     assert(summary(Compare.summarize(spark, a, b))._5)
   }
+
+  test("firstDiff returns both rows at the first differing position") {
+    val a = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("i", "d").orderBy("i")
+    val b = Seq((1, 10.0), (2, 21.0), (3, 31.0)).toDF("i", "d").orderBy("i")
+    val row = Compare.firstDiff(spark, a, b).head()
+    assert(row.getLong(row.fieldIndex("__idx")) == 1L)
+    assert(row.getInt(row.fieldIndex("l0")) == 2 && row.getDouble(row.fieldIndex("l1")) == 20.0)
+    assert(row.getInt(row.fieldIndex("r0")) == 2 && row.getDouble(row.fieldIndex("r1")) == 21.0)
+    // equal inputs → empty
+    assert(Compare.firstDiff(spark, a, a).isEmpty)
+  }
+
+  test("compareFiles is deterministic for multi-part parquet (file-order via _metadata)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_files").toString
+    // 8 part files whose split packing would otherwise be size-ordered
+    spark.range(0, 5000).selectExpr("id", "id * 2.5 AS v", "repeat('x', CAST(id % 97 AS INT)) AS pad")
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/a.parquet")
+    val r = Compare.compareFiles(spark, s"$dir/a.parquet", s"$dir/a.parquet").head()
+    assert(r.getBoolean(4), s"self-compare of multi-part parquet not equal: $r")
+  }
+
+  test("compareFiles finds a csv diff positionally (single-split text read)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_csv").toString
+    def write(name: String, rows: Seq[String]): String = {
+      val p = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.write(p, ("i,v" +: rows).mkString("\n").getBytes)
+      p.toString
+    }
+    val f1 = write("a.csv", (0 until 100).map(i => s"$i,${i * 10}"))
+    val f2 = write("b.csv", (0 until 100).map(i => if (i == 42) s"$i,9999" else s"$i,${i * 10}"))
+    val r = Compare.compareFiles(spark, f1, f2).head()
+    assert(!r.getBoolean(4) && r.getLong(2) == 1L && r.getLong(3) == 42L, r.toString)
+  }
 }

@@ -41,6 +41,40 @@ class MinHashLshSpec extends AnyFunSuite {
   }
 }
 
+/** Bucket-salting must be invisible to results: on a skewed fixture (one
+  * boilerplate text shared by many docs → one hot bucket in every band), the
+  * candidate-pair set with a tiny bucketCap (forcing fan > 1) must equal the
+  * unsalted set (cap = ∞ → fan = 1 everywhere).
+  */
+class SkewSaltingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val skewed = {
+    val hot = (1L to 60L).map(i =>
+      (i, "identical boilerplate header repeated across many documents verbatim every time"))
+    val pairs = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (102L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (103L, "spark catalyst optimizer rules rewrite logical plans before physical planning"),
+      (104L, "spark catalyst optimizer rules rewrite logical plans before physical selection"))
+    (hot ++ pairs).toDF("doc_id", "text")
+  }
+
+  test("salted candidate-pair set equals unsalted on a hot bucket") {
+    val sigs = MinHashLsh.signatures(skewed, "doc_id", "text").localCheckpoint()
+    def pairSet(cap: Int) =
+      MinHashLsh.candidatePairs(sigs, "doc_id", bucketCap = cap)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unsalted = pairSet(Int.MaxValue)
+    val salted = pairSet(7) // hot bucket (60 docs) → fan = 9
+    assert(salted == unsalted,
+      s"salting changed the pair set: only-salted=${salted -- unsalted} only-unsalted=${unsalted -- salted}")
+    // sanity: the hot bucket really produced its pairs
+    assert(unsalted.size >= 60 * 59 / 2)
+  }
+}
+
 class SimHashSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._

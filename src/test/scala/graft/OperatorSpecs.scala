@@ -78,3 +78,26 @@ class ParquetMetaSpec extends AnyFunSuite {
     assert(info.getInt(3) == 2)   // columns
   }
 }
+
+/** information_schema SQL-queryability (reference enables DataFusion's
+  * information_schema session-wide, main.rs:111).
+  */
+class InformationSchemaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("information_schema views queryable through the query op") {
+    val df = graft.operators.QueryRunner.run(
+      spark,
+      tables = Seq(s"${TestSpark.sf}/region.parquet"),
+      tableDir = None,
+      sql = """SELECT table_name, column_name, data_type
+               FROM information_schema_columns
+               WHERE table_name = 'region' ORDER BY ordinal_position""")
+    val rows = df.collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("r_regionkey", "r_name"))
+    assert(rows.forall(_.getString(0) == "region"))
+    val tables = spark.sql(
+      "SELECT table_type FROM information_schema_tables WHERE table_name = 'region'")
+    assert(tables.head().getString(0) == "VIEW")
+  }
+}
