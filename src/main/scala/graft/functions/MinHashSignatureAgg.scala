@@ -11,9 +11,16 @@ import java.nio.ByteBuffer
 
 /** MinHash signature as ONE custom aggregate (SURVEY §7.4's candidate for a
   * `TypedImperativeAggregate` sketch): buffer = K running minima of the
-  * 2-universal family h1 + k*h2, merged elementwise — the same math as K
-  * separate `min()` columns but with a single mutable long-array buffer per
-  * group instead of K aggregate states, and one array output.
+  * 2-universal family (h1 + k*h2) mod p, merged elementwise — the same math
+  * as K separate `min()` columns but with a single mutable long-array buffer
+  * per group instead of K aggregate states, and one array output.
+  *
+  * The mod-p (p = 2^31 - 1, Mersenne prime) is NOT optional: without the
+  * wrap, one shingle with small h1 AND small h2 wins the min for EVERY k —
+  * the K minima become the arithmetic sequence h1* + k·h2* and any two docs
+  * sharing that shingle collide on all LSH bands regardless of similarity
+  * (observed: 361k spurious candidate pairs on 5k unrelated docs). The
+  * wrap re-permutes the ordering per k, restoring independent minima.
   *
   * This is the sketch-aggregate pattern (HLL / KLL / MinHash all share it):
   * partial aggregation still happens map-side, the shuffle carries one
@@ -43,7 +50,7 @@ case class MinHashSignatureAgg(
       val bv = b.asInstanceOf[Long]
       var i = 0
       while (i < k) {
-        val v = av + i * bv
+        val v = (av + i * bv) % MinHashSignatureAgg.P
         if (v < buf(i)) buf(i) = v
         i += 1
       }
@@ -79,6 +86,9 @@ case class MinHashSignatureAgg(
 }
 
 object MinHashSignatureAgg {
+  /** Modulus for the hash family — Mersenne prime 2^31 - 1 (see class doc). */
+  val P: Long = 2147483647L
+
   /** Column API: aggregate two base-hash columns into a K-long signature. */
   def minhash_signature(h1: Column, h2: Column, k: Int): Column =
     GraftColumnBridge.column(

@@ -36,8 +36,15 @@ object Compare {
     // zipWithIndex needs two passes (partition sizes, then the indexed one);
     // localCheckpoint materializes the upstream sort once to executor-local
     // storage so it isn't re-executed — the standard snapshot for positional
-    // ids at any scale
-    val rdd = df.localCheckpoint().rdd
+    // ids at any scale. If the lineage ALREADY contains an RDD snapshot
+    // (caller cached the sorted input, or a perturbation mapped over one),
+    // re-running the narrow tail twice is cheaper than materializing a
+    // second full copy — skip the extra checkpoint then.
+    val hasSnapshot = df.queryExecution.optimizedPlan.collectFirst {
+      case _: org.apache.spark.sql.execution.LogicalRDD => ()
+    }.isDefined
+    val src = if (hasSnapshot) df else df.localCheckpoint()
+    val rdd = src.rdd
       .zipWithIndex().map { case (row, i) => Row.fromSeq(i +: row.toSeq) }
     spark.createDataFrame(rdd, schema)
   }

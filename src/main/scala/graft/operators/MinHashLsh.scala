@@ -43,7 +43,9 @@ object MinHashLsh {
   /** Built-in-only variant: K min() aggregate columns, then array(). */
   def signaturesBuiltin(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = baseHashes(docs, idCol, textCol)
-    val aggs = (0 until K).map(k => min(col("h1") + lit(k.toLong) * col("h2")).as(s"sig_$k"))
+    val p = graft.functions.MinHashSignatureAgg.P
+    val aggs = (0 until K).map(k =>
+      min(pmod(col("h1") + lit(k.toLong) * col("h2"), lit(p))).as(s"sig_$k"))
     hashed
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)

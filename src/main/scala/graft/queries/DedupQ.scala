@@ -41,33 +41,50 @@ object DedupQ {
         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
       FROM documents) WHERE rn = 1 ORDER BY doc_id"""))
 
-  /** Exact n-gram (4-char shingle) Jaccard with MinHash-band blocking.
+  /** Exact n-gram (8-char shingle) Jaccard with MinHash-band blocking.
     * Round 1 blocked on a 40-char prefix — quadratic under boilerplate skew
     * and blind to near-dups differing in the first 40 chars. Now: a portable
-    * (md5-based, oracle-reproducible) K=8 MinHash signature per doc, 4 bands
-    * of 2 rows; candidates share ≥1 band; exact shingle-Jaccard ≥ 0.5 is the
-    * verify stage. The band shuffle carries (doc_id, band, 2-row key) only —
+    * (md5-based, oracle-reproducible) K=16 MinHash signature per doc, 4 bands
+    * of 4 rows; candidates share ≥1 band; exact shingle-Jaccard ≥ 0.5 is the
+    * verify stage. The band shuffle carries (doc_id, band, 4-row key) only —
     * shingle arrays never cross the network; they re-join by id afterwards.
+    *
+    * Parameters are measured, not guessed: on this corpus 4-char shingles
+    * leave ~0.3 background Jaccard between UNRELATED docs (2-row bands then
+    * admit ~44% of all pairs → n² verify cost), while 8-char shingles push
+    * background under 0.1 with true near-dups still ≥ 0.9 — so 4×4 banding
+    * passes ~0.04% of random pairs and ~99% of true dups.
     */
   val ngramJaccard = Declared(
     "dedup_ngram_jaccard",
     (s, dir) => {
-      val K = 8; val BANDS = 4; val ROWS = 2
+      val K = 16; val BANDS = 4; val ROWS = 4
       val h1 = graft.functions.Hashing.md5Hash32SparkSql("x", 1)
       val h2 = graft.functions.Hashing.md5Hash32SparkSql("x", 9)
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), TextFns.charShingles("text", 4).as("sh"))
-        .withColumn("h1s", expr(s"transform(sh, x -> $h1)"))
-        .withColumn("h2s", expr(s"transform(sh, x -> $h2)"))
-        .withColumn("sig", expr(
-          s"transform(sequence(0, ${K - 1}), k -> array_min(zip_with(h1s, h2s, (a, b) -> a + k * b)))"))
-      val banded = docs.select(
+        .select(col("doc_id"), TextFns.charShingles("text", 8).as("sh"))
+      // signatures via explode + K min() aggregates: md5 runs ONCE per
+      // shingle as a codegen'd column and the minima fold map-side — the
+      // per-row array formulation (transform+zip_with per k) allocates 16
+      // intermediate arrays per doc and measured 10× slower at sf0.1
+      val hashed = docs
+        .select(col("doc_id"), explode(col("sh")).as("x"))
+        .select(col("doc_id"), expr(h1).as("h1"), expr(h2).as("h2"))
+      // mod 2^31-1 decorrelates the K minima: without it one small-hash
+      // shingle wins every k and unrelated docs collide on all bands (see
+      // MinHashSignatureAgg doc — same family, same fix)
+      val P = graft.functions.MinHashSignatureAgg.P
+      val sigAggs = (0 until K).map(k =>
+        min(pmod(col("h1") + lit(k.toLong) * col("h2"), lit(P))).as(s"sig_$k"))
+      val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      val banded = sigs.select(
         col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, ${BANDS - 1}),
-              b -> array_join(transform(slice(sig, b * $ROWS + 1, $ROWS),
-                              v -> CAST(v AS STRING)), ','))"""))
-          .as(Seq("band", "bkey")))
+        posexplode(array((0 until BANDS).map { b =>
+          concat_ws(",", (0 until ROWS).map(r => col(s"sig_${b * ROWS + r}").cast("string")): _*)
+        }: _*)).as(Seq("band", "bkey")))
+        // tiny (BANDS short rows per doc); snapshot so the self-join's two
+        // sides don't each recompute the shingle+hash+signature pipeline
+        .localCheckpoint()
       val cand = banded.select(col("doc_id").as("id1"), col("band"), col("bkey"))
         .join(banded.select(col("doc_id").as("id2"), col("band"), col("bkey")),
           Seq("band", "bkey"))
@@ -84,19 +101,20 @@ object DedupQ {
         .orderBy(col("id1"), col("id2"))
     },
     Some {
-      val K = 8; val ROWS = 2
+      val K = 16; val ROWS = 4
       val d1 = graft.functions.Hashing.md5Hash32DuckSql("x", 1)
       val d2 = graft.functions.Hashing.md5Hash32DuckSql("x", 9)
       val sigCols = (0 until K).map(k =>
-        s"list_min(list_transform(sh, x -> $d1 + $k * $d2)) AS sig_$k").mkString(",\n          ")
+        s"list_min(list_transform(sh, x -> ($d1 + $k * $d2) % 2147483647)) AS sig_$k")
+        .mkString(",\n          ")
       val bandSelects = (0 until K / ROWS).map { b =>
         val key = (0 until ROWS).map(r => s"CAST(sig_${b * ROWS + r} AS VARCHAR)")
           .mkString(" || ',' || ")
         s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
       }.mkString("\n        UNION ALL ")
       s"""WITH sh AS (
-        SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 3, 1) + 1),
-          i -> substr(text, CAST(i AS INTEGER), 4))) AS sh
+        SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+          i -> substr(text, CAST(i AS INTEGER), 8))) AS sh
         FROM documents),
       sig AS (
         SELECT doc_id,
