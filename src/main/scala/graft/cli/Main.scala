@@ -71,8 +71,17 @@ object Main {
       val path = positional(rest).head
       val limit = opt(rest, "--limit").map(_.toInt).getOrElse(10)
       val df = Formats.read(spark, path)
-      if (limit == 0) df.show(df.count().toInt, truncate = false)
-      else df.show(limit, truncate = false)
+      // --limit 0 = all rows (reference parity). Stream partitions through
+      // the driver one at a time (toLocalIterator) instead of collecting the
+      // whole dataset for show() — unbounded output, bounded driver memory.
+      if (limit == 0) {
+        val cols = df.columns
+        println(cols.mkString("\t"))
+        df.toLocalIterator().forEachRemaining { row =>
+          println(cols.indices.map(i =>
+            if (row.isNullAt(i)) "NULL" else row.get(i).toString).mkString("\t"))
+        }
+      } else df.show(limit, truncate = false)
       0
 
     case "schema" :: rest =>

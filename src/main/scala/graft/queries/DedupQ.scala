@@ -59,17 +59,20 @@ object DedupQ {
     "dedup_ngram_jaccard",
     (s, dir) => {
       val K = 16; val BANDS = 4; val ROWS = 4
-      val h1 = graft.functions.Hashing.md5Hash32SparkSql("x", 1)
-      val h2 = graft.functions.Hashing.md5Hash32SparkSql("x", 9)
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), TextFns.charShingles("text", 8).as("sh"))
       // signatures via explode + K min() aggregates: md5 runs ONCE per
-      // shingle as a codegen'd column and the minima fold map-side — the
-      // per-row array formulation (transform+zip_with per k) allocates 16
-      // intermediate arrays per doc and measured 10× slower at sf0.1
+      // shingle as a codegen'd column (both 32-bit halves sliced from the
+      // same digest) and the minima fold map-side — the per-row array
+      // formulation (transform+zip_with per k) allocates 16 intermediate
+      // arrays per doc and measured 10× slower at sf0.1
       val hashed = docs
         .select(col("doc_id"), explode(col("sh")).as("x"))
-        .select(col("doc_id"), expr(h1).as("h1"), expr(h2).as("h2"))
+        .select(col("doc_id"), md5(col("x")).as("m"))
+        .select(
+          col("doc_id"),
+          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
       // mod 2^31-1 decorrelates the K minima: without it one small-hash
       // shingle wins every k and unrelated docs collide on all bands (see
       // MinHashSignatureAgg doc — same family, same fix)

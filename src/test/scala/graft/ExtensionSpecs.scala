@@ -39,6 +39,24 @@ class MinHashLshSpec extends AnyFunSuite {
     val s2 = MinHashLsh.signatures(docs, "doc_id", "text").collect().map(_.toString).sorted
     assert(s1.sameElements(s2))
   }
+
+  test("one shared shingle cannot collide unrelated docs (mod-p regression)") {
+    import org.apache.spark.sql.functions._
+    // adversarially pick the trigram with the smallest base hashes: the
+    // pre-mod-p family h1 + k*h2 let such a shingle win min() at EVERY k, so
+    // every doc containing it shared the whole signature and all LSH bands
+    val cands = (0 until 500).map(i => s"t$i u$i v$i").toDF("shingle")
+    val (h1, h2) = graft.functions.Hashing.minhashBase(col("shingle"))
+    val tok = cands.select(col("shingle"),
+        (h1.bitwiseAND(lit(0xFFFFFFFFL)) + lit(63L) * h2.bitwiseAND(lit(0xFFFFFFFFL))).as("m"))
+      .orderBy(col("m")).head().getString(0)
+    val unrelated = (1 to 40).map(d =>
+      (d.toLong, s"$tok " + (1 to 10).map(w => s"w${d}x$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sigs = MinHashLsh.signatures(unrelated, "doc_id", "text")
+    val n = MinHashLsh.candidatePairs(sigs, "doc_id").count()
+    assert(n == 0, s"$n spurious candidate pairs from one shared shingle")
+  }
 }
 
 /** Bucket-salting must be invisible to results: on a skewed fixture (one
