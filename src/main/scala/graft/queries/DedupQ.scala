@@ -94,12 +94,18 @@ object DedupQ {
         .filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2"))
         .distinct()
+      // verify stage: join candidates back to RAW text and shingle only the
+      // survivors — re-shingling the whole corpus (or shipping shingle
+      // arrays through a join) would be two more full passes at 100 TB,
+      // while candidates are near-linear in the true-dup count
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
       cand
-        .join(docs.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-        .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+        .join(base.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+        .join(base.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
         .select(
           col("id1"), col("id2"),
-          round(TextFns.jaccard(col("sh1"), col("sh2")), 6).as("jaccard"))
+          round(TextFns.jaccard(
+            TextFns.charShingles("t1", 8), TextFns.charShingles("t2", 8)), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("id1"), col("id2"))
     },
