@@ -38,7 +38,20 @@ object Hashing {
   /** Spark-fast (non-portable) 64-bit hash with seed column mixed in. */
   def fastHash(seed: Column, c: Column): Column = xxhash64(seed, c)
 
-  /** MinHash base hashes for a shingle column. */
+  /** MinHash base hashes for a shingle column (Spark-native, non-portable —
+    * kept for callers that don't need an external oracle).
+    */
   def minhashBase(shingle: Column): (Column, Column) =
     (xxhash64(shingle), xxhash64(lit("graft-salt"), shingle))
+
+  /** Portable MinHash base hashes: the two 32-bit halves of one md5 digest.
+    * Identical in any engine with md5 + hex parsing (DuckDB side:
+    * [[md5Hash32DuckSql]] offsets 1 and 9), which is what lets the whole
+    * MinHash+LSH pipeline be oracle-checked rather than rows-only.
+    */
+  def minhashBasePortable(shingle: Column): (Column, Column) = {
+    val m = md5(shingle)
+    (conv(substring(m, 1, 8), 16, 10).cast("long"),
+      conv(substring(m, 9, 8), 16, 10).cast("long"))
+  }
 }

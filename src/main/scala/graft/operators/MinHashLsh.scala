@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * bucket-join), the standard web-scale dedup pipeline.
   *
   * Scale design (the whole point of this operator):
-  *  - signatures: explode shingles then K=64 `min()` aggregates of
-  *    h1 + k*h2 (2-universal family) — partial aggregation happens map-side,
-  *    so the only shuffle is (doc_id → 64 longs). No shingle set ever crosses
-  *    the network.
+  *  - signatures: explode shingles then K=64 running minima of
+  *    (h1 + k*h2) mod 2^31-1 (2-universal family; the mod is load-bearing,
+  *    see MinHashSignatureAgg) — partial aggregation happens map-side, so
+  *    the only shuffle is (doc_id → 64 longs). No shingle set ever crosses
+  *    the network. Base hashes are the portable md5 pair, which makes the
+  *    whole pipeline reproducible outside Spark (DuckDB oracle, [[oracleSql]]).
   *  - candidates: signatures explode into BANDS=16 band hashes; the
   *    bucket-join shuffles on (band, band_hash) — near-linear; no all-pairs
   *    comparison anywhere. Pathologically hot buckets (boilerplate text)
@@ -55,12 +57,11 @@ object MinHashLsh {
   private def baseHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val shingled = docs
       .select(col(idCol), explode(TextFns.wordShingles(textCol, 3)).as("shingle"))
-    val (h1, h2) = Hashing.minhashBase(col("shingle"))
-    // mask to 32 bits so h1 + 63*h2 can't overflow a long (ANSI mode traps)
-    shingled.select(
-      col(idCol),
-      h1.bitwiseAND(lit(0xFFFFFFFFL)).as("h1"),
-      h2.bitwiseAND(lit(0xFFFFFFFFL)).as("h2"))
+    // portable md5-pair base hashes (32-bit each, so h1 + 63*h2 can't
+    // overflow a long): the whole pipeline becomes engine-reproducible and
+    // the dedup_minhash query is DuckDB-oracle-checked via [[oracleSql]]
+    val (h1, h2) = Hashing.minhashBasePortable(col("shingle"))
+    shingled.select(col(idCol), h1.as("h1"), h2.as("h2"))
   }
 
   /** Candidate pairs (id1 < id2) that share at least one LSH band bucket,
@@ -126,5 +127,56 @@ object MinHashLsh {
     candidatePairs(sigs, idCol)
       .filter(col("est_jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))
+  }
+
+  /** DuckDB oracle for [[nearDuplicates]] over the `documents` table —
+    * generated from the same math (md5-pair base hashes, (h1 + k*h2) mod
+    * 2^31-1 minima, 16×4 banding on signature-slice equality, est-Jaccard =
+    * matching positions / K). Banding here compares the slice VALUES where
+    * Spark buckets on xxhash64 of the slice — the same candidate set modulo
+    * 64-bit hash collisions.
+    */
+  def oracleSql(threshold: Double, idCol: String = "doc_id", textCol: String = "text"): String = {
+    val p = graft.functions.MinHashSignatureAgg.P
+    val h1 = graft.functions.Hashing.md5Hash32DuckSql("x", 1)
+    val h2 = graft.functions.Hashing.md5Hash32DuckSql("x", 9)
+    val sigCols = (0 until K).map(k =>
+      s"list_min(list_transform(range(len(h1s)), i -> (h1s[i + 1] + $k * h2s[i + 1]) % $p)) AS sig_$k")
+      .mkString(",\n          ")
+    val bandSelects = (0 until BANDS).map { b =>
+      val key = (0 until ROWS).map(r => s"CAST(sig_${b * ROWS + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT $idCol, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n        UNION ALL ")
+    val estSum = (0 until K)
+      .map(k => s"(CASE WHEN s1.sig_$k = s2.sig_$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH w AS (
+        SELECT $idCol, list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1) + 1),
+            i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS sh
+        FROM (SELECT $idCol, string_split_regex(trim($textCol), '\\s+') AS ws FROM documents)),
+      hs AS (
+        SELECT $idCol,
+          list_transform(sh, x -> $h1) AS h1s,
+          list_transform(sh, x -> $h2) AS h2s
+        FROM w),
+      sig AS (
+        SELECT $idCol,
+          $sigCols
+        FROM hs),
+      banded AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.$idCol AS id1, b.$idCol AS id2
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.$idCol < b.$idCol)
+      SELECT id1, id2,
+        CAST($estSum AS DOUBLE) / $K.0 AS est_jaccard
+      FROM cand
+      JOIN sig s1 ON s1.$idCol = cand.id1
+      JOIN sig s2 ON s2.$idCol = cand.id2
+      WHERE CAST($estSum AS DOUBLE) / $K.0 >= $threshold
+      ORDER BY id1, id2"""
   }
 }

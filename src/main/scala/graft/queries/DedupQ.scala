@@ -147,16 +147,16 @@ object DedupQ {
     })
 
   /** MinHash+LSH candidate pairs (signature-estimated Jaccard ≥ 0.35).
-    * Hash functions are Spark-native (xxhash64) so there is no SQL oracle;
-    * the driver's rows-only check applies and MinHashLshSpec pins semantics
-    * (est-Jaccard vs exact-Jaccard agreement on known near-dups).
+    * Base hashes are the portable md5 pair, so since round 2 the full
+    * pipeline (signatures → banding → est-Jaccard) is DuckDB-oracle-checked
+    * bit-for-bit; MinHashLshSpec additionally pins est-vs-exact agreement.
     */
   val minhash = Declared(
     "dedup_minhash",
     (s, dir) =>
       MinHashLsh.nearDuplicates(
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.35),
-    None)
+    Some(MinHashLsh.oracleSql(threshold = 0.35)))
 
   /** Portable SimHash fingerprints — oracle-checked bit-for-bit. */
   val simhash = Declared(

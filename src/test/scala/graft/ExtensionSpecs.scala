@@ -46,9 +46,8 @@ class MinHashLshSpec extends AnyFunSuite {
     // pre-mod-p family h1 + k*h2 let such a shingle win min() at EVERY k, so
     // every doc containing it shared the whole signature and all LSH bands
     val cands = (0 until 500).map(i => s"t$i u$i v$i").toDF("shingle")
-    val (h1, h2) = graft.functions.Hashing.minhashBase(col("shingle"))
-    val tok = cands.select(col("shingle"),
-        (h1.bitwiseAND(lit(0xFFFFFFFFL)) + lit(63L) * h2.bitwiseAND(lit(0xFFFFFFFFL))).as("m"))
+    val (h1, h2) = graft.functions.Hashing.minhashBasePortable(col("shingle"))
+    val tok = cands.select(col("shingle"), (h1 + lit(63L) * h2).as("m"))
       .orderBy(col("m")).head().getString(0)
     val unrelated = (1 to 40).map(d =>
       (d.toLong, s"$tok " + (1 to 10).map(w => s"w${d}x$w").mkString(" ")))
