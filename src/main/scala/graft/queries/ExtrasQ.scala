@@ -63,7 +63,25 @@ object ExtrasQ {
           col("n_bytes"), round(col("mean_byte"), 6).as("mean_byte"),
           col("max_byte"), round(col("entropy_proxy"), 6).as("entropy_proxy"))
         .orderBy(col("doc_id")),
-    None)
+    // the STUB features are deterministic byte statistics over the (ASCII)
+    // payload, so even the decode stage is oracle-checkable — the oracle
+    // recomputes them from the text's bytes; a real codec would revert this
+    // query to rows-only + spec-pinned
+    Some("""WITH h AS (
+        SELECT doc_id, text,
+          CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS hv,
+          list_transform(range(strlen(text)),
+            i -> ascii(substr(text, CAST(i + 1 AS INTEGER), 1))) AS bs
+        FROM documents)
+      SELECT doc_id,
+        (['png', 'jpeg', 'webp'])[CAST(hv % 3 + 1 AS INTEGER)] AS format,
+        CAST(32 + hv % 448 AS INTEGER) AS width,
+        CAST(32 + (hv // 448) % 448 AS INTEGER) AS height,
+        CAST(strlen(text) AS BIGINT) AS n_bytes,
+        round(CAST(list_sum(bs) AS DOUBLE) / len(bs), 6) AS mean_byte,
+        CAST(list_max(bs) AS INTEGER) AS max_byte,
+        round(CAST(len(list_distinct(bs)) AS DOUBLE) / 256.0, 6) AS entropy_proxy
+      FROM h ORDER BY doc_id"""))
 
   /** Custom codegen'd Expression: portable polynomial rolling hash, verified
     * byte-for-byte against a DuckDB list_reduce over the same ASCII bytes.
