@@ -71,6 +71,38 @@ object SqlSurface {
       HAVING count(*) > 550
       ORDER BY l_suppkey""")
 
+  /** Correlated EXISTS / NOT EXISTS (Catalyst rewrites to semi/anti join —
+    * the q_join_semi/anti plans through the SQL surface).
+    */
+  val subqueryExists = both(
+    "q_subquery_exists",
+    """SELECT c_custkey, c_mktsegment
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+      ORDER BY c_custkey""")
+
+  /** DECIMAL-typed aggregation (exact fixed-point sums; surfaced as DOUBLE
+    * because the engines widen sum-of-decimal precision differently —
+    * 2-decimal inputs make every step exact in both).
+    */
+  val decimalAgg = both(
+    "q_decimal_agg",
+    """SELECT o_orderstatus,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_p,
+      CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_p
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+
+  /** GROUP BY ALL (modern shorthand both engines support). */
+  val groupByAll = both(
+    "q_group_by_all",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""")
+
   val all: Seq[Declared] = Seq(
-    cte, subqueryScalar, subqueryIn, subqueryCorrelated, valuesQ, having)
+    cte, subqueryScalar, subqueryIn, subqueryCorrelated, valuesQ, having,
+    subqueryExists, decimalAgg, groupByAll)
 }
