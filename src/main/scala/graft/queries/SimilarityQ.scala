@@ -39,6 +39,13 @@ object SimilarityQ {
   /** LSH-bucketed ANN: candidates = same 6-bit sign bucket as the query,
     * exact cosine within. At 100 TB the bucket column is precomputed and
     * partitioned-by, so a query touches 1/64th of the corpus.
+    *
+    * Scope honestly stated: a sign-LSH cell probe retrieves HIGH-cosine
+    * neighbors (near-dups collide w.h.p. — pinned by SimilaritySpec). When
+    * the true neighbors are only moderately similar (cos ≲ 0.4, as for a
+    * random query on this corpus) no hash family beats scanning; that regime
+    * belongs to the IVF path (sim_ivf: coarse centroids, probe nearest
+    * cells) or the exact sim_topk_brute scan.
     */
   val annLsh = Declared(
     "sim_ann_lsh",

@@ -132,6 +132,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b(1L) == b(2L))
     assert(b(1L) != b(3L)) // exact negation flips every sign bit
   }
+
+  test("LSH cell probe retrieves planted near-duplicates (its actual contract)") {
+    // sign-LSH guarantees collision w.h.p. for HIGH-cosine vectors — the
+    // near-dup retrieval contract. (It cannot find cos≈0.3 "nearest"
+    // neighbors of a random corpus; that regime is sim_ivf's job.)
+    val planes = Similarity.planes(nPlanes = 6, dim = 8, seed = 7L)
+    val rng = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(8)(rng.nextFloat() * 2 - 1)
+    val q = vec()
+    def nearCopy(eps: Float): Array[Float] = q.map(x => x + eps * (rng.nextFloat() - 0.5f))
+    val corpus =
+      (1L to 200L).map(i => (i, vec())) ++
+        Seq((901L, nearCopy(0.02f)), (902L, nearCopy(0.02f)), (903L, nearCopy(0.02f)))
+    val df = corpus.toDF("id", "v")
+    val bucketed = df.select($"id", $"v", Similarity.lshBucket($"v", planes).as("b"))
+    val qb = bucketed.filter($"id" === 901L).select($"b").head().getInt(0)
+    val hits = bucketed.filter($"b" === qb).select($"id").collect().map(_.getLong(0)).toSet
+    assert(Set(901L, 902L, 903L).subsetOf(hits), s"planted near-dups not co-bucketed: $hits")
+  }
 }
 
 class RollingHashSpec extends AnyFunSuite {
