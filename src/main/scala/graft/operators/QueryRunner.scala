@@ -40,9 +40,13 @@ object QueryRunner {
       StructField("is_nullable", StringType, nullable = false),
       StructField("data_type", StringType, nullable = false)))
     val cRows = names.flatMap { n =>
-      spark.table(n).schema.fields.zipWithIndex.map { case (f, i) =>
-        Row(n, f.name, i + 1, if (f.nullable) "YES" else "NO",
-          SchemaOp.ansiTypeName(f.dataType))
+      // a session can hold views whose backing files are gone (temp outputs
+      // from earlier ops); skip those instead of failing the whole catalog
+      scala.util.Try(spark.table(n).schema).toOption.toSeq.flatMap {
+        _.fields.zipWithIndex.map { case (f, i) =>
+          Row(n, f.name, i + 1, if (f.nullable) "YES" else "NO",
+            SchemaOp.ansiTypeName(f.dataType))
+        }
       }
     }.toSeq
     spark.createDataFrame(spark.sparkContext.parallelize(cRows, 1), cSchema)
