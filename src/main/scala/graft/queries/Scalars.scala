@@ -261,7 +261,85 @@ object Scalars {
       FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
       WHERE vec_id < 10 ORDER BY vec_id, pos"""))
 
+  /** Inverse + hyperbolic trig, cube root (same names both engines). */
+  val mathFuncs3 = Declared(
+    "q_math_funcs3",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 300)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          round(asin(col("l_discount")), 6).as("disc_asin"),
+          round(acos(col("l_discount")), 6).as("disc_acos"),
+          round(atan(col("l_quantity")), 6).as("qty_atan"),
+          round(sinh(col("l_discount")), 6).as("disc_sinh"),
+          round(cosh(col("l_discount")), 6).as("disc_cosh"),
+          round(tanh(col("l_discount")), 6).as("disc_tanh"),
+          round(cbrt(col("l_quantity")), 6).as("qty_cbrt"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      round(asin(l_discount), 6) AS disc_asin,
+      round(acos(l_discount), 6) AS disc_acos,
+      round(atan(l_quantity), 6) AS qty_atan,
+      round((exp(l_discount) - exp(-l_discount)) / 2, 6) AS disc_sinh,
+      round((exp(l_discount) + exp(-l_discount)) / 2, 6) AS disc_cosh,
+      round((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 6) AS disc_tanh,
+      round(cbrt(l_quantity), 6) AS qty_cbrt
+      FROM lineitem WHERE l_orderkey <= 300
+      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""))
+
+  /** Bitwise operators (& | ^ ~ shifts, popcount). */
+  val bitFuncs = Declared(
+    "q_bit_funcs",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 300)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          (col("l_partkey").bitwiseAND(col("l_suppkey"))).as("pk_and_sk"),
+          (col("l_partkey").bitwiseOR(col("l_suppkey"))).as("pk_or_sk"),
+          (col("l_partkey").bitwiseXOR(col("l_suppkey"))).as("pk_xor_sk"),
+          shiftleft(col("l_linenumber"), 3).as("ln_shl3"),
+          shiftright(col("l_partkey"), 2).as("pk_shr2"),
+          bit_count(col("l_partkey")).as("pk_bits"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      l_partkey & l_suppkey AS pk_and_sk,
+      l_partkey | l_suppkey AS pk_or_sk,
+      xor(l_partkey, l_suppkey) AS pk_xor_sk,
+      CAST(l_linenumber << 3 AS INTEGER) AS ln_shl3,
+      l_partkey >> 2 AS pk_shr2,
+      CAST(bit_count(l_partkey) AS INTEGER) AS pk_bits
+      FROM lineitem WHERE l_orderkey <= 300
+      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""))
+
+  /** More date parts: ISO week, day-of-year, day-of-week (aligned to the
+    * Spark 1=Sunday convention), make_date round trip, add_months clamping.
+    */
+  val dateFuncs2 = Declared(
+    "q_date_funcs2",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .select(
+          col("o_orderkey"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          (make_date(year(col("o_orderdate")), month(col("o_orderdate")),
+            dayofmonth(col("o_orderdate"))) === col("o_orderdate").cast("date")).as("make_date_rt"),
+          add_months(col("o_orderdate"), 2).as("plus2m"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+      CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+      CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+      CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER),
+        CAST(dayofmonth(o_orderdate) AS INTEGER)) = CAST(o_orderdate AS DATE) AS make_date_rt,
+      CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey"""))
+
   val all: Seq[Declared] = Seq(
     stringFuncs, mathFuncs, dateFuncs, regexFuncs, conditionalFuncs,
-    castTypes, arrayFuncs, unnestQ)
+    castTypes, arrayFuncs, unnestQ, mathFuncs3, bitFuncs, dateFuncs2)
 }

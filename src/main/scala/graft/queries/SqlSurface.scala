@@ -102,7 +102,19 @@ object SqlSurface {
     """SELECT l_returnflag, l_linestatus, count(*) AS n
       FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""")
 
+  /** LIKE / ILIKE / ESCAPE / IN-list / BETWEEN predicate battery. */
+  val likePatterns = both(
+    "q_like_patterns",
+    """SELECT p_partkey,
+      p_name LIKE '%iv%' AS has_iv,
+      p_name ILIKE 'A%' AS starts_a_i,
+      p_type NOT LIKE 'SMALL%' AS not_small,
+      p_name LIKE '%!_%' ESCAPE '!' AS has_underscore,
+      p_brand IN ('Brand#13', 'Brand#42') AS known_brand,
+      p_name BETWEEN 'a' AND 'm' AS first_half
+      FROM part ORDER BY p_partkey""")
+
   val all: Seq[Declared] = Seq(
     cte, subqueryScalar, subqueryIn, subqueryCorrelated, valuesQ, having,
-    subqueryExists, decimalAgg, groupByAll)
+    subqueryExists, decimalAgg, groupByAll, likePatterns)
 }
