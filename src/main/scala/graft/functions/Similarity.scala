@@ -19,7 +19,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Cosine over float arrays: the native codegen'd [[CosineSim]] Expression
+    * (single fused loop inside WholeStageCodegen). Bit-identical to
+    * [[cosineHof]] — CosineSimSpec pins the equivalence.
+    */
+  def cosine(a: Column, b: Column): Column = CosineSim.cosine_sim(a, b)
+
+  /** The original higher-order-function formulation (works for any numeric
+    * array type; reference implementation for the equivalence spec).
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-LSH bucket id from a fixed hyperplane matrix: bit j = 1 iff

@@ -29,7 +29,9 @@ object Coverage2 {
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"))
       val nearest = centroids.crossJoin(broadcast(q))
-        .select(col("c_label"), Similarity.cosine(col("centroid"), col("qv")).as("ccos"))
+        // centroid is array<double> (avg-built) vs float query vector: mixed
+        // types take the HOF path; the codegen CosineSim is float×float only
+        .select(col("c_label"), Similarity.cosineHof(col("centroid"), col("qv")).as("ccos"))
         .orderBy(col("ccos").desc, col("c_label"))
         .limit(1)
       e.join(broadcast(nearest), e("label") === nearest("c_label"))

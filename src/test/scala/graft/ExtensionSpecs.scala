@@ -133,6 +133,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b(1L) != b(3L)) // exact negation flips every sign bit
   }
 
+  test("codegen CosineSim is bit-identical to the HOF formulation on the fixture") {
+    val e = Tables.t(spark, TestSpark.sf, "embeddings").limit(500)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val both = e.crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .select(
+        Similarity.cosine($"embedding", $"qv").as("native"),
+        Similarity.cosineHof($"embedding", $"qv").as("hof"))
+    assert(both.filter(!($"native" <=> $"hof")).isEmpty)
+  }
+
+  test("CosineSim participates in whole-stage codegen; null/length semantics match HOF") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b").as("c"), Similarity.cosineHof($"a", $"b").as("h"))
+    val row = df.head()
+    assert(row.isNullAt(0) && row.isNullAt(1)) // length mismatch → null, both forms
+    val p = Tables.t(spark, TestSpark.sf, "embeddings")
+      .select(Similarity.cosine($"embedding", $"embedding"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(") && p.contains("cosine_sim"), p.take(500))
+  }
+
   test("LSH cell probe retrieves planted near-duplicates (its actual contract)") {
     // sign-LSH guarantees collision w.h.p. for HIGH-cosine vectors — the
     // near-dup retrieval contract. (It cannot find cos≈0.3 "nearest"
