@@ -35,8 +35,15 @@ object Similarity {
     * dot(v, planes(j)) > 0. With P planes keys fall into 2^P buckets;
     * near-identical vectors collide w.h.p. Planes are ±1-valued and
     * generated from a fixed seed so any engine can reproduce the bucketing.
+    * Native codegen ([[SignLshBucket]]) — one fused loop instead of one HOF
+    * chain per plane; [[lshBucketHof]] is the reference formulation the
+    * equivalence spec compares against.
     */
   def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    SignLshBucket.sign_lsh_bucket(v, planes)
+
+  /** HOF formulation of [[lshBucket]] (any numeric array type). */
+  def lshBucketHof(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex
       .map { case (p, j) =>
         val planeCol = array(p.map(lit): _*)

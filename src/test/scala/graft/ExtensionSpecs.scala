@@ -155,6 +155,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p.contains("*(") && p.contains("cosine_sim"), p.take(500))
   }
 
+  test("codegen SignLshBucket equals the HOF formulation on the fixture") {
+    val planes = Similarity.planes(nPlanes = 8, dim = 64)
+    val e = Tables.t(spark, TestSpark.sf, "embeddings").limit(500)
+    val both = e.select(
+      Similarity.lshBucket($"embedding", planes).as("native"),
+      Similarity.lshBucketHof($"embedding", planes).as("hof"))
+    assert(both.filter(!($"native" <=> $"hof")).isEmpty)
+    val p = e.select(Similarity.lshBucket($"embedding", planes))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(") && p.contains("sign_lsh_bucket"), p.take(500))
+  }
+
   test("LSH cell probe retrieves planted near-duplicates (its actual contract)") {
     // sign-LSH guarantees collision w.h.p. for HIGH-cosine vectors — the
     // near-dup retrieval contract. (It cannot find cos≈0.3 "nearest"
