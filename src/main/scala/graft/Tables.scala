@@ -30,4 +30,19 @@ object Tables {
   /** Register every fixture table as a temp view (for spark.sql queries). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Hash-repartition a scan-rooted input before CPU-heavy per-row work
+    * (shingling, per-token md5) — but only when the scan yields fewer
+    * partitions than cores. A small parquet file arrives as ONE partition, so
+    * an expensive codegen pipeline over it runs on one core of 32 (measured:
+    * the sf0.1 ngram shingle stage alone was 3.7 s single-threaded). At
+    * 100 TB the same table is thousands of splits and this is a no-op — no
+    * gratuitous full-corpus shuffle is ever added.
+    */
+  def spread(df: DataFrame, byCol: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target)
+      df.repartition(target, org.apache.spark.sql.functions.col(byCol))
+    else df
+  }
 }

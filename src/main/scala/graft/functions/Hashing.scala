@@ -48,8 +48,22 @@ object Hashing {
     * Identical in any engine with md5 + hex parsing (DuckDB side:
     * [[md5Hash32DuckSql]] offsets 1 and 9), which is what lets the whole
     * MinHash+LSH pipeline be oracle-checked rather than rows-only.
+    *
+    * Computed by the native [[Md5Pair]] codegen expression (no hex-string /
+    * `conv` round-trip — conv alone measured 4× the md5 cost). The two
+    * getItems share one Md5Pair node; Spark's subexpression elimination
+    * evaluates the digest once per row (Md5PairSpec pins value equality
+    * with the conv formulation).
     */
   def minhashBasePortable(shingle: Column): (Column, Column) = {
+    val p = Md5Pair.md5_pair(shingle)
+    (p.getItem(0), p.getItem(1))
+  }
+
+  /** The pre-[[Md5Pair]] hex/conv formulation — kept as the spec cross-check
+    * that the native expression matches built-in md5 bit-for-bit.
+    */
+  def minhashBasePortableConv(shingle: Column): (Column, Column) = {
     val m = md5(shingle)
     (conv(substring(m, 1, 8), 16, 10).cast("long"),
       conv(substring(m, 9, 8), 16, 10).cast("long"))

@@ -55,7 +55,9 @@ object MinHashLsh {
   }
 
   private def baseHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val shingled = docs
+    // spread first: the shingle explode + per-shingle md5 is the CPU-heavy
+    // stage, and a small single-file scan would pin it to one core
+    val shingled = graft.Tables.spread(docs, idCol)
       .select(col(idCol), explode(TextFns.wordShingles(textCol, 3)).as("shingle"))
     // portable md5-pair base hashes (32-bit each, so h1 + 63*h2 can't
     // overflow a long): the whole pipeline becomes engine-reproducible and
@@ -69,14 +71,9 @@ object MinHashLsh {
     *
     * Skew guard (`bucketCap`): boilerplate-heavy corpora put millions of docs
     * into ONE band bucket, and an unsalted self-join makes that bucket an n²
-    * single-reducer. Buckets larger than `bucketCap` are salted
-    * pair-set-preservingly: fan = ceil(bucket/cap); the left side keeps one
-    * deterministic salt per row, the right side replicates each row to every
-    * salt, and the join adds the salt to the key — every (x, y) pair still
-    * meets exactly once (at x's salt), but a hot bucket's work spreads over
-    * `fan` reducers at the cost of replicating only that bucket's rows
-    * (ints, not documents) `fan`×. Normal buckets have fan = 1 and pay one
-    * broadcast-joined count lookup. SkewSaltingSpec pins pair-set equality.
+    * single-reducer. The pair-set-preserving salting lives in
+    * [[BucketJoin.saltedCandidatePairs]] (shared with the sign-LSH dedup
+    * queries); SkewSaltingSpec pins pair-set equality salted vs unsalted.
     */
   def candidatePairs(
       sigs: DataFrame, idCol: String, bucketCap: Int = 100000): DataFrame = {
@@ -86,29 +83,8 @@ object MinHashLsh {
         s"transform(sequence(0, ${BANDS - 1}), b -> xxhash64(slice(signature, b * $ROWS + 1, $ROWS)))"))
         .as(Seq("band", "band_hash")))
 
-    // only OVERSIZED buckets get a fan > 1; there are ≤ total/cap of them by
-    // definition, so the fan table is always tiny and broadcastable (the
-    // full per-bucket count table would be ∝ corpus size — never broadcast
-    // that). Everything else defaults to fan = 1 via the left join.
-    val hotFans = banded.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn") > bucketCap)
-      .select(col("band"), col("band_hash"),
-        ceil(col("__bn").cast("double") / bucketCap).cast("int").as("__fan"))
-    val withFan = banded
-      .join(broadcast(hotFans), Seq("band", "band_hash"), "left")
-      .na.fill(1, Seq("__fan"))
-
-    val a = withFan.select(
-      col(idCol).as("id1"), col("band"), col("band_hash"),
-      pmod(xxhash64(col(idCol)), col("__fan").cast("long")).cast("int").as("__salt"))
-    val b = withFan.select(
-      col(idCol).as("id2"), col("band"), col("band_hash"),
-      explode(sequence(lit(0), col("__fan") - 1)).as("__salt"))
-    val cand = a.join(b, Seq("band", "band_hash", "__salt"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
-      .distinct()
+    val cand = BucketJoin.saltedCandidatePairs(
+      banded, idCol, Seq("band", "band_hash"), bucketCap)
 
     val s1 = sigs.select(col(idCol).as("id1"), col("signature").as("sig1"))
     val s2 = sigs.select(col(idCol).as("id2"), col("signature").as("sig2"))

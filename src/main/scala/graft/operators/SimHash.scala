@@ -25,7 +25,8 @@ object SimHash {
 
   /** (idCol, simhash: bigint) one row per doc. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(
+    // spread first: per-token md5 over a single-file scan would run one-core
+    val toks = graft.Tables.spread(docs, idCol).select(
       col(idCol),
       explode(TextFns.words(col(textCol))).as("tok"))
     val hashed = toks.withColumn("hv", Hashing.md5Hash60(col("tok")))

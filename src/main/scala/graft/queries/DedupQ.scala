@@ -59,20 +59,21 @@ object DedupQ {
     "dedup_ngram_jaccard",
     (s, dir) => {
       val K = 16; val BANDS = 4; val ROWS = 4
-      val docs = t(s, dir, "documents")
+      // spread BEFORE shingling: a single-file scan would run the whole
+      // shingle+md5 pipeline on one core (Tables.spread is a no-op when the
+      // scan already has enough splits)
+      val docs = Tables.spread(t(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), TextFns.charShingles("text", 8).as("sh"))
       // signatures via explode + K min() aggregates: md5 runs ONCE per
-      // shingle as a codegen'd column (both 32-bit halves sliced from the
-      // same digest) and the minima fold map-side — the per-row array
-      // formulation (transform+zip_with per k) allocates 16 intermediate
-      // arrays per doc and measured 10× slower at sf0.1
+      // shingle (native Md5Pair expression — both 32-bit halves packed
+      // straight from the digest bytes, no hex/conv round-trip) and the
+      // minima fold map-side — the per-row array formulation
+      // (transform+zip_with per k) allocates 16 intermediate arrays per doc
+      // and measured 10× slower at sf0.1
+      val (h1c, h2c) = graft.functions.Hashing.minhashBasePortable(col("x"))
       val hashed = docs
         .select(col("doc_id"), explode(col("sh")).as("x"))
-        .select(col("doc_id"), md5(col("x")).as("m"))
-        .select(
-          col("doc_id"),
-          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
-          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+        .select(col("doc_id"), h1c.as("h1"), h2c.as("h2"))
       // mod 2^31-1 decorrelates the K minima: without it one small-hash
       // shingle wins every k and unrelated docs collide on all bands (see
       // MinHashSignatureAgg doc — same family, same fix)
@@ -199,6 +200,11 @@ object DedupQ {
   /** Embedding near-dup pairs: 8-plane sign-LSH bucketing, exact cosine
     * inside buckets, threshold 0.8. The hyperplanes are fixed literals
     * shared with the oracle, so bucketing is engine-identical.
+    *
+    * The bucket self-join goes through [[graft.operators.BucketJoin]], so a
+    * hot bucket (near-constant embedding corpus) is salted instead of
+    * becoming a single-reducer n² — and only (vec_id, bucket) ints cross the
+    * bucket shuffle; the 64-float vectors re-join by id afterwards.
     */
   val embedCosine = Declared(
     "dedup_embed_cosine",
@@ -207,10 +213,11 @@ object DedupQ {
         col("vec_id"),
         col("embedding"),
         Similarity.lshBucket(col("embedding"), dedupPlanes).as("bucket"))
-      val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("bucket"))
-      val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("bucket"))
-      a.join(b, Seq("bucket"))
-        .filter(col("id1") < col("id2"))
+      val cand = graft.operators.BucketJoin.saltedCandidatePairs(
+        e.select(col("vec_id"), col("bucket")), "vec_id", Seq("bucket"))
+      cand
+        .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+        .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
         .select(col("id1"), col("id2"),
           round(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))
         .filter(col("cos") >= 0.8)

@@ -96,12 +96,10 @@ object SimilarityQ {
         col("vec_id"),
         posexplode(array(pairBands.map(ps =>
           Similarity.lshBucket(col("embedding"), ps)): _*)).as(Seq("band", "bucket")))
-      val cand = banded.select(col("vec_id").as("id1"), col("band"), col("bucket"))
-        .join(banded.select(col("vec_id").as("id2"), col("band"), col("bucket")),
-          Seq("band", "bucket"))
-        .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"))
-        .distinct()
+      // salted bucket self-join (shared BucketJoin engine): a hot (band,
+      // bucket) cell fans out instead of pinning one reducer at n²
+      val cand = graft.operators.BucketJoin.saltedCandidatePairs(
+        banded, "vec_id", Seq("band", "bucket"))
       cand
         .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
         .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")

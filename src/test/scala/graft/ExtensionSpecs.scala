@@ -92,6 +92,54 @@ class SkewSaltingSpec extends AnyFunSuite {
   }
 }
 
+/** The shared BucketJoin engine must be invisible to results on a skewed
+  * sign-LSH fixture: many identical embeddings land in ONE bucket (the
+  * near-constant-corpus hazard from dedup_embed_cosine / sim_pairs_label0);
+  * a tiny bucketCap (fan > 1) must yield exactly the unsalted pair set.
+  */
+class BucketJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val skewedBuckets = {
+    // 50 ids in hot bucket 7, a few pairs spread over buckets 1..3
+    val hot = (1L to 50L).map(i => (i, 7))
+    val cold = Seq((101L, 1), (102L, 1), (103L, 2), (104L, 2), (105L, 3))
+    (hot ++ cold).toDF("vec_id", "bucket")
+  }
+
+  test("salted pair set equals unsalted on a hot sign-LSH bucket") {
+    def pairSet(cap: Int) = graft.operators.BucketJoin
+      .saltedCandidatePairs(skewedBuckets, "vec_id", Seq("bucket"), bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unsalted = pairSet(Int.MaxValue)
+    val salted = pairSet(6) // hot bucket (50 rows) → fan = 9
+    assert(salted == unsalted,
+      s"salting changed the pair set: only-salted=${salted -- unsalted} only-unsalted=${unsalted -- salted}")
+    assert(unsalted.size == 50 * 49 / 2 + 2) // hot-bucket pairs + (101,102),(103,104)
+  }
+
+  test("multi-column bucket key (band, bucket) preserves the pair set") {
+    val banded = skewedBuckets.select(
+      $"vec_id", explode(array(lit(0), lit(1))).as("band"), $"bucket")
+    def pairSet(cap: Int) = graft.operators.BucketJoin
+      .saltedCandidatePairs(banded, "vec_id", Seq("band", "bucket"), bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(4) == pairSet(Int.MaxValue))
+  }
+
+  test("dedup_embed_cosine and sim_pairs_label0 route through BucketJoin (no raw self-join)") {
+    // the two queries' physical plans must not contain a cartesian product
+    // and must still return their oracle-checked shapes (driver re-verifies)
+    val q1 = SparkEntry.queries("dedup_embed_cosine")(spark, TestSpark.sf)
+    val q2 = SparkEntry.queries("sim_pairs_label0")(spark, TestSpark.sf)
+    Seq(q1, q2).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p.take(300))
+    }
+  }
+}
+
 class SimHashSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -184,6 +232,40 @@ class SimilaritySpec extends AnyFunSuite {
     val qb = bucketed.filter($"id" === 901L).select($"b").head().getInt(0)
     val hits = bucketed.filter($"b" === qb).select($"id").collect().map(_.getLong(0)).toSet
     assert(Set(901L, 902L, 903L).subsetOf(hits), s"planted near-dups not co-bucketed: $hits")
+  }
+}
+
+class Md5PairSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native Md5Pair is bit-identical to the md5/conv formulation") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select(explode(graft.functions.TextFns.charShingles("text", 8)).as("x"))
+      .limit(50000)
+    val (n1, n2) = graft.functions.Hashing.minhashBasePortable($"x")
+    val (c1, c2) = graft.functions.Hashing.minhashBasePortableConv($"x")
+    val diff = docs.select(n1.as("n1"), n2.as("n2"), c1.as("c1"), c2.as("c2"))
+      .filter(!($"n1" <=> $"c1") || !($"n2" <=> $"c2"))
+    assert(diff.isEmpty)
+  }
+
+  test("edge cases: empty string, non-ASCII, null") {
+    val df = Seq(Some(""), Some("ü-umlaut €"), None).toDF("x")
+    val (n1, n2) = graft.functions.Hashing.minhashBasePortable($"x")
+    val (c1, c2) = graft.functions.Hashing.minhashBasePortableConv($"x")
+    val rows = df.select(n1.as("n1"), n2.as("n2"), c1.as("c1"), c2.as("c2")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(2))
+      if (!r.isNullAt(0)) { assert(r.getLong(0) == r.getLong(2)); assert(r.getLong(1) == r.getLong(3)) }
+    }
+  }
+
+  test("Md5Pair participates in whole-stage codegen") {
+    val p = Tables.t(spark, TestSpark.sf, "documents")
+      .select(graft.functions.Md5Pair.md5_pair($"text"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(") && p.contains("md5_pair32"), p.take(500))
   }
 }
 
