@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * CosineSimSpec): elements widen to double before multiplying, accumulation
   * is left-to-right (bit-identical doubles, so the DuckDB oracles are
   * unaffected), null element or length mismatch → null — exactly what
-  * zip_with's null-padding produced.
+  * zip_with's null-padding produced — and a zero-norm (or empty) vector is
+  * null too (try_divide semantics: under ANSI mode the HOF Divide would
+  * raise DIVIDE_BY_ZERO, and non-ANSI raw Java division would leak
+  * NaN/Infinity; a single degenerate embedding must not kill or poison a
+  * 100 TB scan).
   */
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -52,7 +56,9 @@ case class CosineSim(left: Expression, right: Expression)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    // zero-norm (incl. empty) → null, like Spark's Divide on a zero divisor
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -77,7 +83,11 @@ case class CosineSim(left: Expression, right: Expression)
             $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
           }
           if (!${ev.isNull}) {
-            ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+            if ($nx == 0.0 || $ny == 0.0) {
+              ${ev.isNull} = true;
+            } else {
+              ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+            }
           }
         }
       """

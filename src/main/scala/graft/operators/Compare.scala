@@ -36,14 +36,25 @@ object Compare {
     // zipWithIndex needs two passes (partition sizes, then the indexed one);
     // localCheckpoint materializes the upstream sort once to executor-local
     // storage so it isn't re-executed — the standard snapshot for positional
-    // ids at any scale. If the lineage ALREADY contains an RDD snapshot
-    // (caller cached the sorted input, or a perturbation mapped over one),
-    // re-running the narrow tail twice is cheaper than materializing a
-    // second full copy — skip the extra checkpoint then.
-    val hasSnapshot = df.queryExecution.optimizedPlan.collectFirst {
-      case _: org.apache.spark.sql.execution.LogicalRDD => ()
-    }.isDefined
-    val src = if (hasSnapshot) df else df.localCheckpoint()
+    // ids at any scale. If the plan is ONLY a narrow deterministic tail
+    // (projections/filters) over an existing RDD snapshot (caller cached the
+    // sorted input, or a perturbation mapped over one), re-running that tail
+    // twice is cheaper than materializing a second full copy — skip the
+    // checkpoint then. Anything wider (a join, sort, or nondeterministic
+    // expression above the snapshot) could observe different row orders in
+    // the two passes, so it gets its own checkpoint.
+    def snapshotWithNarrowTail(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+        if pr.projectList.forall(_.deterministic) => snapshotWithNarrowTail(pr.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.deterministic => snapshotWithNarrowTail(f.child)
+      case _ => false
+    }
+    val src =
+      if (snapshotWithNarrowTail(df.queryExecution.optimizedPlan)) df
+      else df.localCheckpoint()
     val rdd = src.rdd
       .zipWithIndex().map { case (row, i) => Row.fromSeq(i +: row.toSeq) }
     spark.createDataFrame(rdd, schema)

@@ -34,11 +34,14 @@ object Convert {
       case Right(Formats.Json) =>
         df.write.mode("overwrite").json(output)
       case Right(Formats.Parquet) =>
-        val hc = spark.sparkContext.hadoopConfiguration
-        hc.set("parquet.compression.codec.zstd.level", "8")
-        hc.set("parquet.enable.dictionary", "false")
+        // per-write options only: Spark folds writer options into the job's
+        // Hadoop conf (newHadoopConfWithOptions), so the session-global conf
+        // is never touched — a later plain write keeps dictionary encoding
+        // (ConvertSpec pins this)
         df.write.mode("overwrite")
           .option("compression", if (zstd) "zstd" else "snappy")
+          .option("parquet.compression.codec.zstd.level", "8")
+          .option("parquet.enable.dictionary", "false")
           .parquet(output)
       case Right(Formats.Avro) =>
         throw new IllegalArgumentException("avro output is not supported")

@@ -158,7 +158,10 @@ object Aggregates {
     * engine-specific, so q_agg_approx stays rows-only) AND its own exact
     * values, and emits booleans asserting the sketch lands within the bound.
     * The booleans (plus the exact counts) hash-match across engines, so the
-    * driver verifies the accuracy contract itself.
+    * driver verifies the accuracy contract itself. The count-distinct bound
+    * is 15% ≈ 3σ of the sketch's default 5% rsd — asserting 5% would sit at
+    * ~1σ and flip at other scale factors with both engines behaving
+    * correctly.
     */
   val approxBound = Declared(
     "q_agg_approx_bound",
@@ -168,8 +171,8 @@ object Aggregates {
         .agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
           (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
-            .cast("double") / countDistinct(col("l_partkey")).cast("double") <= 0.05)
-            .as("parts_within_5pct"),
+            .cast("double") / countDistinct(col("l_partkey")).cast("double") <= 0.15)
+            .as("parts_within_15pct"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)")
             .between(
               expr("percentile(l_extendedprice, 0.4)"),
@@ -179,7 +182,7 @@ object Aggregates {
     Some("""SELECT l_returnflag,
       count(DISTINCT l_partkey) AS exact_parts,
       CAST(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) AS DOUBLE)
-        / CAST(count(DISTINCT l_partkey) AS DOUBLE) <= 0.05 AS parts_within_5pct,
+        / CAST(count(DISTINCT l_partkey) AS DOUBLE) <= 0.15 AS parts_within_15pct,
       approx_quantile(l_extendedprice, 0.5)
         BETWEEN quantile_cont(l_extendedprice, 0.4) AND quantile_cont(l_extendedprice, 0.6)
         AS median_within_band

@@ -63,16 +63,20 @@ object DedupQ {
       // shingle+md5 pipeline on one core (Tables.spread is a no-op when the
       // scan already has enough splits)
       val docs = Tables.spread(t(s, dir, "documents"), "doc_id")
-        .select(col("doc_id"), TextFns.charShingles("text", 8).as("sh"))
       // signatures via explode + K min() aggregates: md5 runs ONCE per
       // shingle (native Md5Pair expression — both 32-bit halves packed
       // straight from the digest bytes, no hex/conv round-trip) and the
       // minima fold map-side — the per-row array formulation
       // (transform+zip_with per k) allocates 16 intermediate arrays per doc
-      // and measured 10× slower at sf0.1
+      // and measured 10× slower at sf0.1.
+      // The explode is INLINE on the shingle expression, not on a named
+      // intermediate column: naming it first makes InferFiltersFromGenerate
+      // infer `size(sh) > 0` and push the whole shingle expression below the
+      // spread repartition, where it runs a second time on the unspread
+      // (single-partition) side — measured 5× the cost of this stage.
       val (h1c, h2c) = graft.functions.Hashing.minhashBasePortable(col("x"))
       val hashed = docs
-        .select(col("doc_id"), explode(col("sh")).as("x"))
+        .select(col("doc_id"), explode(TextFns.charShingles("text", 8)).as("x"))
         .select(col("doc_id"), h1c.as("h1"), h2c.as("h2"))
       // mod 2^31-1 decorrelates the K minima: without it one small-hash
       // shingle wins every k and unrelated docs collide on all bands (see

@@ -18,14 +18,27 @@ object Ops {
     * to re-sort per query: the first compare pays the scan+sort once, the
     * other two reuse the snapshot (VERDICT r1 #9: 9s → target ≤4s at sf0.1).
     */
-  private val sortedLineitemCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  // single-entry cache keyed by the session OBJECT (reference equality —
+  // identityHashCode can collide across sessions and would hand out a
+  // snapshot bound to a stopped session). Capped at ONE entry: switching
+  // (session, dir) drops the old reference so its checkpoint blocks are
+  // GC-reclaimed (ContextCleaner) instead of pinning executor storage for
+  // the JVM lifetime.
+  private val sortedLineitemCache = new java.util.concurrent.atomic.AtomicReference[
+    (org.apache.spark.sql.SparkSession, String, org.apache.spark.sql.DataFrame)]()
 
   private def sortedLineitem(s: org.apache.spark.sql.SparkSession, dir: String) =
-    sortedLineitemCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ =>
-      t(s, dir, "lineitem")
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-        .localCheckpoint())
+    sortedLineitemCache.synchronized {
+      val cur = sortedLineitemCache.get()
+      if (cur != null && (cur._1 eq s) && cur._2 == dir) cur._3
+      else {
+        val df = t(s, dir, "lineitem")
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+          .localCheckpoint()
+        sortedLineitemCache.set((s, dir, df))
+        df
+      }
+    }
 
   /** op 1 `view`: first N rows. The reference shows file order; we order by
     * the primary key so the result is well-defined under parallel scans.

@@ -16,14 +16,55 @@ object StreamingOps {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // file-source streams need an explicit schema; resolve it from the parquet
+  // footer ONCE per path and share across the streaming ops (each
+  // spark.read.parquet(...) here costs a listing + footer read that the
+  // streaming source then repeats — caching halves that fixed cost). The
+  // scan partition count rides along: it sizes the state stores below.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType, Int)]()
+  private def parquetSchema(spark: SparkSession, path: String) =
+    schemaCache.computeIfAbsent(path, { p =>
+      val df = spark.read.parquet(p)
+      (df.schema, df.rdd.getNumPartitions) // listing-only, no data job
+    })
+
+  /** Run a finite-replay streaming query with deployment-appropriate tuning,
+    * restoring session confs afterwards:
+    *
+    *  - state partitions (= shuffle partitions at query start) sized to the
+    *    INPUT's scan parallelism, clamped to [4, session default]. Each
+    *    stateful operator pays a per-partition store load/commit every
+    *    micro-batch (~100 ms × partitions × operators measured locally), so a
+    *    100 k-row fixture must not carry 32 stores — while a 100 TB directory
+    *    (thousands of splits) still gets the session default.
+    *  - no-data micro-batches off: a finite replay needs no watermark-driven
+    *    finalization batch (Complete-mode output is already full after the
+    *    data batch; dedup emits first-seen rows in-batch). An unbounded
+    *    append-mode deployment keeps them ON — that's what advances the
+    *    watermark during lulls and evicts state.
+    */
+  private def runTuned[T](spark: SparkSession, scanParts: Int)(body: => T): T = {
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val savedNoData =
+      spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(defaultParts, math.max(4, scanParts)).toString)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try body
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+    }
+  }
+
   /** Tumbling-window counts per event type, computed by a streaming query.
     * Complete mode (finite replay) so the final state includes every window;
     * an unbounded deployment would use append mode + withWatermark.
     */
   def windowedTypeCounts(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/events.parquet"
-    val rawSchema = spark.read.parquet(path).schema
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
 
     // the file source wants a directory: stream the sf dir, glob-filtered to
     // the events file
@@ -38,14 +79,15 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
 
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-
+    runTuned(spark, scanParts) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name).orderBy(col("h"), col("event_type"))
   }
 
@@ -62,7 +104,7 @@ object StreamingOps {
     */
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
     val stream = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -79,14 +121,15 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_unique"))
 
     val name = s"graft_dedup_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-
+    runTuned(spark, scanParts) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name).orderBy(col("event_type"))
   }
 

@@ -203,6 +203,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p.contains("*(") && p.contains("cosine_sim"), p.take(500))
   }
 
+  test("CosineSim zero-norm and empty vectors yield null (not NaN/Inf, not ANSI error)") {
+    // under ANSI mode (Spark 4 default) the HOF Divide would RAISE
+    // DIVIDE_BY_ZERO here; the native expression degrades to null instead
+    // (try_divide semantics) so a single degenerate embedding can't kill a
+    // 100 TB scan
+    val df = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),   // zero left norm
+      (Array(1.0f, 2.0f), Array(0.0f, 0.0f)),   // zero right norm
+      (Array.empty[Float], Array.empty[Float])) // empty → both norms zero
+      .toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b").as("c"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0), s"native returned ${r.get(0)} for a zero-norm input")
+    }
+  }
+
   test("codegen SignLshBucket equals the HOF formulation on the fixture") {
     val planes = Similarity.planes(nPlanes = 8, dim = 64)
     val e = Tables.t(spark, TestSpark.sf, "embeddings").limit(500)

@@ -49,6 +49,34 @@ class ConvertSpec extends AnyFunSuite {
     assert(meta.select("compression").distinct().head().getString(0) == "ZSTD")
   }
 
+  test("convert does not leak writer conf into the session (dictionary stays on)") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    def encodings(dir: String): Set[String] = {
+      val part = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(part.getPath), spark.sparkContext.hadoopConfiguration))
+      try r.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+        .flatMap(_.getEncodings.asScala.map(_.name)).toSet
+      finally r.close()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_conv3").toString
+    Convert.convert(spark, s"${TestSpark.sf}/nation.parquet", s"$dir/c.parquet")
+    // convert itself writes without dictionary pages (reference writes PLAIN)
+    assert(!encodings(s"$dir/c.parquet").exists(_.contains("DICTIONARY")))
+    // ...but the session conf is untouched, so a plain follow-up write keeps
+    // Spark's default dictionary encoding (this regressed when convert set
+    // parquet.enable.dictionary on the session-global Hadoop conf)
+    assert(spark.sparkContext.hadoopConfiguration.get("parquet.enable.dictionary") == null)
+    spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+      .write.mode("overwrite").parquet(s"$dir/plain.parquet")
+    assert(encodings(s"$dir/plain.parquet").exists(_.contains("DICTIONARY")))
+  }
+
   test("avro output rejected like the reference") {
     intercept[IllegalArgumentException] {
       Convert.convert(spark, s"${TestSpark.sf}/region.parquet", "/tmp/x.avro")
