@@ -16,7 +16,12 @@ import org.apache.spark.sql.SparkSession
   *   convert [--single-file] [--zstd] <in> <out>
   *   query [--table f]... [--tables dir] (--sql s | --sql-file f) [--output p] [--verbose]
   *   view-parquet-meta <file>
-  *   compare <f1> <f2> [--epsilon e] [--no-header-row]
+  *   compare <f1> <f2> [--epsilon e] [--no-header-row] [--key c1,c2]
+  *
+  * `compare --key` routes to the order-free keyed compare
+  * ([[Compare.summarizeByKey]]) — one full-outer equi-join, no global sort or
+  * positional snapshot, so it's the at-scale path. Positional compare stays
+  * the default for bdt parity (keyless files).
   */
 object Main {
 
@@ -56,7 +61,7 @@ object Main {
 
   private def positional(args: List[String]): List[String] = {
     val flagNames = Set("--single-file", "-s", "--zstd", "-z", "--verbose", "-v", "--no-header-row")
-    val valueFlags = Set("--limit", "--table", "--tables", "--sql", "--sql-file", "--output", "--epsilon")
+    val valueFlags = Set("--limit", "--table", "--tables", "--sql", "--sql-file", "--output", "--epsilon", "--key")
     def loop(rest: List[String]): List[String] = rest match {
       case Nil => Nil
       case f :: _ :: tail if valueFlags(f) => loop(tail)
@@ -120,9 +125,18 @@ object Main {
 
     case "compare" :: rest =>
       val ps = positional(rest)
-      val result = Compare.compareFiles(spark, ps(0), ps(1),
-        epsilon = opt(rest, "--epsilon").map(_.toDouble).getOrElse(0.0),
-        noHeaderRow = flag(rest, "--no-header-row"))
+      val epsilon = opt(rest, "--epsilon").map(_.toDouble).getOrElse(0.0)
+      val result = opt(rest, "--key") match {
+        case Some(keys) =>
+          // order-free keyed compare: no sort/snapshot, scales like a join
+          Compare.summarizeByKey(
+            Formats.read(spark, ps(0)), Formats.read(spark, ps(1)),
+            keys.split(",").map(_.trim).toSeq, epsilon)
+        case None =>
+          Compare.compareFiles(spark, ps(0), ps(1),
+            epsilon = epsilon,
+            noHeaderRow = flag(rest, "--no-header-row"))
+      }
       result.show(truncate = false)
       // exit -1 on mismatch like the reference (main.rs:104-107,241-246)
       if (result.head().getBoolean(4)) 0 else -1

@@ -32,6 +32,12 @@ object Multimodal {
   /** Build a media catalog from the documents fixture: content = the text's
     * bytes (stand-in payload), metadata derived via the portable 60-bit hash
     * so any engine can reproduce it.
+    *
+    * `blob` is a deterministic NON-ASCII payload (a 4-link md5 chain,
+    * unhexed to 64 raw bytes spanning the full 0–255 range): the text-cast
+    * `content` column is pure ASCII, so it alone never proves that arbitrary
+    * bytes survive the parquet round trip — `blob` does, and any engine with
+    * md5 + unhex reproduces it bit-for-bit (mm_blob_roundtrip oracle).
     */
   def catalog(docs: DataFrame): DataFrame =
     docs
@@ -39,6 +45,11 @@ object Multimodal {
       .select(
         col("doc_id"),
         col("text").cast("binary").as("content"),
+        unhex(concat(
+          md5(col("text")),
+          md5(concat(col("text"), lit("a"))),
+          md5(concat(col("text"), lit("b"))),
+          md5(concat(col("text"), lit("c"))))).as("blob"),
         struct(
           element_at(array(lit("png"), lit("jpeg"), lit("webp")),
             (col("__h") % 3 + 1).cast("int")).as("format"),

@@ -60,6 +60,59 @@ object Coverage2 {
       FROM embeddings JOIN nearest ON label = c_label CROSS JOIN q
       ORDER BY cos DESC, vec_id LIMIT 10"""))
 
+  /** The at-scale IVF shape sim_ivf's doc promises: centroids MATERIALIZED
+    * once as a parquet table (the precomputed coarse index — built offline at
+    * 100 TB, not in-query), then multi-probe: the query visits its nearest
+    * TWO cells, which recovers neighbors that straddle a cell boundary — the
+    * classic IVF recall fix at the cost of scanning 2/N of the corpus instead
+    * of 1/N. Exact cosine within the probed cells, so still fully
+    * oracle-checked.
+    */
+  val simIvfProbe2 = Declared(
+    "sim_ivf_probe2",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      e.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("v"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("label").as("c_label"), expr("transform(pv, x -> x.v)").as("centroid"))
+        .write.mode("overwrite").parquet(s"$tmp/centroids.parquet")
+      val centroids = s.read.parquet(s"$tmp/centroids.parquet")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val near2 = centroids.crossJoin(broadcast(q))
+        .select(col("c_label"), Similarity.cosineHof(col("centroid"), col("qv")).as("ccos"))
+        .orderBy(col("ccos").desc, col("c_label"))
+        .limit(2)
+      e.join(broadcast(near2), e("label") === near2("c_label"))
+        .crossJoin(broadcast(q))
+        .select(
+          col("vec_id"), col("label"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      cells AS (
+        SELECT label, list(v ORDER BY i) AS centroid FROM (
+          SELECT label, CAST(i AS INTEGER) AS i,
+                 avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS v
+          FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY label, CAST(i AS INTEGER))
+        GROUP BY label),
+      nearest2 AS (
+        SELECT label AS c_label
+        FROM cells CROSS JOIN q
+        ORDER BY list_cosine_similarity(centroid, q.qv) DESC, label LIMIT 2)
+      SELECT vec_id, label,
+        round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cos
+      FROM embeddings JOIN nearest2 ON label = c_label CROSS JOIN q
+      ORDER BY cos DESC, vec_id LIMIT 10"""))
+
   /** Linear-regression aggregates (regr_*). */
   val regr = Declared(
     "q_agg_regr",
@@ -168,5 +221,6 @@ object Coverage2 {
       lower(typeof(l_quantity)) AS t_qty
       FROM lineitem LIMIT 1"""))
 
-  val all: Seq[Declared] = Seq(simIvf, regr, stringFuncs2, mathFuncs2, jsonSchema, typeofQ)
+  val all: Seq[Declared] = Seq(
+    simIvf, simIvfProbe2, regr, stringFuncs2, mathFuncs2, jsonSchema, typeofQ)
 }

@@ -50,6 +50,39 @@ object ExtrasQ {
       WHERE doc_id < 50 AND i <= CAST(ceil(len(text) / 64.0) AS INTEGER) - 1
       ORDER BY doc_id, frame_id"""))
 
+  /** True-binary parquet round trip: the catalog's `blob` column (md5-chain
+    * bytes — NON-ASCII, full 0–255 range, unlike the ASCII text payload) is
+    * written to parquet, read back, and checksummed. The oracle recomputes
+    * the same bytes from the documents table directly, so a single byte
+    * mangled anywhere in Spark's binary write/read path breaks the hash
+    * match. (DuckDB's md5 is VARCHAR-only → both engines checksum the HEX
+    * rendering; hex() is uppercase in both.)
+    */
+  val mmBlob = Declared(
+    "mm_blob_roundtrip",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mm_blob").toString
+      Multimodal.catalog(t(s, dir, "documents"))
+        .select(col("doc_id"), col("blob"))
+        .write.mode("overwrite").parquet(s"$tmp/blob.parquet")
+      s.read.parquet(s"$tmp/blob.parquet")
+        .select(
+          col("doc_id"),
+          octet_length(col("blob")).cast("long").as("blob_bytes"),
+          hex(col("blob")).as("blob_hex"),
+          md5(hex(col("blob"))).as("blob_hex_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH b AS (
+        SELECT doc_id,
+          unhex(md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')) AS blob
+        FROM documents)
+      SELECT doc_id,
+        CAST(octet_length(blob) AS BIGINT) AS blob_bytes,
+        hex(blob) AS blob_hex,
+        md5(hex(blob)) AS blob_hex_md5
+      FROM b ORDER BY doc_id"""))
+
   /** Decode-stub features through mapPartitions (rows-only: the decode body
     * is the stub; MultimodalSpec pins its values).
     */
@@ -126,5 +159,5 @@ object ExtrasQ {
       GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Declared] = Seq(
-    mmCatalog, mmFrames, mmDecode, rollingHashQ, streamWindow, streamDedup)
+    mmCatalog, mmFrames, mmBlob, mmDecode, rollingHashQ, streamWindow, streamDedup)
 }

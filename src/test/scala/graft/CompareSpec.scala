@@ -92,4 +92,24 @@ class CompareSpec extends AnyFunSuite {
     val r = Compare.compareFiles(spark, f1, f2).head()
     assert(!r.getBoolean(4) && r.getLong(2) == 1L && r.getLong(3) == 42L, r.toString)
   }
+
+  test("CLI compare --key routes to the keyed (order-free) variant") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_cli").toString
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+      .write.parquet(s"$dir/l.parquet")
+    Seq((3L, "c", 30.0), (1L, "a", 10.0), (2L, "b", 99.0)).toDF("k", "s", "v")
+      .write.parquet(s"$dir/r.parquet")
+    // keyed: row order irrelevant, one differing row found, nonzero exit
+    val exitDiff = graft.cli.Main.dispatch(spark,
+      List("compare", s"$dir/l.parquet", s"$dir/r.parquet", "--key", "k"))
+    assert(exitDiff == -1)
+    val exitEq = graft.cli.Main.dispatch(spark,
+      List("compare", s"$dir/l.parquet", s"$dir/l.parquet", "--key", "k"))
+    assert(exitEq == 0)
+    val s = Compare.summarizeByKey(
+      spark.read.parquet(s"$dir/l.parquet"), spark.read.parquet(s"$dir/r.parquet"),
+      Seq("k")).head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getBoolean(4)) ==
+      ((0L, 0L, 1L, 2L, false)))
+  }
 }

@@ -354,6 +354,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(back.count() == 20)
   }
 
+  test("blob column carries true non-ASCII bytes through parquet") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents").limit(20)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm_blob_spec").toString
+    Multimodal.catalog(docs).select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("blob"))
+      .write.mode("overwrite").parquet(s"$dir/blob.parquet")
+    val rows = spark.read.parquet(s"$dir/blob.parquet").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val b = r.getAs[Array[Byte]]("blob")
+      assert(b.length == 64)
+      // md5-chain bytes are uniform over 0-255: a 64-byte blob with no byte
+      // outside ASCII has probability (1/2)^64 — this is the non-ASCII proof
+      // the pure-text content column can't give
+      assert(b.exists(x => (x & 0xFF) > 127), "blob unexpectedly all-ASCII")
+    }
+  }
+
   test("frames reassemble to the original payload") {
     import spark.implicits._
     val docs = Seq((7L, "abcdefghij")).toDF("doc_id", "text")

@@ -149,7 +149,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val allowedCartesian = Set(
     "q_join_cross",     // intentional CROSS of two tiny dims
     "sim_topk_brute",   // 1-row broadcast query vector
-    "sim_ann_lsh", "sim_ivf", // same broadcast-probe shape
+    "sim_ann_lsh", "sim_ivf", "sim_ivf_probe2", // same broadcast-probe shape
     "q_join_theta"      // residual-only fallback is fine on tiny dims
   )
 
@@ -173,7 +173,9 @@ class PlanAuditSpec extends AnyFunSuite {
 class ApproxAccuracySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("approx_count_distinct within 5% and approx median within p40-p60") {
+  // 15% ≈ 3σ of the sketch's default 5% rsd — a 5% assertion sits at ~1σ
+  // and can flip at other scale factors with the sketch behaving correctly
+  test("approx_count_distinct within 15% and approx median within p40-p60") {
     val li = Tables.t(spark, TestSpark.sf, "lineitem")
     val row = li.agg(
       approx_count_distinct(col("l_partkey")).as("approx"),
@@ -182,7 +184,7 @@ class ApproxAccuracySpec extends AnyFunSuite {
       expr("percentile(l_extendedprice, 0.4)").as("p40"),
       expr("percentile(l_extendedprice, 0.6)").as("p60")).head()
     val (approx, exact) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
-    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+    assert(math.abs(approx - exact) / exact < 0.15, s"approx=$approx exact=$exact")
     assert(row.getDouble(2) >= row.getDouble(3) && row.getDouble(2) <= row.getDouble(4))
   }
 }
