@@ -55,14 +55,21 @@ object DedupQ {
     * background under 0.1 with true near-dups still ≥ 0.9 — so 4×4 banding
     * passes ~0.04% of random pairs and ~99% of true dups.
     */
-  val ngramJaccard = Declared(
-    "dedup_ngram_jaccard",
-    (s, dir) => {
+  /** The ngram pair pipeline (signatures → banding → candidates → exact
+    * Jaccard verify) as a reusable builder: dedup_ngram_jaccard emits the
+    * pairs themselves; dedup_clusters feeds them to connected components.
+    * `docFilter` restricts the corpus on BOTH engines (pushed into the scan).
+    */
+  private def ngramPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      docFilter: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
       val K = 16; val BANDS = 4; val ROWS = 4
+      val base0 = t(s, dir, "documents")
+      val filtered = docFilter.map(base0.filter).getOrElse(base0)
       // spread BEFORE shingling: a single-file scan would run the whole
       // shingle+md5 pipeline on one core (Tables.spread is a no-op when the
       // scan already has enough splits)
-      val docs = Tables.spread(t(s, dir, "documents"), "doc_id")
+      val docs = Tables.spread(filtered, "doc_id")
       // signatures via explode + K min() aggregates: md5 runs ONCE per
       // shingle (native Md5Pair expression — both 32-bit halves packed
       // straight from the digest bytes, no hex/conv round-trip) and the
@@ -103,7 +110,7 @@ object DedupQ {
       // survivors — re-shingling the whole corpus (or shipping shingle
       // arrays through a join) would be two more full passes at 100 TB,
       // while candidates are near-linear in the true-dup count
-      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = filtered.select(col("doc_id"), col("text"))
       cand
         .join(base.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
         .join(base.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
@@ -112,9 +119,12 @@ object DedupQ {
           round(TextFns.jaccard(
             TextFns.charShingles("t1", 8), TextFns.charShingles("t2", 8)), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy(col("id1"), col("id2"))
-    },
-    Some {
+  }
+
+  /** DuckDB CTE block mirroring [[ngramPairs]], ending in `pairs(id1, id2,
+    * jaccard)`. `where` restricts the documents scan ("" = whole corpus).
+    */
+  private def ngramPairCtes(where: String): String = {
       val K = 16; val ROWS = 4
       val d1 = graft.functions.Hashing.md5Hash32DuckSql("x", 1)
       val d2 = graft.functions.Hashing.md5Hash32DuckSql("x", 9)
@@ -126,10 +136,10 @@ object DedupQ {
           .mkString(" || ',' || ")
         s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
       }.mkString("\n        UNION ALL ")
-      s"""WITH sh AS (
+      s"""sh AS (
         SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
           i -> substr(text, CAST(i AS INTEGER), 8))) AS sh
-        FROM documents),
+        FROM documents $where),
       sig AS (
         SELECT doc_id,
           $sigCols
@@ -139,17 +149,56 @@ object DedupQ {
       cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM banded a JOIN banded b
-          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-      SELECT * FROM (
-        SELECT id1, id2,
-          round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
-                CAST(len(list_distinct(list_concat(s1.sh, s2.sh))) AS DOUBLE), 6) AS jaccard
-        FROM cand
-        JOIN sh s1 ON s1.doc_id = cand.id1
-        JOIN sh s2 ON s2.doc_id = cand.id2)
-      WHERE jaccard >= 0.5
-      ORDER BY id1, id2"""
-    })
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT * FROM (
+          SELECT id1, id2,
+            round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+                  CAST(len(list_distinct(list_concat(s1.sh, s2.sh))) AS DOUBLE), 6) AS jaccard
+          FROM cand
+          JOIN sh s1 ON s1.doc_id = cand.id1
+          JOIN sh s2 ON s2.doc_id = cand.id2)
+        WHERE jaccard >= 0.5)"""
+  }
+
+  val ngramJaccard = Declared(
+    "dedup_ngram_jaccard",
+    (s, dir) => ngramPairs(s, dir, None).orderBy(col("id1"), col("id2")),
+    Some(s"""WITH ${ngramPairCtes("")}
+      SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"""))
+
+  /** Near-dup CLUSTER assignment — the stage after pair finding that a real
+    * dedup pipeline keys its keep-one decision on: connected components of
+    * the verified ngram-Jaccard pair graph ([[graft.operators.DedupClusters]]
+    * — iterative min-label propagation), cluster_id = min doc_id in the
+    * component, singletons keep themselves. Transitivity matters: A~B and
+    * B~C land in ONE cluster even when A~C was never a candidate pair. The
+    * DuckDB oracle runs the identical pair pipeline plus a recursive CTE, so
+    * the whole thing is hash-checked end-to-end (corpus restricted to
+    * doc_id < 2500 to keep the doubled pair-pipeline cost out of the bench
+    * tail).
+    */
+  val clusters = Declared(
+    "dedup_clusters",
+    (s, dir) => {
+      val lim = col("doc_id") < 2500
+      val pairs = ngramPairs(s, dir, Some(lim)).select(col("id1"), col("id2"))
+      graft.operators.DedupClusters
+        .connectedComponents(
+          t(s, dir, "documents").filter(lim).select(col("doc_id")), "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE ${ngramPairCtes("WHERE doc_id < 2500")},
+      edges AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION SELECT id2, id1 FROM pairs),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS label FROM documents WHERE doc_id < 2500
+        UNION
+        SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)
+      SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY id ORDER BY doc_id"""))
 
   /** MinHash+LSH candidate pairs (signature-estimated Jaccard ≥ 0.35).
     * Base hashes are the portable md5 pair, so since round 2 the full
@@ -238,5 +287,6 @@ object DedupQ {
       WHERE cos >= 0.8 ORDER BY id1, id2"""))
 
   val all: Seq[Declared] = Seq(
-    exact, exactRows, ngramJaccard, minhash, simhash, simhashBuckets, embedCosine)
+    exact, exactRows, ngramJaccard, clusters, minhash, simhash, simhashBuckets,
+    embedCosine)
 }

@@ -52,6 +52,27 @@ object TextQ {
     s"len(list_filter($wordsExpr, x -> list_contains($lst, x)))"
   }
 
+  /** Argmax language with deterministic lexicographic tiebreak, as a Column
+    * over per-language score columns (shared by text_langid and
+    * curate_corpus). foldRight makes the FIRST (smallest) winner stick.
+    */
+  private def predictedLang(scoreOf: String => Column): Column = {
+    val langs = stopwords.map(_._1)
+    val best = langs.map(scoreOf).reduce((a, b) => greatest(a, b))
+    langs.foldRight(lit("und"): Column) { case (l, acc) =>
+      when(scoreOf(l) === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** SQL mirror of [[predictedLang]]. */
+  private def predictedLangSql(scoreOf: String => String): String = {
+    val langs = stopwords.map(_._1)
+    val best = s"greatest(${langs.map(scoreOf).mkString(", ")})"
+    langs.reverse.foldLeft("'und'") { case (acc, l) =>
+      s"CASE WHEN ${scoreOf(l)} = $best AND $best > 0 THEN '$l' ELSE $acc END"
+    }
+  }
+
   /** Language ID: argmax of per-language stopword hit counts (deterministic
     * lexicographic tiebreak), scored against the labeled lang column.
     */
@@ -64,12 +85,7 @@ object TextQ {
           Seq(col("doc_id"), col("lang")) ++
             stopwords.map { case (l, ws) => scoreCol(col("ws"), ws).as(s"s_$l") }: _*)
       val langs = stopwords.map(_._1)
-      val best = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
-      val predicted = langs.foldRight(lit("und"): Column) { case (l, acc) =>
-        when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
-      }
-      // foldRight makes the FIRST (lexicographically smallest) winner stick:
-      // each earlier lang overrides later ones when it attains the max.
+      val predicted = predictedLang(l => col(s"s_$l"))
       withScores
         .select(
           Seq(col("doc_id"), col("lang"), predicted.as("predicted_lang"),
@@ -80,10 +96,7 @@ object TextQ {
     Some {
       val scores = stopwords.map { case (l, ws) => s"${scoreSql(ws)} AS s_$l" }.mkString(",\n        ")
       val langs = stopwords.map(_._1)
-      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
-      val pred = langs.reverse.foldLeft("'und'") { case (acc, l) =>
-        s"CASE WHEN s_$l = $best AND $best > 0 THEN '$l' ELSE $acc END"
-      }
+      val pred = predictedLangSql(l => s"s_$l")
       s"""WITH scored AS (
         SELECT doc_id, lang,
         $scores
@@ -139,6 +152,101 @@ object TextQ {
       FROM (SELECT doc_id, text FROM documents) ORDER BY doc_id"""
     })
 
+  /** End-to-end corpus curation funnel — the composite shape a training-data
+    * pipeline actually runs, as ONE map-side pass + one window + one
+    * aggregate: language gate (predicted en) → quality gate (score ≥ 0.5) →
+    * token budget (20–1000) → exact dedup on the normalized fingerprint
+    * (keep min doc_id) — emitting the per-stage survivor counts and the kept
+    * token total. Every signal reuses the oracle-checked single-signal
+    * queries' expressions, so the funnel is hash-checked end-to-end. The
+    * dedup window partitions on (fingerprint, passed-all-gates) so keep-one
+    * applies only among fully-gated docs, still in a single shuffle.
+    */
+  /** The funnel body over any (doc_id, text) frame — exposed so CurateSpec
+    * can prove the keep-one stage on a corpus that HAS duplicates (the
+    * fixture has near-dups but no byte-identical ones, so on it
+    * n_kept == n_token_window legitimately).
+    */
+  def curateFunnel(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val w = TextFns.words(col("text"))
+      val nTok = size(w).cast("double")
+      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+      val sw = scoreCol(w, stopwords.toMap.apply("en")).cast("double")
+      val uniqRatio = size(array_distinct(w)).cast("double") / nTok
+      val avgLen = length(regexp_replace(col("text"), lit("\\s+"), lit(""))).cast("double") / nTok
+      val score = round(
+        uniqRatio * 0.4 +
+          least(sw / nTok * 10.0, lit(1.0)) * 0.2 +
+          (lit(1.0) - least(punct / greatest(length(col("text")).cast("double"), lit(1.0)) * 10.0, lit(1.0))) * 0.2 +
+          when(avgLen.between(3.0, 8.0), 0.2).otherwise(0.0), 6)
+      val sig = docs
+        .withColumn("ws", w)
+        .select(
+          Seq(col("doc_id"),
+            size(col("ws")).as("n_tokens"),
+            score.as("q"),
+            md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp")) ++
+            stopwords.map { case (l, sws) => scoreCol(col("ws"), sws).as(s"s_$l") }: _*)
+        .withColumn("g_lang", predictedLang(l => col(s"s_$l")) === "en")
+        .withColumn("g_quality", col("g_lang") && col("q") >= 0.5)
+        .withColumn("g_tokens", col("g_quality") && col("n_tokens").between(20, 1000))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp"), col("g_tokens")).orderBy(col("doc_id"))
+      sig
+        .withColumn("kept", col("g_tokens") && row_number().over(win) === 1)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("g_lang").cast("long")).as("n_lang_en"),
+          sum(col("g_quality").cast("long")).as("n_quality"),
+          sum(col("g_tokens").cast("long")).as("n_token_window"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          sum(when(col("kept"), col("n_tokens").cast("long")).otherwise(0L)).as("kept_tokens"))
+  }
+
+  val curate = Declared(
+    "curate_corpus",
+    (s, dir) => curateFunnel(t(s, dir, "documents")),
+    Some {
+      val ws = "string_split_regex(trim(text), '\\s+')"
+      val nTok = s"CAST(len($ws) AS DOUBLE)"
+      val punct = s"CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) AS DOUBLE)"
+      val sw = s"CAST(${scoreSql(stopwords.toMap.apply("en"), ws)} AS DOUBLE)"
+      val uniq = s"CAST(len(list_distinct($ws)) AS DOUBLE) / $nTok"
+      val avgLen = s"CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $nTok"
+      val score = s"""round($uniq * 0.4 +
+        least($sw / $nTok * 10.0, 1.0) * 0.2 +
+        (1.0 - least($punct / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2 +
+        CASE WHEN $avgLen BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 6)"""
+      val scores = stopwords.map { case (l, sws) => s"${scoreSql(sws, "ws")} AS s_$l" }
+        .mkString(",\n          ")
+      val pred = predictedLangSql(l => s"s_$l")
+      s"""WITH sig AS (
+        SELECT doc_id, n_tokens, q, fp, ($pred = 'en') AS g_lang
+        FROM (
+          SELECT doc_id,
+            CAST(len(ws) AS INTEGER) AS n_tokens,
+            $score AS q,
+            md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
+            $scores
+          FROM (SELECT doc_id, text, $ws AS ws FROM documents))),
+      gated AS (
+        SELECT doc_id, n_tokens, fp, g_lang,
+          (g_lang AND q >= 0.5) AS g_quality,
+          (g_lang AND q >= 0.5 AND n_tokens BETWEEN 20 AND 1000) AS g_tokens
+        FROM sig),
+      ranked AS (
+        SELECT *, (g_tokens AND row_number()
+          OVER (PARTITION BY fp, g_tokens ORDER BY doc_id) = 1) AS kept
+        FROM gated)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN g_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_en,
+        CAST(sum(CASE WHEN g_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        CAST(sum(CASE WHEN g_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_token_window,
+        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM ranked"""
+    })
+
   /** Content fingerprints: raw and whitespace-normalized md5 (the dedup key
     * a pipeline persists). The rolling-hash variant is the custom-Expression
     * showcase in functions.RollingHash (spec-tested; engine-specific).
@@ -158,5 +266,5 @@ object TextQ {
       substr(md5(text), 1, 8) AS shard_key
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Declared] = Seq(tokenStats, langid, quality, fingerprint)
+  val all: Seq[Declared] = Seq(tokenStats, langid, quality, curate, fingerprint)
 }

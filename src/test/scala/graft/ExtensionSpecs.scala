@@ -140,6 +140,62 @@ class BucketJoinSpec extends AnyFunSuite {
   }
 }
 
+/** The curation funnel's keep-one stage must actually drop byte-identical
+  * copies — the fixture corpus has no exact dups, so the Declared query can't
+  * show it (n_kept == n_token_window there is correct, not vacuous).
+  */
+class CurateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact duplicates collapse to one kept doc; failed-gate docs never counted") {
+    val en = "the quick brown fox jumps over the lazy dog and it is a fine day " +
+      "in the sun with a cat and a dog on the hill it is good"
+    val docs = Seq(
+      (1L, en), (2L, en), (3L, en),                    // 3 identical, pass gates
+      (4L, en + " extra words here to differ a bit"),  // distinct, passes
+      (5L, "le chat est sur la table et il est un bon chat que fait le chien"), // fr
+      (6L, "a b")                                      // en-ish but under token window
+    ).toDF("doc_id", "text")
+    val r = graft.queries.TextQ.curateFunnel(docs).head()
+    val (nDocs, nLang, nQual, nWin, nKept) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nDocs == 6)
+    assert(nLang == 5)          // fr doc gated out
+    assert(nWin == 4)           // "a b" out of the token window
+    assert(nKept == 2, s"dedup should keep 1 of the 3 copies + the distinct doc (got $nKept)")
+    assert(nQual >= nWin && nLang >= nQual)
+  }
+}
+
+/** Connected components must capture TRANSITIVE near-duplication: a chain
+  * A~B, B~C (A~C never emitted as a pair) is one cluster, canonical = min id.
+  */
+class DedupClustersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("multi-hop chain collapses to one cluster; singletons keep themselves") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    // chain 1-2-3, pair 4-5 (given in reversed order), 9 isolated
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L)).toDF("id1", "id2")
+    val got = graft.operators.DedupClusters
+      .connectedComponents(nodes, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
+  test("long chain converges (diameter > 1 rounds) and star graph in one") {
+    val n = 12L
+    val nodes = (1L to n).toDF("id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id1", "id2")
+    val gotChain = graft.operators.DedupClusters
+      .connectedComponents(nodes, "id", chain)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(gotChain == Set(1L)) // everything reaches the minimum
+  }
+}
+
 class SimHashSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
