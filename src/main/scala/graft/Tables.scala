@@ -31,6 +31,23 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** Machine-local scratch directory for queries that materialize temp
+    * artifacts (convert round trips, materialized centroids, blob round
+    * trips). Prefers /dev/shm (tmpfs) over /tmp: this container's /tmp is a
+    * 9p mount where many-small-file writes are disproportionately slow. The
+    * choice only affects LOCAL scratch — on a cluster these paths would be
+    * real distributed-FS locations and the write cost would be the cluster
+    * filesystem's, not the driver tmpdir's.
+    */
+  def scratch(name: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val root =
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_scratch"
+      else sys.props("java.io.tmpdir") + "/graft_scratch"
+    new java.io.File(root).mkdirs()
+    s"$root/$name"
+  }
+
   /** Hash-repartition a scan-rooted input before CPU-heavy per-row work
     * (shingling, per-token md5) — but only when the scan yields fewer
     * partitions than cores. A small parquet file arrives as ONE partition, so

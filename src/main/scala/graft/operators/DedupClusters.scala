@@ -34,10 +34,15 @@ object DedupClusters {
       pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
 
+    // snapshot the pair list FIRST: `pairs` is typically the tail of an
+    // expensive pipeline (shingle/hash/verify), and the two union branches
+    // below would otherwise each recompute it end-to-end
+    val p = pairs
+      .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"))
+      .localCheckpoint()
     // symmetrized edge list, materialized once — reused every round
-    val edges = pairs
-      .select(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst"))
-      .union(pairs.select(col("id2").cast("long").as("src"), col("id1").cast("long").as("dst")))
+    val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(p.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
       .localCheckpoint()
 

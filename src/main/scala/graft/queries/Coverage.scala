@@ -159,7 +159,7 @@ object Coverage {
   val partitionedScan = Declared(
     "q_partitioned_scan",
     (s, dir) => {
-      val out = "/tmp/graft_partitioned/events"
+      val out = Tables.scratch("partitioned_events")
       t(s, dir, "events")
         .write.mode("overwrite").partitionBy("event_type").parquet(out)
       s.read.parquet(out)

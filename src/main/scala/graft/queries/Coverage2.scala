@@ -72,7 +72,7 @@ object Coverage2 {
     "sim_ivf_probe2",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      val tmp = graft.Tables.scratch("ivf")
       e.select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), col("pos"))
         .agg(avg(col("col").cast("double")).as("v"))

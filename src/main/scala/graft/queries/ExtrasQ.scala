@@ -61,7 +61,7 @@ object ExtrasQ {
   val mmBlob = Declared(
     "mm_blob_roundtrip",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_mm_blob").toString
+      val tmp = graft.Tables.scratch("mm_blob")
       Multimodal.catalog(t(s, dir, "documents"))
         .select(col("doc_id"), col("blob"))
         .write.mode("overwrite").parquet(s"$tmp/blob.parquet")

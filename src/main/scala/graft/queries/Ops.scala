@@ -72,7 +72,7 @@ object Ops {
   val convertRoundtrip = Declared(
     "op_convert_roundtrip",
     (s, dir) => {
-      val out = s"/tmp/graft_convert/lineitem_zstd.parquet"
+      val out = Tables.scratch("lineitem_zstd.parquet")
       Convert.convert(s, s"$dir/lineitem.parquet", out, singleFile = true, zstd = true)
       s.read.parquet(out)
         .agg(
@@ -153,7 +153,7 @@ object Ops {
   val csvRoundtrip = Declared(
     "op_csv_roundtrip",
     (s, dir) => {
-      val out = "/tmp/graft_convert/nation_csv.csv"
+      val out = Tables.scratch("nation_csv.csv")
       Convert.convert(s, s"$dir/nation.parquet", out, singleFile = true)
       val nation = graft.sources.Formats.read(s, out)
       val region = t(s, dir, "region")
@@ -170,7 +170,7 @@ object Ops {
   val jsonRoundtrip = Declared(
     "op_json_roundtrip",
     (s, dir) => {
-      val out = "/tmp/graft_convert/supplier_json.json"
+      val out = Tables.scratch("supplier_json.json")
       Convert.convert(s, s"$dir/supplier.parquet", out, singleFile = true)
       graft.sources.Formats.read(s, out)
         // JSON schema inference widens integers to bigint; restore the

@@ -115,22 +115,29 @@ object StreamingOps {
         md5(concat_ws("|", col("user_id"), col("event_type"), col("props"))))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_key")
+      .select(col("event_type"))
 
-    val agg = stream
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_unique"))
-
+    // the STREAMING operator here is the dedup (the one that needs state);
+    // the per-type count is a batch readout over the deduped sink. Keeping
+    // the count inside the stream would add a second stateful operator —
+    // each one pays a per-partition state-store load/commit every
+    // micro-batch, and at 100 TB the natural deployment is exactly this
+    // split: streaming dedup → files/queue sink → downstream consumers
+    // aggregate.
     val name = s"graft_dedup_${counter.incrementAndGet()}"
     runTuned(spark, scanParts) {
-      val q = agg.writeStream
-        .outputMode(OutputMode.Complete)
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
         .format("memory")
         .queryName(name)
         .start()
       try q.processAllAvailable()
       finally q.stop()
     }
-    spark.table(name).orderBy(col("event_type"))
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("event_type"))
   }
 
   case class SessionState(start: Long, end: Long, n: Long, value: Double)
