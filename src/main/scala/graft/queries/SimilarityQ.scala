@@ -127,5 +127,41 @@ object SimilarityQ {
       ORDER BY cos DESC, id1, id2 LIMIT 5"""
     })
 
-  val all: Seq[Declared] = Seq(topkBrute, annLsh, pairsWithinLabel)
+  /** Embedding preprocessing for ANN serving: L2 norm, unit-normalized
+    * components, and symmetric int8 quantization (scale = max|x|/127 — the
+    * standard per-vector scheme that shrinks a float32 corpus 4×). Scalar
+    * per-vector outputs only (norm, first unit component, scale, first
+    * quantized value): enough to pin the whole computation cross-engine
+    * without emitting array columns (driver compare can't sort those).
+    * Accumulation is an explicit left-to-right double fold on both engines.
+    */
+  val embedNormalize = Declared(
+    "embed_normalize",
+    (s, dir) => {
+      val sq = expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+      val maxAbs = expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))")
+      val e0 = element_at(col("embedding"), 1).cast("double")
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          round(sqrt(sq), 6).as("l2_norm"),
+          round(e0 / sqrt(sq), 6).as("e0_unit"),
+          round(maxAbs / 127.0, 8).as("q_scale"),
+          // floor(x + 0.5): double->int CAST truncates in Spark but ROUNDS
+          // in DuckDB, so round explicitly before the cast
+          floor(e0 / (maxAbs / 127.0) + 0.5).cast("int").as("e0_q"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id,
+      round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 6) AS l2_norm,
+      round(CAST(embedding[1] AS DOUBLE)
+        / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 6) AS e0_unit,
+      round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0, 8) AS q_scale,
+      CAST(floor(CAST(embedding[1] AS DOUBLE)
+        / (list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0) + 0.5) AS INTEGER) AS e0_q
+      FROM embeddings ORDER BY vec_id"""))
+
+  val all: Seq[Declared] = Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize)
 }

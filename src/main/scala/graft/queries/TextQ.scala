@@ -266,5 +266,109 @@ object TextQ {
       substr(md5(text), 1, 8) AS shard_key
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Declared] = Seq(tokenStats, langid, quality, curate, fingerprint)
+  /** PII redaction — the scrub stage of a curation pipeline: emails, URLs,
+    * and phone-shaped tokens replaced with typed placeholder tags. The
+    * fixture corpus is synthetic (no PII), so each doc is first salted with
+    * DETERMINISTIC fake PII derived from its id — both engines salt and
+    * redact identically, and the redacted text md5 pins every replacement
+    * byte-for-byte. Conservative regexes only (char classes + bounded
+    * quantifiers) so Java regex and DuckDB's RE2 agree.
+    */
+  val redactPii = Declared(
+    "text_redact_pii",
+    (s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val urlRe = "https?://[^\\s]+"
+      val phoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
+      val salted = concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com via https://ex.example/p/"), col("doc_id"),
+        lit(" or +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      t(s, dir, "documents")
+        .withColumn("t", salted)
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(urlRe), lit(0))).as("n_urls"),
+          size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t"), lit(emailRe), lit("<EMAIL>")),
+              lit(urlRe), lit("<URL>")),
+            lit(phoneRe), lit("<PHONE>"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH salted AS (
+        SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@example.com via https://ex.example/p/' || CAST(doc_id AS VARCHAR)
+            || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS INTEGER) AS n_emails,
+        CAST(len(regexp_extract_all(t, 'https?://[^\s]+', 0)) AS INTEGER) AS n_urls,
+        CAST(len(regexp_extract_all(t, '\+[0-9][0-9-]{6,}[0-9]', 0)) AS INTEGER) AS n_phones,
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^\s]+', '<URL>', 'g'),
+          '\+[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+      FROM salted ORDER BY doc_id"""))
+
+  /** Deterministic train/val split — every pipeline's first partitioning
+    * decision, done the only way that survives re-runs and late-arriving
+    * data: hash the stable doc id (portable md5-prefix), not rand(). Output
+    * is the stratification readout (split × lang counts + char mass), which
+    * is what one actually audits.
+    */
+  val splitTrainVal = Declared(
+    "split_train_val",
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      t(s, dir, "documents")
+        .withColumn("split", when(bucket < 90, "train").otherwise("val"))
+        .groupBy(col("split"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy(col("split"), col("lang"))
+    },
+    Some("""SELECT
+        CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+          THEN 'train' ELSE 'val' END AS split,
+        lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY 1, 2 ORDER BY split, lang"""))
+
+  /** Corpus-level n-gram statistics (the LM-dataset audit query): top-20
+    * word bigrams by frequency. One explode + one count shuffle; at 100 TB
+    * this is the canonical map-side-combine aggregation.
+    */
+  val corpusNgrams = Declared(
+    "corpus_ngrams",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("ws", TextFns.words(col("text")))
+        .select(explode(expr(
+          """CASE WHEN size(ws) < 2 THEN array()
+             ELSE transform(sequence(1, size(ws) - 1),
+                            i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+             END""")).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20),
+    Some("""WITH ws AS (
+        SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+      bg AS (
+        SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+          i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1])) AS bigram
+        FROM ws)
+      SELECT bigram, CAST(count(*) AS BIGINT) AS n
+      FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"""))
+
+  val all: Seq[Declared] = Seq(
+    tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
+    corpusNgrams)
 }
