@@ -20,7 +20,8 @@ object SparkEntry {
       _root_.graft.queries.TextQ.all ++
       _root_.graft.queries.ExtrasQ.all ++
       _root_.graft.queries.Coverage.all ++
-      _root_.graft.queries.Coverage2.all
+      _root_.graft.queries.Coverage2.all ++
+      _root_.graft.queries.Physical.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

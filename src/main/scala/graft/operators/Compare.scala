@@ -201,11 +201,12 @@ object Compare {
     *  - parquet: rows are ordered by the `_metadata` (file_path, row_index)
     *    columns — exact file order, any number of splits/parts, fully
     *    distributed;
-    *  - csv/json (no row_index metadata): the read is forced to one split per
-    *    file and snapshotted eagerly, which preserves in-file order; multiple
-    *    files are then concatenated in partition order, so for directories of
-    *    text files pass single files (documented CLI limitation, matching the
-    *    reference's single-file compare).
+    *  - csv/json (no row_index metadata): each FILE is read as one split
+    *    (preserving in-file order) and a directory's files are unioned in
+    *    lexicographic path order — a deterministic global order for
+    *    directories too (since r3; previously single-file only). Listing is
+    *    driver-side but metadata-only (one FileStatus per file); files in
+    *    one directory must share a schema.
     */
   def compareFiles(
       spark: SparkSession,
@@ -228,10 +229,24 @@ object Compare {
         val old = conf.get(key)
         conf.set(key, (8L << 30).toString) // one split per text file
         try {
+          def readOne(f: String): DataFrame =
+            if (noHeaderRow && f.toLowerCase.endsWith(".csv"))
+              graft.sources.Formats.readCsvNoHeader(spark, f)
+            else graft.sources.Formats.read(spark, f)
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val df =
-            if (noHeaderRow && lower.endsWith(".csv"))
-              graft.sources.Formats.readCsvNoHeader(spark, p)
-            else graft.sources.Formats.read(spark, p)
+            if (fs.getFileStatus(hp).isDirectory) {
+              // lexicographic path order = the global row order; each file
+              // is its own single split so union partition order IS file
+              // order
+              val files = fs.listStatus(hp)
+                .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+                  !st.getPath.getName.startsWith("."))
+                .map(_.getPath.toString).sorted
+              require(files.nonEmpty, s"no data files in directory $p")
+              files.map(readOne).reduce(_.unionByName(_))
+            } else readOne(p)
           df.localCheckpoint() // materialize while the conf override is active
         } finally conf.set(key, old)
       }

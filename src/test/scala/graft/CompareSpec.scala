@@ -93,6 +93,29 @@ class CompareSpec extends AnyFunSuite {
     assert(!r.getBoolean(4) && r.getLong(2) == 1L && r.getLong(3) == 42L, r.toString)
   }
 
+  test("compareFiles handles DIRECTORIES of csv files in path order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_dir").toString
+    def write(sub: String, name: String, rows: Seq[String]): Unit = {
+      val d = java.nio.file.Paths.get(dir, sub)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve(name), ("i,v" +: rows).mkString("\n").getBytes)
+    }
+    // part-0 is the LARGEST file: split packing by size would order it first
+    // anyway, so make part-1 largest instead to catch size-ordering bugs
+    val p0 = (0 until 10).map(i => s"$i,${i * 10}")
+    val p1 = (10 until 90).map(i => s"$i,${i * 10}")
+    val p2 = (90 until 100).map(i => s"$i,${i * 10}")
+    write("d1", "part-0.csv", p0); write("d1", "part-1.csv", p1); write("d1", "part-2.csv", p2)
+    // d2: same logical rows, different file boundaries + one diff at i=57
+    val q = (0 until 100).map(i => if (i == 57) s"$i,9999" else s"$i,${i * 10}")
+    write("d2", "part-0.csv", q.take(50)); write("d2", "part-1.csv", q.drop(50))
+    val r = Compare.compareFiles(spark, s"$dir/d1", s"$dir/d2").head()
+    assert(!r.getBoolean(4) && r.getLong(2) == 1L && r.getLong(3) == 57L, r.toString)
+    // identical directories (even with different file boundaries) are equal
+    val eq = Compare.compareFiles(spark, s"$dir/d1", s"$dir/d1").head()
+    assert(eq.getBoolean(4))
+  }
+
   test("CLI compare --key routes to the keyed (order-free) variant") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp_cli").toString
     Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")

@@ -169,6 +169,28 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 }
 
+/** Bucketed co-located join: the join itself must run with NO exchange below
+  * it — both inputs are pre-bucketed on the key, so the only shuffle in the
+  * whole query is the final aggregation's.
+  */
+class BucketedJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("bucketed join has no shuffle below the SortMergeJoin") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, TestSpark.sf)
+    // plan text is printed top-down, so everything after the SortMergeJoin
+    // line is its subtree (AQE's wrapper hides the tree from collect())
+    val plan = df.queryExecution.executedPlan.toString
+    val at = plan.indexOf("SortMergeJoin")
+    assert(at >= 0, s"expected a SortMergeJoin:\n${plan.take(800)}")
+    val below = plan.substring(at)
+    assert(!below.contains("Exchange"),
+      s"bucketed join still shuffles:\n${below.take(800)}")
+    // result sanity: every market segment present
+    assert(df.collect().length == 5)
+  }
+}
+
 /** Approximate aggregates must land near the exact values. */
 class ApproxAccuracySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
