@@ -200,6 +200,43 @@ object DedupQ {
       SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
       FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  /** Incremental (batch-vs-corpus) dedup: docs with doc_id % 10 < 8 play the
+    * existing corpus — its normalized fingerprints are persisted once as the
+    * index — and the rest arrive as the new batch, which is deduped against
+    * the index (left-anti) and within itself (first-id window) without ever
+    * rescanning corpus text. The %-10 split is scale-independent so the
+    * query is identical at every sf. The fixture has no byte-identical dups,
+    * so here the anti-join passes everything through — IncrementalDedupSpec
+    * proves both rejection paths on a synthetic overlap.
+    */
+  val incremental = Declared(
+    "dedup_incremental",
+    (s, dir) => {
+      val fp = md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp")
+      val idxPath = Tables.scratch("fp_index")
+      t(s, dir, "documents").filter(col("doc_id") % 10 < 8)
+        .select(fp).distinct()
+        .write.mode("overwrite").parquet(idxPath)
+      val batch = t(s, dir, "documents").filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), fp)
+      graft.operators.IncrementalDedup
+        .newUnique(batch, s.read.parquet(idxPath), "doc_id", "fp")
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH fps AS (
+        SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+      idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8),
+      batch AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 >= 8),
+      fresh AS (
+        SELECT b.doc_id, b.fp FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = b.fp))
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fresh)
+      WHERE rn = 1 ORDER BY doc_id"""))
+
   /** MinHash+LSH candidate pairs (signature-estimated Jaccard ≥ 0.35).
     * Base hashes are the portable md5 pair, so since round 2 the full
     * pipeline (signatures → banding → est-Jaccard) is DuckDB-oracle-checked
@@ -287,6 +324,6 @@ object DedupQ {
       WHERE cos >= 0.8 ORDER BY id1, id2"""))
 
   val all: Seq[Declared] = Seq(
-    exact, exactRows, ngramJaccard, clusters, minhash, simhash, simhashBuckets,
-    embedCosine)
+    exact, exactRows, ngramJaccard, clusters, incremental, minhash, simhash,
+    simhashBuckets, embedCosine)
 }

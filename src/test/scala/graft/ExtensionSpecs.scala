@@ -168,6 +168,28 @@ class CurateSpec extends AnyFunSuite {
   }
 }
 
+/** Incremental dedup must reject on BOTH paths: fingerprints already in the
+  * index, and duplicate fingerprints within the batch itself.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rejects index hits and in-batch dups; keeps first-id of novel fps") {
+    val index = Seq("fpA", "fpB").toDF("fp")
+    val batch = Seq(
+      (10L, "fpA"), // already in index → dropped
+      (11L, "fpC"), // novel, first → kept
+      (12L, "fpC"), // in-batch dup → dropped
+      (13L, "fpD")  // novel → kept
+    ).toDF("doc_id", "fp")
+    val got = graft.operators.IncrementalDedup
+      .newUnique(batch, index, "doc_id", "fp")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == Set(11L, 13L))
+  }
+}
+
 /** Connected components must capture TRANSITIVE near-duplication: a chain
   * A~B, B~C (A~C never emitted as a pair) is one cluster, canonical = min id.
   */
