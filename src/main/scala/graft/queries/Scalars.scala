@@ -339,7 +339,41 @@ object Scalars {
       CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m
       FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey"""))
 
+  /** MAP type surface: construct, lookup, keys/values, membership, size.
+    * Scalar projections only (a top-level map column can't be driver-sorted
+    * for the hash compare; DuckDB's `m[key]` also returns a LIST, so both
+    * engines agree on extracted scalars instead).
+    */
+  val mapFuncs = Declared(
+    "q_map_funcs",
+    (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_partkey") < 300)
+        .withColumn("m", map_from_arrays(
+          array(lit("brand"), lit("type"), lit("name")),
+          array(col("p_brand"), col("p_type"), col("p_name"))))
+        .select(
+          col("p_partkey"),
+          element_at(col("m"), "brand").as("m_brand"),
+          size(col("m")).as("m_size"),
+          array_join(map_keys(col("m")), ",").as("m_keys"),
+          array_join(map_values(col("m")), "|").as("m_values"),
+          map_contains_key(col("m"), "type").as("has_type"),
+          element_at(col("m"), "missing").isNull.as("miss_null"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      m['brand'][1] AS m_brand,
+      CAST(cardinality(m) AS INTEGER) AS m_size,
+      array_to_string(map_keys(m), ',') AS m_keys,
+      array_to_string(map_values(m), '|') AS m_values,
+      list_contains(map_keys(m), 'type') AS has_type,
+      (len(m['missing']) = 0) AS miss_null
+      FROM (SELECT p_partkey,
+        map(['brand','type','name'], [p_brand, p_type, p_name]) AS m
+        FROM part WHERE p_partkey < 300)
+      ORDER BY p_partkey"""))
+
   val all: Seq[Declared] = Seq(
     stringFuncs, mathFuncs, dateFuncs, regexFuncs, conditionalFuncs,
-    castTypes, arrayFuncs, unnestQ, mathFuncs3, bitFuncs, dateFuncs2)
+    castTypes, arrayFuncs, unnestQ, mathFuncs3, bitFuncs, dateFuncs2, mapFuncs)
 }
