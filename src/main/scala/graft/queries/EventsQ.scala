@@ -192,6 +192,36 @@ object EventsQ {
         ON e.user_id = s.user_id AND e.ts BETWEEN s.s AND s.e
       ORDER BY e.event_id"""))
 
+  /** Spark 4 VARIANT path: parse_json → VariantType → typed variant_get in
+    * both a per-row filter and an aggregate. Variant is Spark 4's native
+    * semi-structured type (binary-encoded, shredded access without
+    * per-query string parsing); the oracle reads the same fields through
+    * DuckDB's JSON extraction.
+    */
+  val variantAgg = Declared(
+    "q_variant_agg",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_ge50"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+      CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k,
+      CAST(sum(CASE WHEN json_extract(props, '$.k')::BIGINT >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge50
+      FROM events
+      WHERE json_extract(props, '$.k') IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Declared] = Seq(
-    dateBin, jsonExtract, hourly, sessionize, asof, pivot, rangeJoin)
+    dateBin, jsonExtract, hourly, sessionize, asof, pivot, rangeJoin, variantAgg)
 }
