@@ -146,6 +146,24 @@ object ExtrasQ {
       event_type, count(*) AS n, round(sum(value), 2) AS total
       FROM events GROUP BY h, event_type ORDER BY h, event_type"""))
 
+  /** Append-mode windowed counts with a 10-minute watermark — the unbounded
+    * deployment mode: each window emitted once when the watermark passes its
+    * end. The oracle applies the same cutoff (windows ending ≤ max(ts) − 10
+    * min), so exactly-once emission semantics are hash-checked.
+    */
+  val streamWindowAppend = Declared(
+    "stream_window_append",
+    (s, dir) => StreamingOps.windowedTypeCountsAppend(s, dir),
+    Some("""WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events),
+      wm AS (SELECT max(t) - INTERVAL 10 MINUTE AS w FROM e)
+      SELECT time_bucket(INTERVAL 1 HOUR, t) AS h, event_type,
+        CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+      FROM e CROSS JOIN wm
+      GROUP BY h, event_type, wm.w
+      HAVING h + INTERVAL 1 HOUR <= wm.w
+      ORDER BY h, event_type"""))
+
   /** Streaming exact dedup (state-bounded dropDuplicates) — the oracle is
     * the batch distinct count per type over the same content key.
     */
@@ -159,5 +177,6 @@ object ExtrasQ {
       GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Declared] = Seq(
-    mmCatalog, mmFrames, mmBlob, mmDecode, rollingHashQ, streamWindow, streamDedup)
+    mmCatalog, mmFrames, mmBlob, mmDecode, rollingHashQ, streamWindow,
+    streamWindowAppend, streamDedup)
 }

@@ -44,13 +44,14 @@ object StreamingOps {
     *    append-mode deployment keeps them ON — that's what advances the
     *    watermark during lulls and evicts state.
     */
-  private def runTuned[T](spark: SparkSession, scanParts: Int)(body: => T): T = {
+  private def runTuned[T](
+      spark: SparkSession, scanParts: Int, noDataBatches: Boolean = false)(body: => T): T = {
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val savedNoData =
       spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions",
       math.min(defaultParts, math.max(4, scanParts)).toString)
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
     try body
     finally {
       spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
@@ -82,6 +83,51 @@ object StreamingOps {
     runTuned(spark, scanParts) {
       val q = agg.writeStream
         .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name).orderBy(col("h"), col("event_type"))
+  }
+
+  /** Append-mode windowed counts — the UNBOUNDED-deployment mode the
+    * Complete-mode variant's doc promises: a 10-minute watermark, windows
+    * emitted exactly once when the watermark passes their end, state evicted
+    * behind it. On a finite replay the watermark settles at max(ts) − 10 min
+    * (the no-data finalization batch advances it — kept ON here, unlike the
+    * other finite-replay drivers, because append-mode emission NEEDS it), so
+    * the result is every window whose end ≤ that bound: deterministic, and
+    * the oracle states the same cutoff. Windows still open at end-of-replay
+    * are exactly what an unbounded run would also not yet have emitted.
+    */
+  def windowedTypeCountsAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      // watermarks require TIMESTAMP (LTZ); session TZ is UTC so the window
+      // starts cast to NTZ below carry identical values to the batch oracle
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts", "10 minutes")
+
+    // group on the window STRUCT itself — projecting/casting window.start
+    // before the aggregation severs the event-time column the watermark is
+    // attached to (append mode then rejects the plan); project after
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(
+        col("w.start").cast("timestamp_ntz").as("h"),
+        col("event_type"), col("n"), col("total"))
+
+    val name = s"graft_stream_append_${counter.incrementAndGet()}"
+    runTuned(spark, scanParts, noDataBatches = true) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append)
         .format("memory")
         .queryName(name)
         .start()
