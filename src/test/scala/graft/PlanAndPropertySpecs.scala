@@ -169,6 +169,53 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 }
 
+/** AQE skew-join: a pathologically hot join key must be SPLIT at runtime
+  * (OptimizeSkewedJoin) rather than landing on one reducer — the runtime
+  * complement to the static salting in BucketJoin/SkewJoin. Thresholds are
+  * lowered so the fixture-sized hot key trips the optimization; the asserted
+  * plan marker (`isSkew=true` on the sort-merge join) is what a 100 TB run
+  * relies on for free skew handling.
+  */
+class AqeSkewJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hot key is split by OptimizeSkewedJoin (skew=true in final plan)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 200k rows on ONE key, a sprinkle on others; the payload column stays
+      // live through the agg so the hot partition can't compress away below
+      // the skew threshold
+      val fact = spark.range(200000).select(
+        when($"id" % 100 === 0, ($"id" % 7) + 1).otherwise(lit(0L)).as("k"),
+        (($"id" * 2654435761L) % 1000000007L).as("payload")) // bounded: ANSI sum can't overflow
+      val dim = (0L to 7L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val joined = fact.join(dim, "k").groupBy("name")
+        .agg(count(lit(1)).as("n"), sum($"payload").as("ps"))
+      val rows = joined.collect()
+      assert(rows.map(_.getLong(1)).sum == 200000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkew=true") || plan.contains("skew=true"),
+        s"no skew split in final plan:\n${plan.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
+
 /** Bucketed co-located join: the join itself must run with NO exchange below
   * it — both inputs are pre-bucketed on the key, so the only shuffle in the
   * whole query is the final aggregation's.
