@@ -114,7 +114,41 @@ object SqlSurface {
       p_name BETWEEN 'a' AND 'm' AS first_half
       FROM part ORDER BY p_partkey""")
 
+  /** LATERAL correlated table subquery — same text on both engines. */
+  val lateralJoin = both(
+    "q_lateral_join",
+    """SELECT r.r_name, l.n_nations, l.first_n
+      FROM region r, LATERAL (
+        SELECT CAST(count(*) AS BIGINT) AS n_nations, min(n.n_name) AS first_n
+        FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS l
+      ORDER BY r.r_name""")
+
+  /** ANSI-mode escape hatches: the try_* family returns null where plain
+    * arithmetic would raise (divide-by-zero, long overflow, out-of-bounds
+    * index) — essential under Spark 4's ANSI-on default. The oracle emulates
+    * each via nullif / HUGEINT + TRY_CAST / list indexing.
+    */
+  val tryArith = Declared(
+    "q_try_arith",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(
+      """SELECT l_orderkey, l_linenumber,
+        try_divide(l_quantity, CAST(l_linenumber - l_linenumber AS DOUBLE)) AS div0,
+        round(try_divide(l_quantity, CAST(l_linenumber AS DOUBLE)), 6) AS divn,
+        try_add(9223372036854775807, l_orderkey) AS add_of,
+        try_multiply(4611686018427387904, l_orderkey) AS mul_of,
+        try_element_at(array(l_linenumber), 99) AS oob
+        FROM lineitem WHERE l_orderkey <= 200
+        ORDER BY l_orderkey, l_linenumber, divn""") },
+    Some("""SELECT l_orderkey, l_linenumber,
+      l_quantity / nullif(CAST(l_linenumber - l_linenumber AS DOUBLE), 0.0) AS div0,
+      round(l_quantity / CAST(l_linenumber AS DOUBLE), 6) AS divn,
+      TRY_CAST(CAST(9223372036854775807 AS HUGEINT) + l_orderkey AS BIGINT) AS add_of,
+      TRY_CAST(CAST(4611686018427387904 AS HUGEINT) * l_orderkey AS BIGINT) AS mul_of,
+      ([l_linenumber])[99] AS oob
+      FROM lineitem WHERE l_orderkey <= 200
+      ORDER BY l_orderkey, l_linenumber, divn"""))
+
   val all: Seq[Declared] = Seq(
     cte, subqueryScalar, subqueryIn, subqueryCorrelated, valuesQ, having,
-    subqueryExists, decimalAgg, groupByAll, likePatterns)
+    subqueryExists, decimalAgg, groupByAll, likePatterns, lateralJoin, tryArith)
 }
