@@ -128,9 +128,14 @@ object Main {
       val epsilon = opt(rest, "--epsilon").map(_.toDouble).getOrElse(0.0)
       val result = opt(rest, "--key") match {
         case Some(keys) =>
-          // order-free keyed compare: no sort/snapshot, scales like a join
+          // order-free keyed compare: no sort/snapshot, scales like a join;
+          // honors --no-header-row exactly like the positional branch
+          def readSide(p: String) =
+            if (flag(rest, "--no-header-row") && p.toLowerCase.endsWith(".csv"))
+              Formats.readCsvNoHeader(spark, p)
+            else Formats.read(spark, p)
           Compare.summarizeByKey(
-            Formats.read(spark, ps(0)), Formats.read(spark, ps(1)),
+            readSide(ps(0)), readSide(ps(1)),
             keys.split(",").map(_.trim).toSeq, epsilon)
         case None =>
           Compare.compareFiles(spark, ps(0), ps(1),

@@ -24,6 +24,12 @@ object Hashing {
   def md5Hash60Sql(expr: String): String =
     s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
 
+  /** Portable 32-bit hash (first 8 hex chars of md5) as a Column. Pair with
+    * [[md5Hash32DuckSql]] for the oracle side.
+    */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   /** Portable 32-bit hash (8 hex chars of md5 at 1-based `offset`) as a Spark
     * SQL snippet — usable inside higher-order-function lambdas where a Column
     * can't reach. Pair with [[md5Hash32DuckSql]] for the oracle side.

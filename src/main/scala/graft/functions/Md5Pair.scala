@@ -22,6 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class Md5Pair(child: Expression) extends UnaryExpression {
 
+  // checked input type: a non-string child becomes a clean AnalysisException
+  // instead of a mid-job ClassCastException / codegen compile failure
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "md5_pair32"
 

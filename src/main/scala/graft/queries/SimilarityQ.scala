@@ -143,24 +143,29 @@ object SimilarityQ {
       val maxAbs = expr(
         "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))")
       val e0 = element_at(col("embedding"), 1).cast("double")
+      // nullif on the divisors: a zero-norm (or empty) embedding must yield
+      // null, not an ANSI DIVIDE_BY_ZERO that kills the scan (same contract
+      // as CosineSim); the oracle mirrors with the same nullif
+      val safeNorm = nullif(sqrt(sq), lit(0.0))
+      val safeScale = nullif(maxAbs / 127.0, lit(0.0))
       t(s, dir, "embeddings")
         .select(
           col("vec_id"),
           round(sqrt(sq), 6).as("l2_norm"),
-          round(e0 / sqrt(sq), 6).as("e0_unit"),
+          round(e0 / safeNorm, 6).as("e0_unit"),
           round(maxAbs / 127.0, 8).as("q_scale"),
           // floor(x + 0.5): double->int CAST truncates in Spark but ROUNDS
           // in DuckDB, so round explicitly before the cast
-          floor(e0 / (maxAbs / 127.0) + 0.5).cast("int").as("e0_q"))
+          floor(e0 / safeScale + 0.5).cast("int").as("e0_q"))
         .orderBy(col("vec_id"))
     },
     Some("""SELECT vec_id,
       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 6) AS l2_norm,
       round(CAST(embedding[1] AS DOUBLE)
-        / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 6) AS e0_unit,
+        / nullif(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 0.0), 6) AS e0_unit,
       round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0, 8) AS q_scale,
       CAST(floor(CAST(embedding[1] AS DOUBLE)
-        / (list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0) + 0.5) AS INTEGER) AS e0_q
+        / nullif(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0, 0.0) + 0.5) AS INTEGER) AS e0_q
       FROM embeddings ORDER BY vec_id"""))
 
   val all: Seq[Declared] = Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize)

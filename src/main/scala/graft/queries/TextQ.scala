@@ -73,6 +73,42 @@ object TextQ {
     }
   }
 
+  /** The quality signals (uniq-token ratio, avg word length, composite
+    * score) over a `text` column — ONE definition shared by text_quality and
+    * curate_corpus so the funnel's gate can never desync from the published
+    * score. [[qualitySignalsSql]] is the DuckDB mirror.
+    */
+  private case class QualitySignals(uniqRatio: Column, avgLen: Column, score: Column)
+  private def qualitySignals: QualitySignals = {
+    val w = TextFns.words(col("text"))
+    val nTok = size(w).cast("double")
+    val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val sw = scoreCol(w, stopwords.toMap.apply("en")).cast("double")
+    val uniqRatio = size(array_distinct(w)).cast("double") / nTok
+    val avgLen = length(regexp_replace(col("text"), lit("\\s+"), lit(""))).cast("double") / nTok
+    val score = round(
+      uniqRatio * 0.4 +
+        least(sw / nTok * 10.0, lit(1.0)) * 0.2 +
+        (lit(1.0) - least(punct / greatest(length(col("text")).cast("double"), lit(1.0)) * 10.0, lit(1.0))) * 0.2 +
+        when(avgLen.between(3.0, 8.0), 0.2).otherwise(0.0), 6)
+    QualitySignals(uniqRatio, avgLen, score)
+  }
+
+  /** (uniqRatioSql, avgLenSql, scoreSql) over the `text` column in DuckDB. */
+  private def qualitySignalsSql: (String, String, String) = {
+    val ws = "string_split_regex(trim(text), '\\s+')"
+    val nTok = s"CAST(len($ws) AS DOUBLE)"
+    val punct = s"CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) AS DOUBLE)"
+    val sw = s"CAST(${scoreSql(stopwords.toMap.apply("en"), ws)} AS DOUBLE)"
+    val uniq = s"CAST(len(list_distinct($ws)) AS DOUBLE) / $nTok"
+    val avgLen = s"CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $nTok"
+    val score = s"""round($uniq * 0.4 +
+        least($sw / $nTok * 10.0, 1.0) * 0.2 +
+        (1.0 - least($punct / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2 +
+        CASE WHEN $avgLen BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 6)"""
+    (uniq, avgLen, score)
+  }
+
   /** Language ID: argmax of per-language stopword hit counts (deterministic
     * lexicographic tiebreak), scored against the labeled lang column.
     */
@@ -113,37 +149,18 @@ object TextQ {
   val quality = Declared(
     "text_quality",
     (s, dir) => {
-      val w = TextFns.words(col("text"))
-      val nTok = size(w).cast("double")
-      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
-      val sw = scoreCol(w, stopwords.toMap.apply("en")).cast("double")
-      val uniqRatio = size(array_distinct(w)).cast("double") / nTok
-      val avgLen = length(regexp_replace(col("text"), lit("\\s+"), lit(""))).cast("double") / nTok
-      val score = round(
-        uniqRatio * 0.4 +
-          least(sw / nTok * 10.0, lit(1.0)) * 0.2 +
-          (lit(1.0) - least(punct / greatest(length(col("text")).cast("double"), lit(1.0)) * 10.0, lit(1.0))) * 0.2 +
-          when(avgLen.between(3.0, 8.0), 0.2).otherwise(0.0), 6)
+      val q = qualitySignals
       t(s, dir, "documents")
         .select(
           col("doc_id"),
-          round(uniqRatio, 6).as("uniq_ratio"),
-          round(avgLen, 6).as("avg_word_len"),
-          score.as("quality_score"),
-          (score >= 0.5).as("keep"))
+          round(q.uniqRatio, 6).as("uniq_ratio"),
+          round(q.avgLen, 6).as("avg_word_len"),
+          q.score.as("quality_score"),
+          (q.score >= 0.5).as("keep"))
         .orderBy(col("doc_id"))
     },
     Some {
-      val ws = "string_split_regex(trim(text), '\\s+')"
-      val nTok = s"CAST(len($ws) AS DOUBLE)"
-      val punct = s"CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) AS DOUBLE)"
-      val sw = s"CAST(${scoreSql(stopwords.toMap.apply("en"), ws)} AS DOUBLE)"
-      val uniq = s"CAST(len(list_distinct($ws)) AS DOUBLE) / $nTok"
-      val avgLen = s"CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $nTok"
-      val score = s"""round($uniq * 0.4 +
-        least($sw / $nTok * 10.0, 1.0) * 0.2 +
-        (1.0 - least($punct / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2 +
-        CASE WHEN $avgLen BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 6)"""
+      val (uniq, avgLen, score) = qualitySignalsSql
       s"""SELECT doc_id,
         round($uniq, 6) AS uniq_ratio,
         round($avgLen, 6) AS avg_word_len,
@@ -168,19 +185,9 @@ object TextQ {
     * n_kept == n_token_window legitimately).
     */
   def curateFunnel(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val w = TextFns.words(col("text"))
-      val nTok = size(w).cast("double")
-      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
-      val sw = scoreCol(w, stopwords.toMap.apply("en")).cast("double")
-      val uniqRatio = size(array_distinct(w)).cast("double") / nTok
-      val avgLen = length(regexp_replace(col("text"), lit("\\s+"), lit(""))).cast("double") / nTok
-      val score = round(
-        uniqRatio * 0.4 +
-          least(sw / nTok * 10.0, lit(1.0)) * 0.2 +
-          (lit(1.0) - least(punct / greatest(length(col("text")).cast("double"), lit(1.0)) * 10.0, lit(1.0))) * 0.2 +
-          when(avgLen.between(3.0, 8.0), 0.2).otherwise(0.0), 6)
+      val score = qualitySignals.score // SAME definition as text_quality
       val sig = docs
-        .withColumn("ws", w)
+        .withColumn("ws", TextFns.words(col("text")))
         .select(
           Seq(col("doc_id"),
             size(col("ws")).as("n_tokens"),
@@ -208,15 +215,7 @@ object TextQ {
     (s, dir) => curateFunnel(t(s, dir, "documents")),
     Some {
       val ws = "string_split_regex(trim(text), '\\s+')"
-      val nTok = s"CAST(len($ws) AS DOUBLE)"
-      val punct = s"CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) AS DOUBLE)"
-      val sw = s"CAST(${scoreSql(stopwords.toMap.apply("en"), ws)} AS DOUBLE)"
-      val uniq = s"CAST(len(list_distinct($ws)) AS DOUBLE) / $nTok"
-      val avgLen = s"CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $nTok"
-      val score = s"""round($uniq * 0.4 +
-        least($sw / $nTok * 10.0, 1.0) * 0.2 +
-        (1.0 - least($punct / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2 +
-        CASE WHEN $avgLen BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 6)"""
+      val (_, _, score) = qualitySignalsSql // SAME definition as text_quality
       val scores = stopwords.map { case (l, sws) => s"${scoreSql(sws, "ws")} AS s_$l" }
         .mkString(",\n          ")
       val pred = predictedLangSql(l => s"s_$l")
@@ -324,8 +323,7 @@ object TextQ {
   val splitTrainVal = Declared(
     "split_train_val",
     (s, dir) => {
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
+      val bucket = graft.functions.Hashing.md5Hash32(col("doc_id").cast("string")) % 100
       t(s, dir, "documents")
         .withColumn("split", when(bucket < 90, "train").otherwise("val"))
         .groupBy(col("split"), col("lang"))
@@ -334,8 +332,8 @@ object TextQ {
           sum(col("n_chars").cast("long")).as("sum_chars"))
         .orderBy(col("split"), col("lang"))
     },
-    Some("""SELECT
-        CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+    Some(s"""SELECT
+        CASE WHEN ${graft.functions.Hashing.md5Hash32DuckSql("CAST(doc_id AS VARCHAR)")} % 100 < 90
           THEN 'train' ELSE 'val' END AS split,
         lang, CAST(count(*) AS BIGINT) AS n_docs,
         CAST(sum(n_chars) AS BIGINT) AS sum_chars
