@@ -373,7 +373,41 @@ object Scalars {
         FROM part WHERE p_partkey < 300)
       ORDER BY p_partkey"""))
 
+  /** Higher-order-function battery: filter / exists / forall / transform /
+    * zip_with / aggregate over the embedding arrays. Lambdas widen floats to
+    * double before arithmetic and accumulate left-to-right, so DuckDB's
+    * list_* mirrors agree bit-for-bit after round(...,6).
+    */
+  val hofFuncs = Declared(
+    "q_hof_funcs",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .filter(col("vec_id") < 500)
+        .select(
+          col("vec_id"),
+          expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+          expr("exists(embedding, x -> x > 0.05)").as("any_big"),
+          expr("forall(embedding, x -> abs(x) < 1.0)").as("all_small"),
+          round(expr(
+            """aggregate(
+                 zip_with(embedding, reverse(embedding),
+                          (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+                 CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"""), 6).as("rev_dot"),
+          round(expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"), 6).as("max_abs"))
+        .orderBy(col("vec_id")),
+    Some("""SELECT vec_id,
+      CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+      len(list_filter(embedding, x -> x > 0.05)) > 0 AS any_big,
+      len(list_filter(embedding, x -> abs(x) >= 1.0)) = 0 AS all_small,
+      round(list_sum(list_transform(range(len(embedding)),
+        i -> CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE)
+           * CAST(embedding[len(embedding) - CAST(i AS INTEGER)] AS DOUBLE))), 6) AS rev_dot,
+      round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS max_abs
+      FROM embeddings WHERE vec_id < 500 ORDER BY vec_id"""))
+
   val all: Seq[Declared] = Seq(
     stringFuncs, mathFuncs, dateFuncs, regexFuncs, conditionalFuncs,
-    castTypes, arrayFuncs, unnestQ, mathFuncs3, bitFuncs, dateFuncs2, mapFuncs)
+    castTypes, arrayFuncs, unnestQ, mathFuncs3, bitFuncs, dateFuncs2, mapFuncs,
+    hofFuncs)
 }
