@@ -172,6 +172,38 @@ object Coverage {
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** Schema evolution on read: two parquet partitions written with
+    * DIFFERENT (overlapping) schemas — an old batch missing columns a newer
+    * batch added — unified by `mergeSchema`; old rows surface nulls for the
+    * new columns. This is the lakehouse reality of any long-lived 100 TB
+    * table: readers must take the union of historical schemas without
+    * rewriting history. The oracle reproduces the union with typed NULLs.
+    */
+  val schemaEvolution = Declared(
+    "op_schema_evolution",
+    (s, dir) => {
+      val out = Tables.scratch("schema_evo")
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(s"$out/v=1")
+      t(s, dir, "nation").select(
+          col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          length(col("n_name")).as("n_len"))
+        .write.mode("overwrite").parquet(s"$out/v=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(
+          col("v"), col("n_nationkey"), col("n_name"),
+          col("n_regionkey"), col("n_len"))
+        .orderBy(col("v"), col("n_nationkey"))
+    },
+    Some("""SELECT 1 AS v, n_nationkey, n_name,
+        CAST(NULL AS BIGINT) AS n_regionkey, CAST(NULL AS INTEGER) AS n_len
+      FROM nation
+      UNION ALL
+      SELECT 2 AS v, n_nationkey, n_name, n_regionkey,
+        CAST(length(n_name) AS INTEGER) AS n_len
+      FROM nation
+      ORDER BY v, n_nationkey"""))
+
   /** The `query` op's registration path: file → sanitized-stem view → SQL. */
   val queryRunnerQ = Declared(
     "op_query_runner",
@@ -208,5 +240,5 @@ object Coverage {
 
   val all: Seq[Declared] = Seq(
     offset, nullsOrder, nullHandling, tryCast, predicates, unpivot,
-    nullSafeJoin, partitionedScan, queryRunnerQ, saltedAgg)
+    nullSafeJoin, partitionedScan, schemaEvolution, queryRunnerQ, saltedAgg)
 }
