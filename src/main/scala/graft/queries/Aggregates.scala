@@ -138,6 +138,28 @@ object Aggregates {
       count(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** mode() / median() / ordered distinct string aggregation. The mode input
+    * is constructed so one value dominates by a wide margin — mode() on ties
+    * is engine-arbitrary, so a tie-free input is what makes it
+    * cross-engine-checkable.
+    */
+  val modeMedian = Declared(
+    "q_agg_mode_median",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("mode(CASE WHEN l_quantity <= 25 THEN 0 ELSE l_linenumber END)")
+            .as("mode_bucket"),
+          median(col("l_quantity")).as("med_qty"),
+          expr("array_join(array_sort(collect_set(l_linestatus)), ',')").as("statuses"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      mode(CASE WHEN l_quantity <= 25 THEN 0 ELSE l_linenumber END) AS mode_bucket,
+      median(l_quantity) AS med_qty,
+      string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // NOTE: a rows-only `q_agg_approx` (raw HLL/GK sketch values) was dropped
   // in round 3: raw sketches are engine-specific by nature, and
   // q_agg_approx_bound below exercises the same approx_count_distinct /
@@ -236,6 +258,6 @@ object Aggregates {
       ORDER BY rflag, lstatus"""))
 
   val all: Seq[Declared] = Seq(
-    stats, percentiles, collects, minmax, boolBit, countDistinctQ,
+    stats, percentiles, collects, minmax, boolBit, countDistinctQ, modeMedian,
     approxBound, rollupQ, cubeQ, groupingSets)
 }

@@ -192,6 +192,48 @@ object EventsQ {
         ON e.user_id = s.user_id AND e.ts BETWEEN s.s AND s.e
       ORDER BY e.event_id"""))
 
+  /** Time-series gap filling (dimension densification): the hourly timeline
+    * is made DENSE — every (hour, event_type) cell exists, missing ones as
+    * zero — by joining the sparse aggregate onto a generated spine
+    * (sequence over the hour range × the type dimension). The spine sides
+    * are one row and a handful of types, so the cross join is a broadcast
+    * triviality; the left join back is an ordinary equi-shuffle. This is the
+    * standard reporting/feature-store shape at any scale.
+    */
+  val gapFill = Declared(
+    "q_gap_fill",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val spine = bounds
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+        .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+      spine.join(hourly, Seq("h", "event_type"), "left")
+        .select(col("h"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("h"), col("event_type"))
+    },
+    Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type FROM events),
+      hourly AS (
+        SELECT CAST(date_trunc('hour', t) AS TIMESTAMP) AS h, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY h, event_type),
+      bounds AS (
+        SELECT CAST(date_trunc('hour', min(t)) AS TIMESTAMP) AS lo,
+               CAST(date_trunc('hour', max(t)) AS TIMESTAMP) AS hi FROM e),
+      spine AS (
+        SELECT h, event_type FROM
+          (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds)
+          CROSS JOIN (SELECT DISTINCT event_type FROM e))
+      SELECT spine.h, spine.event_type, coalesce(hourly.n, CAST(0 AS BIGINT)) AS n
+      FROM spine LEFT JOIN hourly
+        ON spine.h = hourly.h AND spine.event_type = hourly.event_type
+      ORDER BY spine.h, spine.event_type"""))
+
   /** Spark 4 VARIANT path: parse_json → VariantType → typed variant_get in
     * both a per-row filter and an aggregate. Variant is Spark 4's native
     * semi-structured type (binary-encoded, shredded access without
@@ -223,5 +265,6 @@ object EventsQ {
       GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Declared] = Seq(
-    dateBin, jsonExtract, hourly, sessionize, asof, pivot, rangeJoin, variantAgg)
+    dateBin, jsonExtract, hourly, sessionize, asof, pivot, rangeJoin, variantAgg,
+    gapFill)
 }
