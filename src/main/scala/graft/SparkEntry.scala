@@ -21,7 +21,8 @@ object SparkEntry {
       _root_.graft.queries.ExtrasQ.all ++
       _root_.graft.queries.Coverage.all ++
       _root_.graft.queries.Coverage2.all ++
-      _root_.graft.queries.Physical.all
+      _root_.graft.queries.Physical.all ++
+      _root_.graft.queries.PipelineQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

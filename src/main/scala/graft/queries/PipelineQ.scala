@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.{Declared, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond dedup/similarity (BASELINE.json
+  * north star): benchmark decontamination, sequence packing, embedding
+  * outlier detection, and corpus term statistics. Each is the Spark-first
+  * shape of a step a real 100 TB pretraining pipeline runs between "raw
+  * corpus" and "tokenized shards".
+  */
+object PipelineQ {
+  import Tables.t
+
+  /** Eval-set decontamination: flag corpus documents sharing any word-5-gram
+    * with a benchmark set (here: the `source = 'src0'` slice standing in for
+    * a held-out eval suite). The benchmark side is tiny at ANY corpus scale —
+    * eval suites don't grow with the crawl — so its distinct shingle set is
+    * broadcast and the corpus side stays a map-side shingle + broadcast hash
+    * join + partial-agg pipeline: no corpus shuffle at all beyond the final
+    * per-doc aggregation.
+    */
+  val decontaminate = Declared(
+    "decontaminate",
+    (s, dir) => {
+      val docs = Tables.spread(t(s, dir, "documents"), "doc_id")
+      val sh = docs.select(
+        col("doc_id"), col("source"), TextFns.wordShingles("text", 5).as("sh"))
+      val bench = sh.filter(col("source") === "src0")
+        .select(explode(col("sh")).as("g")).distinct()
+      val corpus = sh.filter(col("source") =!= "src0")
+        .select(col("doc_id"), size(col("sh")).as("n_shingles"), explode(col("sh")).as("g"))
+      corpus.join(broadcast(bench), "g")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).cast("int").as("n_hits"),
+          max(col("n_shingles")).as("n_shingles"))
+        .select(
+          col("doc_id"), col("n_hits"), col("n_shingles"),
+          round(col("n_hits").cast("double") / col("n_shingles").cast("double"), 6)
+            .as("contamination"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ws AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      sh AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+            i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' '))) AS sh
+        FROM ws),
+      bench AS (
+        SELECT DISTINCT unnest(sh) AS g FROM sh WHERE source = 'src0'),
+      corpus AS (
+        SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g FROM sh WHERE source <> 'src0')
+      SELECT c.doc_id,
+        CAST(count(*) AS INTEGER) AS n_hits,
+        CAST(max(c.n_shingles) AS INTEGER) AS n_shingles,
+        round(CAST(count(*) AS DOUBLE) / CAST(max(c.n_shingles) AS DOUBLE), 6) AS contamination
+      FROM corpus c JOIN bench b ON c.g = b.g
+      GROUP BY c.doc_id
+      ORDER BY c.doc_id"""))
+
+  /** Sequence packing: assign documents to fixed-capacity (128 BPE-token)
+    * training packs by cumulative token count within (lang, source) shards.
+    * Sharding by (lang, source) — not lang alone — is the scale decision: a
+    * per-language global running sum would serialize each language onto one
+    * window partition, while shards keep the window state bounded and
+    * parallel (at 100 TB the shard key gains a hash bucket). A document that
+    * straddles a boundary starts in the pack its cumulative start falls in —
+    * the standard greedy sequential approximation.
+    */
+  val packSequences = Declared(
+    "pack_sequences",
+    (s, dir) => {
+      val tok = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("source"),
+        TextFns.bpeTokenCount(col("text")).cast("long").as("n_tok"))
+      val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tok.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_tok")).cast("double") / 128.0).cast("long"))
+        .groupBy(col("lang"), col("source"), col("pack_id"))
+        .agg(
+          count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_tok")).as("pack_tokens"))
+        .orderBy(col("lang"), col("source"), col("pack_id"))
+    },
+    Some(s"""WITH tok AS (
+        SELECT doc_id, lang, source,
+          CAST(len(regexp_extract_all(text, '${TextFns.bpeTokenPattern}', 0)) AS BIGINT) AS n_tok
+        FROM documents),
+      cum AS (
+        SELECT lang, source, doc_id, n_tok,
+          sum(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM tok)
+      SELECT lang, source,
+        CAST(floor(CAST(cum - n_tok AS DOUBLE) / 128.0) AS BIGINT) AS pack_id,
+        CAST(count(*) AS INTEGER) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+      FROM cum
+      GROUP BY lang, source, pack_id
+      ORDER BY lang, source, pack_id"""))
+
+  /** Embedding outlier detection for corpus cleaning: distance of each
+    * vector to its label centroid, top-3 farthest per label. Centroids fold
+    * as a (label, dim)-cell partial aggregate — 64·|labels| cells regardless
+    * of corpus size — then come back as one ordered array per label so the
+    * distance is a per-row left-to-right array fold (deterministic float
+    * summation, same discipline as dedup_embed_cosine). Centroid components
+    * are rounded before the distance so both engines fold bit-identical
+    * inputs.
+    */
+  val embedOutliers = Declared(
+    "embed_outliers",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cells = emb.select(
+        col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      val cent = cells.groupBy(col("label"), col("i"))
+        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      val carr = cent.groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").as("c_arr"))
+      val dist = emb.join(broadcast(carr), "label")
+        .withColumn("dist", round(sqrt(expr(
+          """aggregate(zip_with(embedding, c_arr,
+               (a, b) -> power(CAST(a AS DOUBLE) - b, 2D)),
+             0D, (acc, v) -> acc + v)""")), 6))
+      dist
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("label")).orderBy(col("dist").desc, col("vec_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("label"), col("vec_id"), col("dist"), col("rk"))
+        .orderBy(col("label"), col("rk"))
+    },
+    Some("""WITH cells AS (
+        SELECT vec_id, label, CAST(i AS INTEGER) AS i,
+          CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+        FROM embeddings, range(1, 65) t(i)),
+      cent AS (
+        SELECT label, i, round(avg(x), 6) AS c FROM cells GROUP BY label, i),
+      carr AS (
+        SELECT label, list(c ORDER BY i) AS c_arr FROM cent GROUP BY label),
+      dist AS (
+        SELECT vec_id, em.label,
+          round(sqrt(list_sum(list_transform(range(1, 65),
+            i -> power(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                       - c_arr[CAST(i AS INTEGER)], 2)))), 6) AS dist
+        FROM embeddings em JOIN carr ON em.label = carr.label),
+      rk AS (
+        SELECT label, vec_id, dist,
+          row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rk
+        FROM dist)
+      SELECT label, vec_id, dist, CAST(rk AS INTEGER) AS rk
+      FROM rk WHERE rk <= 3 ORDER BY label, rk"""))
+
+  /** Corpus term statistics (the inverted-index head): top-20 alphabetic
+    * terms (≥4 chars, lowercased) by document frequency with total
+    * occurrence counts — classic two-counter wordcount with map-side partial
+    * aggregation and a TakeOrderedAndProject top-k, no global sort.
+    */
+  val corpusTerms = Declared(
+    "corpus_terms",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.words(col("text"))).as("w0"))
+        .select(col("doc_id"), lower(col("w0")).as("w"))
+        .filter(col("w").rlike("^[a-z]{4,}$"))
+        .groupBy(col("w"))
+        .agg(
+          countDistinct(col("doc_id")).cast("int").as("n_docs"),
+          count(lit(1)).cast("int").as("n_occ"))
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("w"))
+        .limit(20),
+    Some("""WITH w AS (
+        SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS w
+        FROM documents)
+      SELECT w,
+        CAST(count(DISTINCT doc_id) AS INTEGER) AS n_docs,
+        CAST(count(*) AS INTEGER) AS n_occ
+      FROM w WHERE regexp_matches(w, '^[a-z]{4,}$')
+      GROUP BY w
+      ORDER BY n_docs DESC, n_occ DESC, w
+      LIMIT 20"""))
+
+  val all: Seq[Declared] = Seq(decontaminate, packSequences, embedOutliers, corpusTerms)
+}
