@@ -30,6 +30,17 @@ object TextFns {
               sequence(0, greatest(size(ws) - $k, 0)),
               i -> array_join(slice(ws, i + 1, $k), ' ')))))""")
 
+  /** ALL word k-shingles, duplicates preserved (repetition scoring needs the
+    * multiset — [[wordShingles]]'s array_distinct would hide every repeat).
+    */
+  def wordShinglesAll(textCol: String, k: Int): Column =
+    expr(
+      s"""flatten(transform(
+            array(split(trim($textCol), '\\\\s+')),
+            ws -> transform(
+              sequence(0, greatest(size(ws) - $k, 0)),
+              i -> array_join(slice(ws, i + 1, $k), ' '))))""")
+
   /** GPT2-ish byte-pair-encoding proxy: letter runs, digits, and single
     * non-space symbols each count as one token.
     */

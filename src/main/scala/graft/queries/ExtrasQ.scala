@@ -176,7 +176,17 @@ object ExtrasQ {
         FROM events)
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** Stream-static enrichment join — oracle is the equivalent batch join. */
+  val streamStaticJoin = Declared(
+    "stream_static_join",
+    (s, dir) => StreamingOps.enrichedTypeCounts(s, dir),
+    Some("""SELECT c_mktsegment, event_type,
+        CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment, event_type
+      ORDER BY c_mktsegment, event_type"""))
+
   val all: Seq[Declared] = Seq(
     mmCatalog, mmFrames, mmBlob, mmDecode, rollingHashQ, streamWindow,
-    streamWindowAppend, streamDedup)
+    streamWindowAppend, streamDedup, streamStaticJoin)
 }

@@ -186,5 +186,92 @@ object PipelineQ {
       ORDER BY n_docs DESC, n_occ DESC, w
       LIMIT 20"""))
 
-  val all: Seq[Declared] = Seq(decontaminate, packSequences, embedOutliers, corpusTerms)
+  /** Gopher-style repetition scoring: fraction of duplicate word 2-grams and
+    * 3-grams per document (1 − distinct/total), the standard pretraining
+    * quality gate for boilerplate / template spam. Per-row map-side work
+    * only; the flag compares the ROUNDED fractions so both engines gate on
+    * bit-identical values.
+    */
+  val textRepetition = Declared(
+    "text_repetition",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFns.wordShinglesAll("text", 2).as("g2"),
+          TextFns.wordShinglesAll("text", 3).as("g3"))
+        .select(
+          col("doc_id"),
+          size(col("g2")).as("n2"),
+          round(lit(1.0) - size(array_distinct(col("g2"))).cast("double")
+            / size(col("g2")).cast("double"), 6).as("dup2"),
+          size(col("g3")).as("n3"),
+          round(lit(1.0) - size(array_distinct(col("g3"))).cast("double")
+            / size(col("g3")).cast("double"), 6).as("dup3"))
+        .withColumn("repetitive", col("dup2") > 0.1 || col("dup3") > 0.05)
+        .orderBy(col("doc_id")),
+    Some("""WITH ws AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      g AS (
+        SELECT doc_id,
+          list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+            i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 1), ' ')) AS g2,
+          list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+            i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 2), ' ')) AS g3
+        FROM ws),
+      scored AS (
+        SELECT doc_id,
+          CAST(len(g2) AS INTEGER) AS n2,
+          round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE), 6) AS dup2,
+          CAST(len(g3) AS INTEGER) AS n3,
+          round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE), 6) AS dup3
+        FROM g)
+      SELECT doc_id, n2, dup2, n3, dup3,
+        (dup2 > 0.1 OR dup3 > 0.05) AS repetitive
+      FROM scored ORDER BY doc_id"""))
+
+  /** Data mixing: per-language target sampling rates applied with a salted
+    * deterministic hash (the doc's identity decides its fate, so reruns and
+    * retried partitions agree — same discipline as split_train_val, different
+    * salt so the two decisions stay independent). Readout is the realized
+    * mixture vs target per language.
+    */
+  val mixSample = Declared(
+    "mix_sample",
+    (s, dir) => {
+      val target = when(col("lang") === "en", 1.0)
+        .when(col("lang") === "de", 0.5)
+        .when(col("lang") === "fr", 0.5)
+        .when(col("lang") === "es", 0.25)
+        .otherwise(0.1)
+      val bucket = graft.functions.Hashing
+        .md5Hash32(concat(col("doc_id").cast("string"), lit("|mix"))) % 1000
+      t(s, dir, "documents")
+        .withColumn("target_rate", target)
+        .withColumn("kept", bucket.cast("double") < col("target_rate") * 1000.0)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          round(avg(col("target_rate")), 6).as("target_rate"),
+          round(avg(col("kept").cast("double")), 6).as("realized_rate"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH d AS (
+        SELECT lang,
+          CAST(CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+            WHEN 'es' THEN 0.25 ELSE 0.1 END AS DOUBLE) AS target_rate,
+          (CAST(${graft.functions.Hashing.md5Hash32DuckSql("CAST(doc_id AS VARCHAR) || '|mix'")} % 1000 AS DOUBLE)
+            < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+                WHEN 'es' THEN 0.25 ELSE 0.1 END * 1000.0) AS kept
+        FROM documents)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_total,
+        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        round(avg(target_rate), 6) AS target_rate,
+        round(avg(CASE WHEN kept THEN 1.0 ELSE 0.0 END), 6) AS realized_rate
+      FROM d GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Declared] = Seq(
+    decontaminate, packSequences, embedOutliers, corpusTerms, textRepetition, mixSample)
 }

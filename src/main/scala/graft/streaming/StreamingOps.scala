@@ -192,6 +192,42 @@ object StreamingOps {
       .orderBy(col("event_type"))
   }
 
+  /** Stream-static enrichment join: streaming events joined to a STATIC
+    * dimension (customer), then aggregated per (segment, type). The join is
+    * STATELESS — Spark re-plans the static side per micro-batch and
+    * broadcasts it (no state store, no watermark needed on an inner
+    * stream-static join), which is exactly the 100 TB deployment shape: a
+    * firehose enriched against a slowly-changing dim table; only the small
+    * (segment × type) aggregate carries state.
+    */
+  def enrichedTypeCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = stream
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+
+    val name = "graft_stream_enrich_sink"
+    runTuned(spark, scanParts) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name).orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   case class SessionState(start: Long, end: Long, n: Long, value: Double)
   case class SessionOut(
       user_id: Long, session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
