@@ -148,7 +148,24 @@ object SqlSurface {
       FROM lineitem WHERE l_orderkey <= 200
       ORDER BY l_orderkey, l_linenumber, divn"""))
 
+  /** Aggregate FILTER clause (ANSI): conditional aggregation without CASE
+    * scaffolding — one pass, each aggregate sees its own row subset. Plans
+    * as a single HashAggregate with per-aggregate predicates.
+    */
+  val aggFilter = both(
+    "q_agg_filter",
+    """SELECT o_orderpriority,
+        count(*) AS n_all,
+        count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        count(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+        round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS open_value,
+        round(avg(o_totalprice) FILTER (WHERE o_totalprice > 150000.0), 2) AS avg_big
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+
   val all: Seq[Declared] = Seq(
     cte, subqueryScalar, subqueryIn, subqueryCorrelated, valuesQ, having,
-    subqueryExists, decimalAgg, groupByAll, likePatterns, lateralJoin, tryArith)
+    subqueryExists, decimalAgg, groupByAll, likePatterns, lateralJoin, tryArith,
+    aggFilter)
 }

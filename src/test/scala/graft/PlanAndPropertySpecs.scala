@@ -50,6 +50,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("decontaminate broadcasts the benchmark shingle set") {
+    // the corpus side must meet the benchmark set in a BroadcastHashJoin —
+    // a shuffled join here would re-shuffle the full corpus at 100 TB
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("embed_outliers broadcasts the per-label centroid arrays") {
+    val p = plan("embed_outliers")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("corpus_terms top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("corpus_terms")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("rolling hash expression participates in codegen (no fallback)") {
     val df = Tables.t(spark, TestSpark.sf, "documents")
       .select(graft.functions.RollingHash.rolling_hash(col("text")))
