@@ -26,7 +26,19 @@ object Convert {
       zstd: Boolean = false): Unit = {
 
     val df0 = Formats.read(spark, input)
-    val df = if (singleFile) df0.coalesce(1) else df0
+    // single-file output is inherently one encoder task; directory output
+    // should use every core. A one-file local input arrives as ONE split, so
+    // round-robin it across the cores first (zstd-8 encode of a 600 k-row
+    // lineitem measured 5-10 s on one core vs <1 s spread). At 100 TB the
+    // input has thousands of splits and the condition is never true — no
+    // gratuitous shuffle at scale. Row order across output files is not
+    // contractual for directory output (the reference's multi-file write is
+    // partition-parallel too, convert.rs:22).
+    val parallelism = spark.sparkContext.defaultParallelism
+    val df =
+      if (singleFile) df0.coalesce(1)
+      else if (df0.rdd.getNumPartitions < parallelism) df0.repartition(parallelism)
+      else df0
 
     Formats.fileFormat(output) match {
       case Right(Formats.Csv) =>

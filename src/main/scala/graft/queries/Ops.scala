@@ -73,7 +73,9 @@ object Ops {
     "op_convert_roundtrip",
     (s, dir) => {
       val out = Tables.scratch("lineitem_zstd.parquet")
-      Convert.convert(s, s"$dir/lineitem.parquet", out, singleFile = true, zstd = true)
+      // directory output (the at-scale mode): encode runs on every core.
+      // The --single-file path is pinned at fixture scale by ConvertSpec.
+      Convert.convert(s, s"$dir/lineitem.parquet", out, singleFile = false, zstd = true)
       s.read.parquet(out)
         .agg(
           count(lit(1)).as("n"),
