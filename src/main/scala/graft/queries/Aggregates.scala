@@ -257,7 +257,53 @@ object Aggregates {
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY rflag, lstatus"""))
 
+  /** Several DISTINCT aggregates with different argument sets in one agg —
+    * Catalyst plans this with an Expand (one replica of the input per
+    * distinct-argument group) feeding a two-level hash aggregate, which keeps
+    * the shuffle keyed on (group, replica) instead of re-scanning per
+    * distinct column. The classic multi-count-distinct profile query.
+    */
+  val multiDistinct = Declared(
+    "q_agg_multi_distinct",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          countDistinct(col("source")).as("n_src"),
+          countDistinct(col("n_chars")).as("n_len"),
+          countDistinct(col("source"), col("n_chars")).as("n_src_len"),
+          count(lit(1)).as("n"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang")),
+    Some("""SELECT lang,
+      CAST(count(DISTINCT source) AS BIGINT) AS n_src,
+      CAST(count(DISTINCT n_chars) AS BIGINT) AS n_len,
+      CAST(count(DISTINCT (source, n_chars)) AS BIGINT) AS n_src_len,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Ordered string aggregation: Spark 4's `listagg(...) WITHIN GROUP`
+    * (DuckDB `string_agg(... ORDER BY ...)`). Aggregating the DISTINCT
+    * (lang, source) pairs first keeps the collected state bounded by the
+    * dimension cardinality, not the row count — the only safe way to use an
+    * ordered-collect aggregate at corpus scale.
+    */
+  val listAgg = Declared(
+    "q_agg_listagg",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("source")).distinct()
+        .groupBy(col("lang"))
+        .agg(expr("listagg(source, ',') WITHIN GROUP (ORDER BY source)").as("srcs"),
+          count(lit(1)).as("n_src"))
+        .orderBy(col("lang")),
+    Some("""SELECT lang, string_agg(source, ',' ORDER BY source) AS srcs,
+      CAST(count(*) AS BIGINT) AS n_src
+      FROM (SELECT DISTINCT lang, source FROM documents)
+      GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Declared] = Seq(
     stats, percentiles, collects, minmax, boolBit, countDistinctQ, modeMedian,
-    approxBound, rollupQ, cubeQ, groupingSets)
+    approxBound, rollupQ, cubeQ, groupingSets, multiDistinct, listAgg)
 }

@@ -264,7 +264,34 @@ object EventsQ {
       WHERE json_extract(props, '$.k') IS NOT NULL
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** INTERVAL arithmetic on timestamps: shift, subtract, truncating diffs.
+    * Pure per-row projection — stays inside whole-stage codegen. The fixture
+    * timestamps are NTZ (Tables.t), matching DuckDB's TIMESTAMP.
+    */
+  val intervalArith = Declared(
+    "q_interval_arith",
+    (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(
+          col("event_id"),
+          (col("ts") + expr("INTERVAL 3 HOURS")).as("plus3h"),
+          (col("ts") - expr("INTERVAL 90 MINUTES")).as("minus90m"),
+          (col("ts") + expr("INTERVAL 2 DAYS")).as("plus2d"),
+          expr("timestampdiff(MINUTE, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)")
+            .as("mins_since"),
+          expr("timestampdiff(HOUR, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)")
+            .as("hours_since"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+      ts + INTERVAL 3 HOUR AS plus3h,
+      ts - INTERVAL 90 MINUTE AS minus90m,
+      ts + INTERVAL 2 DAY AS plus2d,
+      date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts) AS mins_since,
+      date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS hours_since
+      FROM events WHERE event_id < 2000 ORDER BY event_id"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, asof, pivot, rangeJoin, variantAgg,
-    gapFill)
+    gapFill, intervalArith)
 }

@@ -272,6 +272,101 @@ object PipelineQ {
         round(avg(CASE WHEN kept THEN 1.0 ELSE 0.0 END), 6) AS realized_rate
       FROM d GROUP BY lang ORDER BY lang"""))
 
+  /** Context-window chunking: split each document into 500-char chunks with
+    * 100-char overlap (stride 400) — the standard long-doc → training-sample
+    * step. `sequence()` + explode is pure per-row fan-out (no shuffle, no
+    * state); chunk content is pinned via md5 so the oracle checks bytes, not
+    * just offsets.
+    */
+  val chunkDocuments = Declared(
+    "chunk_documents",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"), col("text"),
+          explode(sequence(lit(1L), greatest(col("n_chars").cast("long"), lit(1L)),
+            lit(400L))).as("chunk_start"))
+        .select(
+          col("doc_id"), col("chunk_start"),
+          expr("substring(text, CAST(chunk_start AS INT), 500)").as("chunk"))
+        .select(
+          col("doc_id"), col("chunk_start"),
+          length(col("chunk")).as("chunk_len"),
+          md5(col("chunk").cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_start")),
+    Some("""WITH starts AS (
+        SELECT doc_id, text,
+          unnest(generate_series(1, CAST(greatest(n_chars, 1) AS BIGINT), 400)) AS chunk_start
+        FROM documents),
+      c AS (
+        SELECT doc_id, chunk_start,
+          substring(text, CAST(chunk_start AS INT), 500) AS chunk
+        FROM starts)
+      SELECT doc_id, chunk_start,
+        CAST(length(chunk) AS INTEGER) AS chunk_len,
+        md5(chunk) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_start"""))
+
+  /** Stratified deterministic sampling: top-20 docs per language by a salted
+    * content-independent hash rank — every partition/rerun agrees on the
+    * sample, and the per-stratum window state is bounded by the stratum's
+    * row count (keys gain a hash bucket at 100 TB, same note as
+    * pack_sequences). The shape behind "give me a balanced eval slice".
+    */
+  val sampleStratified = Declared(
+    "sample_stratified",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit("|sample"))
+          .cast("binary")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("lang"), col("rn"))
+    },
+    Some("""SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id, source, n_chars
+      FROM (
+        SELECT lang, doc_id, source, n_chars,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || '|sample'), doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 20 ORDER BY lang, rn"""))
+
+  /** Curriculum sharding: within each language, order docs by length and cut
+    * into 5 equal-depth shards (ntile) — short-to-long curriculum per
+    * language. Partitioning the window BY LANGUAGE is the scale decision: a
+    * global ntile is a one-reducer sort, while per-stratum tiles keep every
+    * window partition bounded and parallel.
+    */
+  val curriculumOrder = Declared(
+    "curriculum_order",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("shard", ntile(5).over(w))
+        .groupBy(col("lang"), col("shard"))
+        .agg(
+          count(lit(1)).cast("int").as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"), col("shard"))
+    },
+    Some("""SELECT lang, CAST(shard AS INTEGER) AS shard,
+        CAST(count(*) AS INTEGER) AS n_docs,
+        min(n_chars) AS min_chars,
+        max(n_chars) AS max_chars,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM (
+        SELECT lang, n_chars,
+          ntile(5) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS shard
+        FROM documents)
+      GROUP BY lang, shard ORDER BY lang, shard"""))
+
   val all: Seq[Declared] = Seq(
-    decontaminate, packSequences, embedOutliers, corpusTerms, textRepetition, mixSample)
+    decontaminate, packSequences, embedOutliers, corpusTerms, textRepetition,
+    mixSample, chunkDocuments, sampleStratified, curriculumOrder)
 }

@@ -168,5 +168,59 @@ object SimilarityQ {
         / nullif(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0, 0.0) + 0.5) AS INTEGER) AS e0_q
       FROM embeddings ORDER BY vec_id"""))
 
-  val all: Seq[Declared] = Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize)
+  /** kNN label vote: classify each probe vector by majority label among its
+    * 10 nearest corpus neighbors (cosine), ties broken by best similarity
+    * then label. The probe side is a tiny broadcast (queries don't scale with
+    * the corpus); the corpus side is one embarrassingly-parallel scan with a
+    * per-probe top-k window over the 3-probe × corpus sims — the exact-kNN
+    * baseline a downstream weak-labeling pipeline runs.
+    */
+  val knnLabelVote = Declared(
+    "knn_label_vote",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
+      val sims = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(
+          col("probe_id"), col("label"), col("vec_id").as("nb"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("nb"))
+      val votes = sims
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 10)
+        .groupBy(col("probe_id"), col("label"))
+        .agg(count(lit(1)).as("votes"), max(col("cos")).as("best"))
+      val wVote = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("votes").desc, col("best").desc, col("label"))
+      votes.withColumn("r", row_number().over(wVote)).filter(col("r") === 1)
+        .select(col("probe_id"), col("label").as("pred_label"), col("votes"),
+          round(col("best"), 6).as("best"))
+        .orderBy(col("probe_id"))
+    },
+    Some("""WITH sims AS (
+        SELECT p.vec_id AS probe_id, e.label, e.vec_id AS nb,
+          round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+            CAST(p.embedding AS DOUBLE[])), 6) AS cos
+        FROM embeddings e
+        CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) p
+        WHERE e.vec_id <> p.vec_id),
+      topk AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos DESC, nb) AS rn FROM sims)
+        WHERE rn <= 10),
+      votes AS (
+        SELECT probe_id, label, CAST(count(*) AS BIGINT) AS votes, max(cos) AS best
+        FROM topk GROUP BY probe_id, label)
+      SELECT probe_id, label AS pred_label, votes, round(best, 6) AS best
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY votes DESC, best DESC, label) AS r FROM votes)
+      WHERE r = 1 ORDER BY probe_id"""))
+
+  val all: Seq[Declared] =
+    Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote)
 }
