@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // single-JVM local[32] carries executor storage AND shuffle for 32 task
+  // threads; 8g makes wide explodes GC-bound at sf0.1 (measured: one 3s
+  // query degraded to 22s under heap pressure in a full 147-query run).
+  // The harness machine has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -99,7 +99,13 @@ object MinHashLsh {
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val sigs = signatures(docs, idCol, textCol)
+    // materialize the signature stage ONCE: downstream it is consumed five
+    // ways (band fan count, both sides of the salted bucket join, s1, s2),
+    // and each un-materialized consumption would re-run the full shingle +
+    // minhash aggregation. The checkpoint is (id, 64 longs) per doc — tiny
+    // relative to the text it replaces, and exactly what a 100 TB pipeline
+    // would persist as its "signature table" between stages.
+    val sigs = signatures(docs, idCol, textCol).localCheckpoint()
     candidatePairs(sigs, idCol)
       .filter(col("est_jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))

@@ -186,7 +186,34 @@ object ExtrasQ {
       GROUP BY c_mktsegment, event_type
       ORDER BY c_mktsegment, event_type"""))
 
+  /** Custom-state streaming: flatMapGroupsWithState sessionization driven as
+    * a real streaming query; oracle is the batch gaps-and-islands SQL (same
+    * 30-min gap as q_sessionize, without the per-user seq column).
+    */
+  val streamSessionize = Declared(
+    "stream_sessionize",
+    (s, dir) => StreamingOps.sessionStream(s, dir),
+    Some("""WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800.0
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT user_id, ts, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged)
+      SELECT user_id,
+        CAST(min(ts) AS TIMESTAMP) AS session_start,
+        CAST(max(ts) AS TIMESTAMP) AS session_end,
+        count(*) AS n_events,
+        round(sum(value), 2) AS session_value
+      FROM numbered GROUP BY user_id, session_seq
+      ORDER BY user_id, session_start"""))
+
   val all: Seq[Declared] = Seq(
     mmCatalog, mmFrames, mmBlob, mmDecode, rollingHashQ, streamWindow,
-    streamWindowAppend, streamDedup, streamStaticJoin)
+    streamWindowAppend, streamDedup, streamStaticJoin, streamSessionize)
 }

@@ -169,10 +169,16 @@ object PipelineQ {
         .select(col("doc_id"), explode(TextFns.words(col("text"))).as("w0"))
         .select(col("doc_id"), lower(col("w0")).as("w"))
         .filter(col("w").rlike("^[a-z]{4,}$"))
+        // two-step instead of countDistinct: the (w, doc_id) pre-aggregate
+        // collapses within-doc repeats map-side, so the shuffle carries one
+        // row per distinct (term, doc) — no Expand replica of the full
+        // exploded stream, roughly halving shuffle volume on repetitive text
+        .groupBy(col("w"), col("doc_id"))
+        .agg(count(lit(1)).as("occ"))
         .groupBy(col("w"))
         .agg(
-          countDistinct(col("doc_id")).cast("int").as("n_docs"),
-          count(lit(1)).cast("int").as("n_occ"))
+          count(lit(1)).cast("int").as("n_docs"),
+          sum(col("occ")).cast("int").as("n_occ"))
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("w"))
         .limit(20),
     Some("""WITH w AS (

@@ -233,6 +233,20 @@ object StreamingOps {
       user_id: Long, session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
       n_events: Long, session_value: Double)
 
+  // SessionState times are MICROSECONDS since epoch: java.sql.Timestamp
+  // .getTime truncates to millis, which would both shift a session boundary
+  // sitting within 1 ms of the gap and emit start/end timestamps that no
+  // longer equal the source values (the oracle keeps micros).
+  private def tsMicros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Stateful streaming sessionization via flatMapGroupsWithState: emits a
     * session when 30 minutes pass with no activity (processing-time timeout
     * in production; here sessions are also flushed at end-of-stream by the
@@ -249,13 +263,13 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
          state: GroupState[List[SessionState]]) =>
-          // batch-mode flatMapGroupsWithState sees each key once with all its
-          // rows; fold them in time order into gap-separated sessions
-          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          // a finite replay delivers each key once with all its rows (one
+          // micro-batch); fold them in time order into gap-separated sessions
+          val sorted = rows.toSeq.sortBy(e => tsMicros(e._2))
           val sessions = sorted.foldLeft(List.empty[SessionState]) { (acc, e) =>
-            val t = e._2.getTime
+            val t = tsMicros(e._2)
             acc match {
-              case head :: tail if t - head.end <= gapSeconds * 1000 =>
+              case head :: tail if t - head.end <= gapSeconds * 1000000L =>
                 head.copy(end = t, n = head.n + 1, value = head.value + e._3) :: tail
               case _ =>
                 SessionState(t, t, 1, e._3) :: acc
@@ -263,8 +277,49 @@ object StreamingOps {
           }
           state.update(Nil)
           sessions.reverse.iterator.map(s => SessionOut(
-            userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
-            s.n, s.value))
+            userId, microsTs(s.start), microsTs(s.end), s.n, s.value))
       }
+  }
+
+  /** Drive `sessionize` as a real streaming query over the events file.
+    * The finite replay arrives as ONE micro-batch (single source file), so
+    * every key sees all its rows together and sessions close at end of
+    * stream; an unbounded deployment keys the same fold off
+    * GroupStateTimeout (event-time timeout at watermark + gap) instead of
+    * end-of-batch — the per-key state is O(open sessions), not O(rows),
+    * either way. Output timestamps go back to NTZ (the session is UTC-pinned,
+    * so the cast is value-preserving) to match the fixture convention.
+    */
+  def sessionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(
+        col("user_id"),
+        expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    val name = "graft_stream_session_sink"
+    runTuned(spark, scanParts) {
+      val q = sessionize(stream).writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .select(
+        col("user_id"),
+        expr("CAST(session_start AS TIMESTAMP_NTZ)").as("session_start"),
+        expr("CAST(session_end AS TIMESTAMP_NTZ)").as("session_end"),
+        col("n_events"),
+        round(col("session_value"), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
   }
 }
