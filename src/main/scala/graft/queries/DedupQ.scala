@@ -323,7 +323,34 @@ object DedupQ {
         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
       WHERE cos >= 0.8 ORDER BY id1, id2"""))
 
+  /** Temporal dedup: keep the FIRST event per (user, type, calendar day) —
+    * the rolling-window dedup an event/impression pipeline runs so repeats
+    * within a period collapse. One row_number window per composite key;
+    * state per window partition is bounded by a single user-type-day's
+    * events at any corpus scale.
+    */
+  val temporal = Declared(
+    "dedup_temporal",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("day", col("ts").cast("date"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("day"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, event_type, day FROM (
+        SELECT event_id, user_id, event_type,
+          CAST(date_trunc('day', ts) AS DATE) AS day,
+          row_number() OVER (PARTITION BY user_id, event_type, CAST(date_trunc('day', ts) AS DATE)
+            ORDER BY ts, event_id) AS rn
+        FROM events)
+      WHERE rn = 1 ORDER BY event_id"""))
+
   val all: Seq[Declared] = Seq(
     exact, exactRows, ngramJaccard, clusters, incremental, minhash, simhash,
-    simhashBuckets, embedCosine)
+    simhashBuckets, embedCosine, temporal)
 }

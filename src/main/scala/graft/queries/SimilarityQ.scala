@@ -221,6 +221,38 @@ object SimilarityQ {
           ORDER BY votes DESC, best DESC, label) AS r FROM votes)
       WHERE r = 1 ORDER BY probe_id"""))
 
+  /** Metadata-filtered vector search — the #1 production vector-store op:
+    * top-k cosine restricted to vectors whose DOCUMENT passes a predicate
+    * (here lang = 'en'). Pre-filtering via the id equi-join prunes the
+    * corpus BEFORE any similarity math (at 100 TB the doc predicate pushes
+    * down to the documents scan and the join shuffles only ids + vectors);
+    * post-filtering top-k-then-join would under-fill k and rescan.
+    */
+  val filteredSearch = Declared(
+    "sim_filtered",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val keep = t(s, dir, "documents")
+        .filter(col("lang") === "en").select(col("doc_id"))
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.join(keep, e("vec_id") === keep("doc_id"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(
+          col("vec_id"), lit("en").as("lang"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""SELECT e.vec_id, d.lang,
+      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.qv AS DOUBLE[])), 6) AS cos
+      FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id
+      CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) p
+      WHERE d.lang = 'en' AND e.vec_id <> 0
+      ORDER BY cos DESC, e.vec_id LIMIT 10"""))
+
   val all: Seq[Declared] =
-    Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote)
+    Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
+      filteredSearch)
 }

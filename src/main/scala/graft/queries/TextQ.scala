@@ -366,7 +366,38 @@ object TextQ {
       SELECT bigram, CAST(count(*) AS BIGINT) AS n
       FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"""))
 
+  /** Adaptive quality thresholding: keep documents above their LANGUAGE's
+    * 75th-percentile length — per-stratum cutoffs instead of one global
+    * constant, the standard way a multilingual corpus avoids starving
+    * low-resource languages. The exact interpolated percentile (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`) folds per-language — state is
+    * O(languages), and the threshold table is a broadcast join back onto
+    * the corpus scan.
+    */
+  val qualityCutoff = Declared(
+    "quality_cutoff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val thr = docs.groupBy(col("lang"))
+        .agg(round(expr("percentile(CAST(n_chars AS DOUBLE), 0.75)"), 6).as("p75"))
+      docs.join(broadcast(thr), "lang")
+        .groupBy(col("lang"))
+        .agg(
+          round(max(col("p75")), 6).as("p75"),
+          count(lit(1)).as("n_total"),
+          sum((col("n_chars").cast("double") > col("p75")).cast("long")).as("n_kept"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH thr AS (
+        SELECT lang, round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 6) AS p75
+        FROM documents GROUP BY lang)
+      SELECT d.lang, round(max(t.p75), 6) AS p75,
+        CAST(count(*) AS BIGINT) AS n_total,
+        CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) > t.p75 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents d JOIN thr t ON d.lang = t.lang
+      GROUP BY d.lang ORDER BY d.lang"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
-    corpusNgrams)
+    corpusNgrams, qualityCutoff)
 }

@@ -494,6 +494,20 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sessions == expected)
   }
+
+  test("streaming sessionization equals the batch result row-for-row") {
+    val streamed = graft.streaming.StreamingOps
+      .sessionStream(spark, TestSpark.sf)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("session_value"))
+    val batch = SparkEntry.queries("q_sessionize")(spark, TestSpark.sf)
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
 }
 
 class SparkEntrySpec extends AnyFunSuite {

@@ -168,6 +168,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_topk_brute",   // 1-row broadcast query vector
     "sim_ann_lsh", "sim_ivf", "sim_ivf_probe2", // same broadcast-probe shape
     "knn_label_vote",   // 3-row broadcast probe set
+    "sim_filtered",     // 1-row broadcast query vector after the id pre-filter
     "q_join_theta",     // residual-only fallback is fine on tiny dims
     "q_gap_fill"        // spine construction: 1-row bounds × tiny type dim
   )
