@@ -303,7 +303,67 @@ object Aggregates {
       FROM (SELECT DISTINCT lang, source FROM documents)
       GROUP BY lang ORDER BY lang"""))
 
+  /** Equi-width histogram: 20 bins between the global min/max (the classic
+    * profile/visualization aggregate). The (lo, hi) bounds are a 1-row
+    * broadcast; binning is then a per-row projection + tiny hash agg — one
+    * extra pass, no shuffle of the data by value.
+    */
+  val histogram = Declared(
+    "q_histogram",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val b = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.crossJoin(broadcast(b))
+        .select(
+          least(floor((col("value") - col("lo"))
+            / ((col("hi") - col("lo")) / 20.0)), lit(19.0)).cast("int").as("bin"),
+          col("value"))
+        .groupBy(col("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("value")), 3).as("bin_min"),
+          round(max(col("value")), 3).as("bin_max"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+      SELECT CAST(least(floor((value - b.lo) / ((b.hi - b.lo) / 20.0)), 19) AS INTEGER) AS bin,
+        CAST(count(*) AS BIGINT) AS n,
+        round(min(value), 3) AS bin_min,
+        round(max(value), 3) AS bin_max
+      FROM events, b GROUP BY bin ORDER BY bin"""))
+
+  /** Higher-moment aggregates: Spark's skewness/kurtosis are the POPULATION
+    * moments (m3/m2^1.5, m4/m2²−3); DuckDB's builtins are sample-adjusted,
+    * so the oracle recomputes the population values from raw central moments
+    * instead of calling them — the mismatch is a formula choice, not an
+    * engine bug, and this pins OUR engine's definition.
+    */
+  val moments = Declared(
+    "q_agg_moments",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(skewness(col("value")), 6).as("skew"),
+          round(kurtosis(col("value")), 6).as("kurt"))
+        .orderBy(col("event_type")),
+    Some("""WITH mu AS (
+        SELECT event_type, avg(value) AS mu FROM events GROUP BY event_type),
+      c AS (
+        SELECT e.event_type, count(*) AS n,
+          avg(power(value - mu, 2)) AS m2,
+          avg(power(value - mu, 3)) AS m3,
+          avg(power(value - mu, 4)) AS m4
+        FROM events e JOIN mu ON e.event_type = mu.event_type
+        GROUP BY e.event_type)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+        round(m3 / power(m2, 1.5), 6) AS skew,
+        round(m4 / (m2 * m2) - 3.0, 6) AS kurt
+      FROM c ORDER BY event_type"""))
+
   val all: Seq[Declared] = Seq(
     stats, percentiles, collects, minmax, boolBit, countDistinctQ, modeMedian,
-    approxBound, rollupQ, cubeQ, groupingSets, multiDistinct, listAgg)
+    approxBound, rollupQ, cubeQ, groupingSets, multiDistinct, listAgg,
+    histogram, moments)
 }

@@ -170,7 +170,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "knn_label_vote",   // 3-row broadcast probe set
     "sim_filtered",     // 1-row broadcast query vector after the id pre-filter
     "q_join_theta",     // residual-only fallback is fine on tiny dims
-    "q_gap_fill"        // spine construction: 1-row bounds × tiny type dim
+    "q_gap_fill",       // spine construction: 1-row bounds × tiny type dim
+    "q_histogram"       // 1-row global (min, max) bounds broadcast
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
