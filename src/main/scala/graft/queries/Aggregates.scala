@@ -315,8 +315,12 @@ object Aggregates {
       val b = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
       ev.crossJoin(broadcast(b))
         .select(
-          least(floor((col("value") - col("lo"))
-            / ((col("hi") - col("lo")) / 20.0)), lit(19.0)).cast("int").as("bin"),
+          // degenerate bounds (hi = lo, e.g. a constant or single-row slice)
+          // put everything in bin 0 instead of dividing by a zero width
+          when(col("hi") === col("lo"), 0)
+            .otherwise(least(floor((col("value") - col("lo"))
+              / ((col("hi") - col("lo")) / 20.0)), lit(19.0)).cast("int"))
+            .as("bin"),
           col("value"))
         .groupBy(col("bin"))
         .agg(
@@ -326,7 +330,9 @@ object Aggregates {
         .orderBy(col("bin"))
     },
     Some("""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
-      SELECT CAST(least(floor((value - b.lo) / ((b.hi - b.lo) / 20.0)), 19) AS INTEGER) AS bin,
+      SELECT CASE WHEN b.hi = b.lo THEN 0
+          ELSE CAST(least(floor((value - b.lo) / ((b.hi - b.lo) / 20.0)), 19) AS INTEGER)
+        END AS bin,
         CAST(count(*) AS BIGINT) AS n,
         round(min(value), 3) AS bin_min,
         round(max(value), 3) AS bin_max
