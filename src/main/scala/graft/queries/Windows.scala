@@ -143,5 +143,34 @@ object Windows {
         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY o_custkey, o_orderkey"""))
 
-  val all: Seq[Declared] = Seq(ranks, lagLead, running, rangeFrame, ntileDist, nth)
+  /** Bounded sliding frame: trailing 4-row moving average / min / max —
+    * the moving-window smoothing shape (ROWS BETWEEN 3 PRECEDING AND
+    * CURRENT ROW). Bounded frames evict as they slide, so state per
+    * partition is O(frame), not O(rows).
+    */
+  val moving = Declared(
+    "q_window_moving",
+    (s, dir) => {
+      val w = byCust.rowsBetween(-3, Window.currentRow)
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(avg(col("o_totalprice")).over(w), 4).as("ma4"),
+          round(min(col("o_totalprice")).over(w), 2).as("min4"),
+          round(max(col("o_totalprice")).over(w), 2).as("max4"),
+          count(lit(1)).over(w).as("n4"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      round(avg(o_totalprice) OVER w, 4) AS ma4,
+      round(min(o_totalprice) OVER w, 2) AS min4,
+      round(max(o_totalprice) OVER w, 2) AS max4,
+      count(*) OVER w AS n4
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  val all: Seq[Declared] =
+    Seq(ranks, lagLead, running, rangeFrame, ntileDist, nth, moving)
 }
