@@ -28,7 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // single-JVM local[32] carries executor storage AND shuffle for 32 task
   // threads; 8g makes wide explodes GC-bound at sf0.1 (measured: one 3s
-  // query degraded to 22s under heap pressure in a full 147-query run).
+  // query degraded to 22s under heap pressure in a full-suite run).
   // The harness machine has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -271,6 +271,9 @@ object Aggregates {
         .agg(
           countDistinct(col("source")).as("n_src"),
           countDistinct(col("n_chars")).as("n_len"),
+          // Spark's multi-arg count-distinct drops a row when ANY argument
+          // is NULL; the oracle mirrors that with a CASE (DuckDB would
+          // otherwise count ROW(NULL, x) tuples)
           countDistinct(col("source"), col("n_chars")).as("n_src_len"),
           count(lit(1)).as("n"),
           sum(col("n_chars")).as("total_chars"))
@@ -278,7 +281,8 @@ object Aggregates {
     Some("""SELECT lang,
       CAST(count(DISTINCT source) AS BIGINT) AS n_src,
       CAST(count(DISTINCT n_chars) AS BIGINT) AS n_len,
-      CAST(count(DISTINCT (source, n_chars)) AS BIGINT) AS n_src_len,
+      CAST(count(DISTINCT CASE WHEN source IS NOT NULL AND n_chars IS NOT NULL
+        THEN (source, n_chars) END) AS BIGINT) AS n_src_len,
       CAST(count(*) AS BIGINT) AS n,
       CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY lang ORDER BY lang"""))

@@ -267,6 +267,12 @@ object EventsQ {
   /** INTERVAL arithmetic on timestamps: shift, subtract, truncating diffs.
     * Pure per-row projection — stays inside whole-stage codegen. The fixture
     * timestamps are NTZ (Tables.t), matching DuckDB's TIMESTAMP.
+    *
+    * Diff semantics: Spark `timestampdiff` truncates ELAPSED time toward
+    * zero; DuckDB `date_diff` counts BOUNDARY crossings. They agree here
+    * because the anchor is aligned on the minute/hour boundary and every
+    * fixture ts is >= the anchor; a pre-anchor timestamp would diverge
+    * (Spark 0 vs DuckDB −1 inside the first minute).
     */
   val intervalArith = Declared(
     "q_interval_arith",

@@ -322,8 +322,7 @@ object PipelineQ {
   val sampleStratified = Declared(
     "sample_stratified",
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang"))
+      val w = Window.partitionBy(col("lang"))
         .orderBy(md5(concat(col("doc_id").cast("string"), lit("|sample"))
           .cast("binary")), col("doc_id"))
       t(s, dir, "documents")
@@ -349,8 +348,7 @@ object PipelineQ {
   val curriculumOrder = Declared(
     "curriculum_order",
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
       t(s, dir, "documents")
         .withColumn("shard", ntile(5).over(w))
         .groupBy(col("lang"), col("shard"))
