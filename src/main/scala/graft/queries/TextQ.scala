@@ -397,7 +397,47 @@ object TextQ {
       FROM documents d JOIN thr t ON d.lang = t.lang
       GROUP BY d.lang ORDER BY d.lang"""))
 
+  /** Unigram negative-log-likelihood scoring — the KenLM-style perplexity
+    * proxy a pretraining pipeline uses to rank documents by "typicality"
+    * without a trained LM: score each doc by the mean −ln p(word) under the
+    * corpus's own unigram distribution. The frequency table is
+    * vocab-bounded (Heaps' law — it grows sublinearly, not with the corpus),
+    * so at 100 TB it broadcasts; the total is a 1-row broadcast. Everything
+    * else is one exploded-scan + two hash aggregates.
+    */
+  val unigramNll = Declared(
+    "text_unigram_nll",
+    (s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.words(col("text"))).as("w"))
+      val freq = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).cast("double").as("n"))
+      words.join(broadcast(freq), "w")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), -log(col("c").cast("double") / col("n")) as "nll")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).cast("int").as("n_words"),
+          round(avg(col("nll")), 6).as("avg_nll"),
+          round(min(col("nll")), 6).as("min_nll"),
+          round(max(col("nll")), 6).as("max_nll"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents),
+      freq AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+      scored AS (
+        SELECT w.doc_id, -ln(CAST(f.c AS DOUBLE) / t.n) AS nll
+        FROM w JOIN freq f ON w.w = f.w CROSS JOIN tot t)
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+        round(avg(nll), 6) AS avg_nll,
+        round(min(nll), 6) AS min_nll,
+        round(max(nll), 6) AS max_nll
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
-    corpusNgrams, qualityCutoff)
+    corpusNgrams, qualityCutoff, unigramNll)
 }

@@ -171,7 +171,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_filtered",     // 1-row broadcast query vector after the id pre-filter
     "q_join_theta",     // residual-only fallback is fine on tiny dims
     "q_gap_fill",       // spine construction: 1-row bounds × tiny type dim
-    "q_histogram"       // 1-row global (min, max) bounds broadcast
+    "q_histogram",      // 1-row global (min, max) bounds broadcast
+    "text_unigram_nll"  // 1-row global token-total broadcast
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
