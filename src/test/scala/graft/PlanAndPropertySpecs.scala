@@ -189,6 +189,26 @@ class PlanAuditSpec extends AnyFunSuite {
       }
     assert(offenders.isEmpty, s"unexpected cartesian/BNLJ in: $offenders")
   }
+
+  /** A Window with NO partition keys sorts its entire input on one task —
+    * the classic silent single-reducer at 100 TB. Every declared query's
+    * window must be partitioned (global orderings belong to top-k /
+    * sort-merge output, not window state).
+    */
+  test("no unpartitioned (single-reducer) window operators anywhere") {
+    val offenders = SparkEntry.declared
+      .filterNot(d => d.name.startsWith("op_") || d.name.startsWith("stream_"))
+      .flatMap { d =>
+        try {
+          val bad = d.run(spark, TestSpark.sf).queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                if w.partitionSpec.isEmpty => w
+          }
+          if (bad.nonEmpty) Some(d.name) else None
+        } catch { case _: Throwable => None }
+      }
+    assert(offenders.isEmpty, s"unpartitioned window in: $offenders")
+  }
 }
 
 /** AQE skew-join: a pathologically hot join key must be SPLIT at runtime
