@@ -372,8 +372,49 @@ object Aggregates {
         round(m4 / (m2 * m2) - 3.0, 6) AS kurt
       FROM c ORDER BY event_type"""))
 
+  /** Robust outlier statistics: median absolute deviation and the count of
+    * values beyond the 3-robust-sigma fence (1.4826·MAD ≈ σ under
+    * normality) — the profile stat that survives the heavy tails that break
+    * stddev fences. Three passes, each a tiny per-group aggregate with the
+    * group medians broadcast back; the data never shuffles by value.
+    */
+  val mad = Declared(
+    "q_agg_mad",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("value"), col("med"),
+          abs(col("value") - col("med")).as("adev"))
+      val madT = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(madT), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          round(max(col("med")), 6).as("med"),
+          round(max(col("mad")), 6).as("mad"),
+          sum((col("adev") > col("mad") * 3 * 1.4826).cast("long")).as("n_outlier"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type),
+      dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type),
+      madt AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+      SELECT d.event_type,
+        round(max(d.med), 6) AS med,
+        round(max(t.mad), 6) AS mad,
+        CAST(sum(CASE WHEN d.adev > t.mad * 3 * 1.4826 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier
+      FROM dev d JOIN madt t ON d.event_type = t.event_type
+      GROUP BY d.event_type ORDER BY d.event_type"""))
+
   val all: Seq[Declared] = Seq(
     stats, percentiles, collects, minmax, boolBit, countDistinctQ, modeMedian,
     approxBound, rollupQ, cubeQ, groupingSets, multiDistinct, listAgg,
-    histogram, moments)
+    histogram, moments, mad)
 }
