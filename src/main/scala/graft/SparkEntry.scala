@@ -5,8 +5,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Every judged operator, aggregated from the query modules. */
-  lazy val declared: Seq[Declared] =
+  /** Every judged operator, aggregated from the query modules. A duplicate
+    * name would silently drop one of the two when collapsed into the
+    * `queries` Map, so it is a hard error here.
+    */
+  lazy val declared: Seq[Declared] = {
+    val ds = declaredModules
+    val dups = ds.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, s"duplicate declared query names: ${dups.mkString(", ")}")
+    ds
+  }
+
+  private def declaredModules: Seq[Declared] =
     _root_.graft.queries.Relational.all ++
       _root_.graft.queries.Aggregates.all ++
       _root_.graft.queries.Windows.all ++
@@ -21,6 +31,7 @@ object SparkEntry {
       _root_.graft.queries.ExtrasQ.all ++
       _root_.graft.queries.Coverage.all ++
       _root_.graft.queries.Coverage2.all ++
+      _root_.graft.queries.Coverage3.all ++
       _root_.graft.queries.Physical.all ++
       _root_.graft.queries.PipelineQ.all
 

