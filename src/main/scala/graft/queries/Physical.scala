@@ -51,5 +51,55 @@ object Physical {
       FROM customer JOIN orders ON c_custkey = o_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
-  val all: Seq[Declared] = Seq(bucketedJoin)
+  /** The fact⋈dim join with a selective dim filter, under the confs that let
+    * Catalyst inject a RUNTIME BLOOM FILTER: the dim side's join keys are
+    * sketched into a bloom filter during planning-time subquery execution and
+    * `might_contain` is pushed into the fact scan, so fact rows that cannot
+    * match never reach the shuffle. At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling the ~1% that survives the
+    * dim filter. Thresholds are lowered only because the fixture is tiny —
+    * production sizes clear the defaults on their own; autoBroadcast is
+    * disabled because a broadcast join needs no runtime filter (the broadcast
+    * IS the filter). BloomFilterJoinSpec pins `might_contain` in the plan.
+    * localCheckpoint materializes while the confs are active, then they are
+    * restored so no other query inherits them.
+    */
+  val runtimeBloom = Declared(
+    "q_runtime_bloom",
+    (s, dir) => {
+      val overrides = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      val saved = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        overrides.foreach { case (k, v) => s.conf.set(k, v) }
+        bloomJoin(s, dir).localCheckpoint()
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    },
+    Some("""SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+      round(sum(l_extendedprice), 2) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#4'
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** The join under test, factored out so BloomFilterJoinSpec can inspect its
+    * plan with the runtime-filter confs active.
+    */
+  private[graft] def bloomJoin(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").filter(col("p_brand") === "Brand#4")
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  val all: Seq[Declared] = Seq(bucketedJoin, runtimeBloom)
 }

@@ -43,6 +43,78 @@ class ZOrderSpec extends AnyFunSuite {
   }
 }
 
+/** The q_runtime_bloom query's reason to exist is the runtime filter: with
+  * the confs active, Catalyst must inject a bloom-filter `might_contain`
+  * predicate on the fact side of the join (InjectRuntimeFilter). Result
+  * correctness is the oracle's job; the PLAN property is pinned here.
+  */
+class BloomFilterJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("runtime bloom filter is injected into the fact side") {
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      val plan = graft.queries.Physical.bloomJoin(spark, TestSpark.sf)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"), s"no runtime bloom filter in plan:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+}
+
+/** Proof of the zorder_layout claim at the STORAGE layer: writing the table
+  * sorted by the Morton key must leave every parquet row group with narrow
+  * min/max ranges on BOTH interleaved dimensions (checked via the real
+  * footer stats through ParquetMeta), which is exactly what row-group
+  * pruning keys on. A single-dimension sort gets narrow ranges only on the
+  * leading column — the second dimension stays near the full domain.
+  */
+class ZOrderLayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("z-sorted write narrows row-group stats on both dimensions") {
+    import graft.operators.ParquetMeta
+    val n = 1 << 16
+    val xs = spark.range(n).select(
+      (col("id") % 256).as("px"), ((col("id") / 256) % 256).as("sx"))
+    def rowGroupSpread(dir: String): Map[String, Double] = {
+      val file = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head.getAbsolutePath
+      ParquetMeta.metadata(spark, file)
+        .select(col("path_in_schema").as("c"),
+          (col("stats_max_value").cast("double") - col("stats_min_value").cast("double")).as("spread"))
+        .groupBy(col("c")).agg(avg(col("spread")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val zDir = Tables.scratch("zorder_spec_z")
+    val linDir = Tables.scratch("zorder_spec_lin")
+    val rowsPerGroup = 4096
+    // tiny parquet.block.size → many row groups per file, so the footer
+    // stats give a meaningful per-group spread sample from 64k rows
+    def write(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+      df.coalesce(1).sortWithinPartitions(col("k"))
+        .write.mode("overwrite")
+        .option("parquet.block.size", (rowsPerGroup * 16).toString)
+        .parquet(dir)
+    write(xs.select(graft.functions.ZOrder.zKey(Seq($"px", $"sx"), 8).as("k"), $"px", $"sx"), zDir)
+    write(xs.select($"px".as("k"), $"px", $"sx"), linDir)
+    val z = rowGroupSpread(zDir)
+    val lin = rowGroupSpread(linDir)
+    // z-order: both dimensions narrow; linear: sx stays ~full-domain (255)
+    assert(z("px") < 100 && z("sx") < 100, s"z spreads: $z")
+    assert(lin("sx") > 200, s"linear spreads: $lin")
+    assert(z("sx") < lin("sx") / 2)
+  }
+}
+
 class CompactSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 

@@ -166,6 +166,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val allowedCartesian = Set(
     "q_join_cross",     // intentional CROSS of two tiny dims
     "sim_topk_brute",   // 1-row broadcast query vector
+    "sim_mips",         // same 1-row broadcast probe shape (inner product)
     "sim_ann_lsh", "sim_ivf", "sim_ivf_probe2", // same broadcast-probe shape
     "knn_label_vote",   // 3-row broadcast probe set
     "sim_filtered",     // 1-row broadcast query vector after the id pre-filter
