@@ -174,7 +174,7 @@ object Coverage3 {
       FROM merged"""))
 
   /** Small-file compaction round trip ([[graft.operators.Compact]]): spray
-    * lineitem into 64 small files, compact shuffle-free to ~one target-sized
+    * lineitem into 16 small files, compact shuffle-free to ~one target-sized
     * file, verify nothing was lost or duplicated via content checksums. The
     * files-actually-shrank property is pinned in CompactSpec (file counts
     * aren't visible to the SQL oracle).
@@ -184,7 +184,7 @@ object Coverage3 {
     (s, dir) => {
       val in = Tables.scratch("compact_in")
       val out = Tables.scratch("compact_out")
-      t(s, dir, "lineitem").repartition(64)
+      t(s, dir, "lineitem").repartition(16)
         .write.mode("overwrite").parquet(in)
       graft.operators.Compact.compacted(s, in, out, 256L * 1024 * 1024)
         .agg(
@@ -197,6 +197,67 @@ object Coverage3 {
       round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem"""))
 
+  /** One-pass per-column profiling ([[graft.operators.Describe]]): all
+    * columns' stats from a single partial-aggregate scan, exploded to one
+    * row per column — never N scans or a driver loop.
+    */
+  val describeOp = Declared(
+    "op_describe",
+    (s, dir) => graft.operators.Describe
+      .describe(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy(col("col_name")),
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count($c) AS BIGINT) AS n,
+          CAST(count(*) - count($c) AS BIGINT) AS n_null,
+          round(avg($c), 6) AS mean, round(stddev_samp($c), 6) AS std,
+          round(CAST(min($c) AS DOUBLE), 6) AS vmin,
+          round(CAST(max($c) AS DOUBLE), 6) AS vmax FROM lineitem"""
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    })
+
+  /** Sequenced conversion funnel over the events stream: first view →
+    * first click AFTER that view → first purchase AFTER that click, per
+    * user. All three step timestamps come from windows over the SAME
+    * user_id partitioning, so the whole funnel costs exactly one shuffle of
+    * the events table; the final stage counts are a 1-row global aggregate.
+    * The strict ts ordering between steps is what distinguishes a funnel
+    * from three independent filters.
+    */
+  val eventsFunnel = Declared(
+    "events_funnel",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("vt",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("ct",
+          min(when(col("event_type") === "click" && col("ts") > col("vt"), col("ts"))).over(w))
+        .withColumn("pt",
+          min(when(col("event_type") === "purchase" && col("ts") > col("ct"), col("ts"))).over(w))
+        .agg(
+          count_distinct(when(col("vt").isNotNull, col("user_id"))).as("n_view"),
+          count_distinct(when(col("ct").isNotNull, col("user_id"))).as("n_click"),
+          count_distinct(when(col("pt").isNotNull, col("user_id"))).as("n_purchase"))
+    },
+    Some("""WITH v AS (
+        SELECT user_id, min(ts) AS vt FROM events WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS ct FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS pt FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY e.user_id)
+      SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+             CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+             CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase"""))
+
   val all: Seq[Declared] = Seq(
-    notInNulls, embedQuantize, simMips, zorderLayout, mergeUpsert, compactFiles)
+    notInNulls, embedQuantize, simMips, zorderLayout, mergeUpsert,
+    compactFiles, describeOp, eventsFunnel)
 }

@@ -62,7 +62,11 @@ object DedupQ {
     */
   private def ngramPairs(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      docFilter: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+      docFilter: Option[org.apache.spark.sql.Column],
+      score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+        TextFns.jaccard,
+      scoreName: String = "jaccard",
+      minScore: Double = 0.5): org.apache.spark.sql.DataFrame = {
       val K = 16; val BANDS = 4; val ROWS = 4
       val base0 = t(s, dir, "documents")
       val filtered = docFilter.map(base0.filter).getOrElse(base0)
@@ -116,15 +120,20 @@ object DedupQ {
         .join(base.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
         .select(
           col("id1"), col("id2"),
-          round(TextFns.jaccard(
-            TextFns.charShingles("t1", 8), TextFns.charShingles("t2", 8)), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+          round(score(
+            TextFns.charShingles("t1", 8), TextFns.charShingles("t2", 8)), 6).as(scoreName))
+        .filter(col(scoreName) >= minScore)
   }
 
   /** DuckDB CTE block mirroring [[ngramPairs]], ending in `pairs(id1, id2,
     * jaccard)`. `where` restricts the documents scan ("" = whole corpus).
     */
-  private def ngramPairCtes(where: String): String = {
+  private def ngramPairCtes(
+      where: String,
+      scoreSql: String =
+        "CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(s1.sh, s2.sh))) AS DOUBLE)",
+      scoreName: String = "jaccard",
+      minScore: Double = 0.5): String = {
       val K = 16; val ROWS = 4
       val d1 = graft.functions.Hashing.md5Hash32DuckSql("x", 1)
       val d2 = graft.functions.Hashing.md5Hash32DuckSql("x", 9)
@@ -153,12 +162,11 @@ object DedupQ {
       pairs AS (
         SELECT * FROM (
           SELECT id1, id2,
-            round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
-                  CAST(len(list_distinct(list_concat(s1.sh, s2.sh))) AS DOUBLE), 6) AS jaccard
+            round($scoreSql, 6) AS $scoreName
           FROM cand
           JOIN sh s1 ON s1.doc_id = cand.id1
           JOIN sh s2 ON s2.doc_id = cand.id2)
-        WHERE jaccard >= 0.5)"""
+        WHERE $scoreName >= $minScore)"""
   }
 
   val ngramJaccard = Declared(
@@ -166,6 +174,31 @@ object DedupQ {
     (s, dir) => ngramPairs(s, dir, None).orderBy(col("id1"), col("id2")),
     Some(s"""WITH ${ngramPairCtes("")}
       SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"""))
+
+  /** Containment similarity |A∩B| / min(|A|,|B|) over the same banded
+    * candidates: catches SUB-DOCUMENT duplication (one doc embedded in a
+    * larger one) that symmetric Jaccard under-scores — a quote-heavy or
+    * concatenated document scores containment ≈ 1 while its Jaccard can sit
+    * below any dedup threshold. Scope note: candidates still come from
+    * symmetric MinHash bands, which recall containment pairs reliably only
+    * when sizes are comparable; an asymmetric-recall blocker (e.g. banding
+    * the SHORTER doc's shingles only) is the extension point at scale.
+    */
+  val containment = Declared(
+    "dedup_containment",
+    (s, dir) => ngramPairs(
+        s, dir, None,
+        score = (a, b) => size(array_intersect(a, b)).cast("double") /
+          least(size(a), size(b)).cast("double"),
+        scoreName = "containment", minScore = 0.6)
+      .orderBy(col("id1"), col("id2")),
+    Some(s"""WITH ${ngramPairCtes(
+        "",
+        scoreSql =
+          "CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / CAST(least(len(s1.sh), len(s2.sh)) AS DOUBLE)",
+        scoreName = "containment",
+        minScore = 0.6)}
+      SELECT id1, id2, containment FROM pairs ORDER BY id1, id2"""))
 
   /** Near-dup CLUSTER assignment — the stage after pair finding that a real
     * dedup pipeline keys its keep-one decision on: connected components of
@@ -351,6 +384,6 @@ object DedupQ {
       WHERE rn = 1 ORDER BY event_id"""))
 
   val all: Seq[Declared] = Seq(
-    exact, exactRows, ngramJaccard, clusters, incremental, minhash, simhash,
-    simhashBuckets, embedCosine, temporal)
+    exact, exactRows, ngramJaccard, containment, clusters, incremental,
+    minhash, simhash, simhashBuckets, embedCosine, temporal)
 }

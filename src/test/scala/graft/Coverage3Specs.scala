@@ -115,6 +115,29 @@ class ZOrderLayoutSpec extends AnyFunSuite {
   }
 }
 
+/** Containment vs Jaccard on an embedded sub-document: the exact case
+  * dedup_containment exists for — a small doc fully contained in a larger
+  * one scores containment ≈ 1 while Jaccard stays below any dedup cut.
+  */
+class ContainmentSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("embedded sub-document: containment ~1, jaccard well below 0.5") {
+    import graft.functions.TextFns
+    val small = "the quick brown fox jumps over the lazy dog again and again"
+    val big = small + " " + (1 to 40).map(i => s"filler sentence number $i with unique words").mkString(" ")
+    val row = Seq((small, big)).toDF("a", "b")
+      .select(
+        TextFns.jaccard(TextFns.charShingles("a", 8), TextFns.charShingles("b", 8)).as("j"),
+        (size(array_intersect(TextFns.charShingles("a", 8), TextFns.charShingles("b", 8))).cast("double") /
+          least(size(TextFns.charShingles("a", 8)), size(TextFns.charShingles("b", 8))).cast("double")).as("c"))
+      .head()
+    assert(row.getDouble(0) < 0.2, s"jaccard=${row.getDouble(0)}")
+    assert(row.getDouble(1) > 0.95, s"containment=${row.getDouble(1)}")
+  }
+}
+
 class CompactSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
