@@ -17,6 +17,8 @@ import org.apache.spark.sql.SparkSession
   *   query [--table f]... [--tables dir] (--sql s | --sql-file f) [--output p] [--verbose]
   *   view-parquet-meta <file>
   *   compare <f1> <f2> [--epsilon e] [--no-header-row] [--key c1,c2]
+  *   describe <file> [--columns c1,c2]          (extension: per-column stats)
+  *   compact <inDir> <outDir> [--target-mb N]   (extension: small-file rewrite)
   *
   * `compare --key` routes to the order-free keyed compare
   * ([[Compare.summarizeByKey]]) — one full-outer equi-join, no global sort or
@@ -61,7 +63,8 @@ object Main {
 
   private def positional(args: List[String]): List[String] = {
     val flagNames = Set("--single-file", "-s", "--zstd", "-z", "--verbose", "-v", "--no-header-row")
-    val valueFlags = Set("--limit", "--table", "--tables", "--sql", "--sql-file", "--output", "--epsilon", "--key")
+    val valueFlags = Set("--limit", "--table", "--tables", "--sql", "--sql-file", "--output",
+      "--epsilon", "--key", "--columns", "--target-mb")
     def loop(rest: List[String]): List[String] = rest match {
       case Nil => Nil
       case f :: _ :: tail if valueFlags(f) => loop(tail)
@@ -146,9 +149,27 @@ object Main {
       // exit -1 on mismatch like the reference (main.rs:104-107,241-246)
       if (result.head().getBoolean(4)) 0 else -1
 
+    case "describe" :: rest =>
+      val df = Formats.read(spark, positional(rest).head)
+      val numeric = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+      }.toSeq
+      val cols = opt(rest, "--columns")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(numeric)
+      Describe.describe(df, cols).orderBy("col_name").show(1000, truncate = false)
+      0
+
+    case "compact" :: rest =>
+      val ps = positional(rest)
+      val targetBytes = opt(rest, "--target-mb").map(_.toLong).getOrElse(128L) * 1024 * 1024
+      val (before, after) = Compact.compact(spark, ps(0), ps(1), targetBytes)
+      println(s"files: $before -> $after")
+      0
+
     case other =>
       System.err.println(s"unknown command: ${other.headOption.getOrElse("")}")
-      System.err.println("commands: view schema count convert query view-parquet-meta compare")
+      System.err.println(
+        "commands: view schema count convert query view-parquet-meta compare describe compact")
       1
   }
 }

@@ -186,6 +186,20 @@ object ExtrasQ {
       GROUP BY c_mktsegment, event_type
       ORDER BY c_mktsegment, event_type"""))
 
+  /** Stream-stream interval join (attribution): every click-purchase pair
+    * by the same user within 30 minutes, from two unbounded sides with
+    * watermark-bounded join state ([[StreamingOps.clickPurchaseJoin]]).
+    * Oracle is the equivalent batch interval join.
+    */
+  val streamStreamJoin = Declared(
+    "stream_stream_join",
+    (s, dir) => StreamingOps.clickPurchaseJoin(s, dir),
+    Some("""SELECT c.user_id AS user_id, c.ts AS click_ts, p.ts AS purchase_ts
+      FROM events c JOIN events p ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      ORDER BY user_id, click_ts, purchase_ts"""))
+
   /** Custom-state streaming: flatMapGroupsWithState sessionization driven as
     * a real streaming query; oracle is the batch gaps-and-islands SQL (same
     * 30-min gap as q_sessionize, without the per-user seq column).
@@ -215,5 +229,6 @@ object ExtrasQ {
 
   val all: Seq[Declared] = Seq(
     mmCatalog, mmFrames, mmBlob, mmDecode, rollingHashQ, streamWindow,
-    streamWindowAppend, streamDedup, streamStaticJoin, streamSessionize)
+    streamWindowAppend, streamDedup, streamStaticJoin, streamStreamJoin,
+    streamSessionize)
 }

@@ -228,6 +228,51 @@ object StreamingOps {
     spark.table(name).orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** Stream-stream interval join: clicks joined to purchases by the same
+    * user within 30 minutes — both sides unbounded. This is the stateful
+    * join shape (attribution, request/response matching): each side buffers
+    * rows in a state store and the watermark + time-range condition bound
+    * how long — a click older than watermark − 30 min can never match a
+    * future purchase, so its state is evicted. Inner joins emit matches
+    * in-batch, so a finite replay (one micro-batch, watermark still at its
+    * initial floor) emits exactly every qualifying pair — same multiset as
+    * the batch join the oracle runs.
+    */
+  def clickPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
+    def side(tpe: String, uid: String, tsName: String) = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      // watermarks need TIMESTAMP (LTZ); outputs are cast back to NTZ below
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(uid), col("ts").as(tsName))
+      .withWatermark(tsName, "10 minutes")
+    val joined = side("click", "c_uid", "ct")
+      .join(
+        side("purchase", "p_uid", "pt"),
+        col("c_uid") === col("p_uid") &&
+          col("pt") >= col("ct") &&
+          col("pt") <= col("ct") + expr("INTERVAL 30 MINUTES"))
+      .select(
+        col("c_uid").as("user_id"),
+        col("ct").cast("timestamp_ntz").as("click_ts"),
+        col("pt").cast("timestamp_ntz").as("purchase_ts"))
+    val name = "graft_stream_join_sink"
+    runTuned(spark, scanParts) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name).orderBy(col("user_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   case class SessionState(start: Long, end: Long, n: Long, value: Double)
   case class SessionOut(
       user_id: Long, session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,

@@ -138,6 +138,20 @@ class ContainmentSpec extends AnyFunSuite {
   }
 }
 
+class CliExtensionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("describe and compact CLI verbs dispatch cleanly") {
+    val in = Tables.scratch("cli_compact_in")
+    val out = Tables.scratch("cli_compact_out")
+    spark.range(1000).toDF("v").repartition(4).write.mode("overwrite").parquet(in)
+    assert(graft.cli.Main.dispatch(spark, List("describe", in)) == 0)
+    assert(graft.cli.Main.dispatch(spark,
+      List("compact", in, out, "--target-mb", "512")) == 0)
+    assert(spark.read.parquet(out).count() == 1000L)
+  }
+}
+
 class CompactSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
