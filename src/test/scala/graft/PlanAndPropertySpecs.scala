@@ -67,6 +67,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("rank<=k filter plans WindowGroupLimit (per-group top-k, no full window state)") {
+    // WindowGroupLimitExec keeps only the top k rows per group BEFORE the
+    // window sort materializes — the difference between per-group heaps and
+    // a full per-partition sort at 100 TB
+    val p = plan("q_window_rank")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("events_funnel: all three step windows share ONE exchange") {
+    // AQE wraps the tree in AdaptiveSparkPlanExec whose stages are opaque to
+    // collect(); disable it here so the structural audit sees the real plan
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("events_funnel")(spark, TestSpark.sf)
+      val p = df.queryExecution.executedPlan
+      val windows = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.size == 3, s"expected 3 window operators, got ${windows.size}")
+      // the subtree containing the windows must hold exactly one shuffle:
+      // the user_id hash partitioning they all reuse (collect is pre-order,
+      // so head is the outermost window)
+      val exchanges = windows.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exchanges.size == 1,
+        s"expected 1 exchange under the window stack, got ${exchanges.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("rolling hash expression participates in codegen (no fallback)") {
     val df = Tables.t(spark, TestSpark.sf, "documents")
       .select(graft.functions.RollingHash.rolling_hash(col("text")))
