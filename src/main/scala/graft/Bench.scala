@@ -22,6 +22,19 @@ object Bench {
     Tables.names.foreach { n =>
       Tables.t(spark, sfDir, n).queryExecution.toRdd.foreach(_ => ())
     }
+    // ...and the Structured Streaming machinery (state store provider,
+    // streaming listener bus, checkpoint scaffolding): its one-time init
+    // costs ~2s and would otherwise land entirely on whichever stream_*
+    // query runs first
+    locally {
+      val warmSchema = spark.read.parquet(s"$sfDir/region.parquet").schema
+      val q = spark.readStream.schema(warmSchema)
+        .option("pathGlobFilter", "region.parquet").parquet(sfDir)
+        .groupBy("r_name").count()
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_bench_warm_stream").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // optional comma-separated name filter (builder-side probe aid; the
     // driver never sets it, so the judged run always covers everything)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
