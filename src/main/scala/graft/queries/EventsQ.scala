@@ -297,7 +297,48 @@ object EventsQ {
       date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS hours_since
       FROM events WHERE event_id < 2000 ORDER BY event_id"""))
 
+  /** Native session windows: Spark's `session_window(ts, gap)` merges
+    * per-key events whose [ts, ts+gap) windows overlap — the same islands
+    * as the manual gaps-and-islands q_sessionize but planned as ONE
+    * aggregate (SessionWindow + MergingSessionsExec lineage), no window
+    * function pass. Boundary semantics differ from the manual version: the
+    * window end is EXCLUSIVE, so a gap of exactly `gap` starts a NEW
+    * session (the oracle uses >=, where q_sessionize's uses >), and
+    * session_end = last event + gap rather than last event.
+    */
+  val sessionWindow = Declared(
+    "q_session_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800.0
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT user_id, ts, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged)
+      SELECT user_id,
+        CAST(min(ts) AS TIMESTAMP) AS session_start,
+        CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+        count(*) AS n_events,
+        round(sum(value), 2) AS session_value
+      FROM numbered GROUP BY user_id, session_seq
+      ORDER BY user_id, session_start"""))
+
   val all: Seq[Declared] = Seq(
-    dateBin, jsonExtract, hourly, sessionize, asof, pivot, rangeJoin, variantAgg,
-    gapFill, intervalArith)
+    dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
+    rangeJoin, variantAgg, gapFill, intervalArith)
 }

@@ -437,7 +437,92 @@ object TextQ {
         round(max(nll), 6) AS max_nll
       FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** TF-IDF top terms per document — the classic retrieval/vectorization
+    * scoring step. One pass builds per-doc term counts, one small aggregate
+    * the document frequencies; the df table rides a broadcast (a term
+    * dictionary fits executors at any corpus size that fits a vocabulary;
+    * shuffle-join it if not), and the per-doc top-3 rides a row_number
+    * window the planner prunes with WindowGroupLimit.
+    */
+  val corpusTfidf = Declared(
+    "corpus_tfidf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val words = docs.select(col("doc_id"), explode(TextFns.words(col("text"))).as("w"))
+      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
+      tf.join(broadcast(dfr), "w")
+        .crossJoin(broadcast(nDocs))
+        .select(
+          col("doc_id"), col("w"),
+          (col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0))).as("score"))
+        .withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= 3)
+        .select(
+          col("doc_id"), col("rk"), col("w").as("term"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+    Some("""WITH words AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+      dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, w, tf * ln((n_docs + 1.0) / (df + 1.0)) AS score
+        FROM tf JOIN dfr USING (w) CROSS JOIN nd),
+      ranked AS (
+        SELECT doc_id, w, score,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+        FROM scored)
+      SELECT doc_id, CAST(rk AS INTEGER) AS rk, w AS term, round(score, 6) AS score
+      FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
+  /** URL canonicalization dedup — the first step of any web-corpus pipeline:
+    * lowercase scheme/host, drop fragment and tracking params, keep the
+    * identifying ones, then group by the canonical form. URLs are
+    * synthesized deterministically from (source, doc_id) since the fixture
+    * has no real ones; the Spark side uses the native parse_url, the oracle
+    * equivalent regexes. Purely per-row + one hash aggregate.
+    */
+  val urlNormalize = Declared(
+    "text_url_normalize",
+    (s, dir) => {
+      val urls = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("HTTPS://"), upper(col("source")), lit(".Example.COM/page?utm_campaign=x&ref="),
+          col("source"), lit("&id="), (col("doc_id") % 7).cast("string"), lit("#frag")).as("url"))
+      urls
+        .select(
+          col("doc_id"),
+          concat(
+            lit("https://"), lower(expr("parse_url(url, 'HOST')")),
+            expr("parse_url(url, 'PATH')"),
+            lit("?id="), expr("parse_url(url, 'QUERY', 'id')")).as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("canonical"))
+    },
+    Some("""WITH urls AS (
+        SELECT doc_id,
+          'HTTPS://' || upper(source) || '.Example.COM/page?utm_campaign=x&ref=' ||
+            source || '&id=' || CAST(doc_id % 7 AS VARCHAR) || '#frag' AS url
+        FROM documents),
+      canon AS (
+        SELECT doc_id,
+          'https://' || lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) ||
+            regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) ||
+            '?id=' || regexp_extract(url, '[?&]id=([^&#]*)', 1) AS canonical
+        FROM urls)
+      SELECT canonical, CAST(count(*) AS BIGINT) AS n_docs,
+        min(doc_id) AS first_doc
+      FROM canon GROUP BY canonical ORDER BY canonical"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
-    corpusNgrams, qualityCutoff, unigramNll)
+    corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize)
 }

@@ -202,7 +202,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_join_theta",     // residual-only fallback is fine on tiny dims
     "q_gap_fill",       // spine construction: 1-row bounds × tiny type dim
     "q_histogram",      // 1-row global (min, max) bounds broadcast
-    "text_unigram_nll"  // 1-row global token-total broadcast
+    "text_unigram_nll", // 1-row global token-total broadcast
+    "corpus_tfidf"      // 1-row global doc-count broadcast
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
