@@ -174,28 +174,30 @@ object Coverage3 {
       FROM merged"""))
 
   /** Small-file compaction round trip ([[graft.operators.Compact]]): spray
-    * lineitem into 16 small files, compact shuffle-free to ~one target-sized
+    * orders into 16 small files, compact shuffle-free to ~one target-sized
     * file, verify nothing was lost or duplicated via content checksums. The
     * files-actually-shrank property is pinned in CompactSpec (file counts
-    * aren't visible to the SQL oracle).
+    * aren't visible to the SQL oracle). The fixture cost is two write
+    * passes, so the mid-size table demonstrates the operator at half the
+    * bench cost of the biggest one.
     */
   val compactFiles = Declared(
     "op_compact_files",
     (s, dir) => {
       val in = Tables.scratch("compact_in")
       val out = Tables.scratch("compact_out")
-      t(s, dir, "lineitem").repartition(16)
+      t(s, dir, "orders").repartition(16)
         .write.mode("overwrite").parquet(in)
       graft.operators.Compact.compacted(s, in, out, 256L * 1024 * 1024)
         .agg(
           count(lit(1)).as("n_rows"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
     },
     Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
-      round(sum(l_quantity), 2) AS sum_qty,
-      round(sum(l_extendedprice), 2) AS sum_price
-      FROM lineitem"""))
+      CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+      round(sum(o_totalprice), 2) AS sum_price
+      FROM orders"""))
 
   /** One-pass per-column profiling ([[graft.operators.Describe]]): all
     * columns' stats from a single partial-aggregate scan, exploded to one

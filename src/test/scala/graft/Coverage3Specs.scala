@@ -152,6 +152,53 @@ class CliExtensionSpec extends AnyFunSuite {
   }
 }
 
+/** Exactly-once across a RESTART: the property that makes Structured
+  * Streaming deployable — a stopped query resumed from its checkpoint must
+  * process each input file exactly once (no loss, no duplication), even
+  * though the second run never sees the first run's batches.
+  */
+class StreamingRecoverySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("file-sink stream resumed from checkpoint emits each row exactly once") {
+    val in = Tables.scratch("recovery_in")
+    val out = Tables.scratch("recovery_out")
+    val ckpt = Tables.scratch("recovery_ckpt")
+    Seq(in, out, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    new java.io.File(in).mkdirs()
+
+    def writeBatch(from: Long, n: Long): Unit =
+      spark.range(from, from + n).toDF("v")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(in)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    writeBatch(0, 1000)
+    runOnce()                      // processes file A, checkpoints, stops
+    writeBatch(1000, 500)
+    runOnce()                      // resumed run must process ONLY file B
+    val got = spark.read.parquet(out)
+    assert(got.count() == 1500L, "row count after restart")
+    assert(got.agg(countDistinct(col("v"))).head().getLong(0) == 1500L,
+      "no duplicated rows across the restart")
+  }
+}
+
 class CompactSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
