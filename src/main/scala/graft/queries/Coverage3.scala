@@ -52,7 +52,10 @@ object Coverage3 {
     (s, dir) =>
       t(s, dir, "embeddings")
         .withColumn("d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("scale", expr("array_max(transform(d, x -> abs(x))) / 127.0"))
+        // nullif guards the all-zero vector: scale 0 would make q = x/0 NaN
+        // (Spark) vs Inf (DuckDB) — with a NULL scale both engines emit NULL
+        // quantized stats deterministically.
+        .withColumn("scale", expr("nullif(array_max(transform(d, x -> abs(x))), 0.0) / 127.0"))
         .withColumn("q", expr("transform(d, x -> floor(x / scale + 0.5))"))
         .select(
           col("vec_id"),
@@ -63,7 +66,7 @@ object Coverage3 {
         .orderBy(col("vec_id")),
     Some("""WITH s AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d,
-               list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') / 127.0 AS scale
+               nullif(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'), 0.0) / 127.0 AS scale
         FROM embeddings),
       qq AS (
         SELECT vec_id, scale, list_transform(d, x -> floor(x / scale + 0.5)) AS q FROM s)

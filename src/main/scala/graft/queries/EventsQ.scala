@@ -214,7 +214,10 @@ object EventsQ {
         .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
         .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
       spine.join(hourly, Seq("h", "event_type"), "left")
-        .select(col("h"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .select(
+          col("h").cast("timestamp_ntz").as("h"),
+          col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
         .orderBy(col("h"), col("event_type"))
     },
     Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type FROM events),

@@ -228,3 +228,37 @@ class CompactSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 200000L)
   }
 }
+
+/** embed_quantize's zero-vector guard: an all-zero embedding has max|x| = 0,
+  * and without the nullif guard scale 0 makes q = x/0 NaN (Spark) vs Inf
+  * (DuckDB) — a latent oracle break the fixtures never trip. The guard must
+  * turn the whole quantized row into deterministic NULLs while leaving
+  * normal vectors untouched.
+  */
+class EmbedQuantizeZeroVectorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("all-zero vector quantizes to NULL scale/stats, normal vector unchanged") {
+    val dir = Tables.scratch("quantize_zero_spec")
+    Seq(
+      (1L, Seq(0f, 0f, 0f, 0f), 0),
+      (2L, Seq(1f, -2f, 0.5f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val rows = graft.queries.Coverage3.embedQuantize.run(spark, dir)
+      .collect().sortBy(_.getLong(0))
+
+    val zero = rows(0)
+    assert(zero.isNullAt(1) && zero.isNullAt(2) && zero.isNullAt(3) && zero.isNullAt(4),
+      s"zero vector must yield NULL scale and stats, got $zero")
+
+    val normal = rows(1)
+    // scale = 2/127; q = floor(x*127/2 + 0.5) = [64, -127, 32, 0]
+    assert(math.abs(normal.getDouble(1) - 2.0 / 127.0) < 1e-9)
+    assert(normal.getLong(2) == -31L, s"q_sum: $normal")
+    assert(normal.getLong(3) == -127L, s"q_min: $normal")
+    assert(normal.getLong(4) == 64L, s"q_max: $normal")
+  }
+}

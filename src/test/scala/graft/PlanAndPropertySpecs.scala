@@ -242,6 +242,41 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 }
 
+/** Timestamp-dialect audit: everything the DuckDB oracle sees must be
+  * timestamp_ntz / date / non-temporal. A session-tz TimestampType column in
+  * a declared result writes an INT96/instant-annotated parquet column that
+  * DuckDB reads as TIMESTAMPTZ, so rows match but schema/hash don't (the
+  * exact q_gap_fill failure mode of rounds 3–4). Covers ALL declared
+  * queries — including op_* (eager writes, cheap at sf0.001) and stream_*
+  * (synchronous finite replay, ~1 s each) — because the oracle checks all
+  * of them; for pure queries only the schema is resolved, nothing executes.
+  */
+class TimestampDialectSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  import org.apache.spark.sql.types._
+
+  private def sessionTzPaths(dt: DataType, path: String): Seq[String] = dt match {
+    case TimestampType          => Seq(path)
+    case s: StructType          => s.fields.flatMap(f => sessionTzPaths(f.dataType, s"$path.${f.name}")).toSeq
+    case a: ArrayType           => sessionTzPaths(a.elementType, s"$path[]")
+    case m: MapType             => sessionTzPaths(m.keyType, s"$path<key>") ++ sessionTzPaths(m.valueType, s"$path<val>")
+    case _                      => Seq.empty
+  }
+
+  test("no declared query's result schema contains a session-tz timestamp") {
+    val offenders = SparkEntry.declared.flatMap { d =>
+      try {
+        val bad = d.run(spark, TestSpark.sf).schema.fields
+          .flatMap(f => sessionTzPaths(f.dataType, f.name))
+        if (bad.nonEmpty) Some(s"${d.name}: ${bad.mkString(", ")}") else None
+      } catch { case _: Throwable => None } // build failures are other specs' business
+    }
+    assert(offenders.isEmpty,
+      s"session-tz TimestampType reaches the oracle (cast to timestamp_ntz):\n  ${offenders.mkString("\n  ")}")
+  }
+}
+
 /** AQE skew-join: a pathologically hot join key must be SPLIT at runtime
   * (OptimizeSkewedJoin) rather than landing on one reducer — the runtime
   * complement to the static salting in BucketJoin/SkewJoin. Thresholds are
