@@ -53,6 +53,16 @@ object Main {
     }
   }
 
+  /** Bad invocation (missing positional, nothing to do): usage to stderr +
+    * exit 1, distinct from runtime failures (exit -1 via the main catch).
+    */
+  private final case class UsageError(msg: String) extends RuntimeException(msg)
+
+  private def required(ps: List[String], n: Int, usage: String): List[String] = {
+    if (ps.length < n) throw UsageError(s"missing argument(s)\nusage: $usage")
+    ps
+  }
+
   private def flag(args: List[String], name: String): Boolean = args.contains(name)
 
   private def opt(args: List[String], name: String): Option[String] =
@@ -74,9 +84,13 @@ object Main {
     loop(args)
   }
 
-  def dispatch(spark: SparkSession, args: List[String]): Int = args match {
+  def dispatch(spark: SparkSession, args: List[String]): Int =
+    try dispatchImpl(spark, args)
+    catch { case UsageError(m) => System.err.println(m); 1 }
+
+  private def dispatchImpl(spark: SparkSession, args: List[String]): Int = args match {
     case "view" :: rest =>
-      val path = positional(rest).head
+      val path = required(positional(rest), 1, "view <file> [--limit N]").head
       val limit = opt(rest, "--limit").map(_.toInt).getOrElse(10)
       val df = Formats.read(spark, path)
       // --limit 0 = all rows (reference parity). Stream partitions through
@@ -93,18 +107,19 @@ object Main {
       0
 
     case "schema" :: rest =>
-      SchemaOp.describePath(spark, positional(rest).head)
+      SchemaOp.describePath(spark, required(positional(rest), 1, "schema <file>").head)
         .show(1000, truncate = false)
       0
 
     case "count" :: rest =>
-      val path = opt(rest, "--table").getOrElse(positional(rest).head)
+      val path = opt(rest, "--table").getOrElse(
+        required(positional(rest), 1, "count --table <file>").head)
       val (name, _) = Formats.registerTable(spark, path)
       spark.sql(s"SELECT COUNT(*) FROM $name").show()
       0
 
     case "convert" :: rest =>
-      val ps = positional(rest)
+      val ps = required(positional(rest), 2, "convert [--single-file] [--zstd] <in> <out>")
       Convert.convert(spark, ps(0), ps(1),
         singleFile = flag(rest, "--single-file") || flag(rest, "-s"),
         zstd = flag(rest, "--zstd") || flag(rest, "-z"))
@@ -114,20 +129,22 @@ object Main {
       val sql = opt(rest, "--sql").orElse(
         opt(rest, "--sql-file").map(f =>
           new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))))
-        .getOrElse(throw new IllegalArgumentException("provide --sql or --sql-file"))
+        .getOrElse(throw UsageError(
+          "usage: query [--table f]... [--tables dir] (--sql s | --sql-file f) [--output p] [--verbose]"))
       QueryRunner.run(spark, opts(rest, "--table"), opt(rest, "--tables"), sql,
         opt(rest, "--output"), flag(rest, "--verbose") || flag(rest, "-v"))
         .show(100, truncate = false)
       0
 
     case "view-parquet-meta" :: rest =>
-      val path = positional(rest).head
+      val path = required(positional(rest), 1, "view-parquet-meta <file>").head
       ParquetMeta.fileInfo(spark, path).show(truncate = false)
       ParquetMeta.metadata(spark, path).show(1000, truncate = false)
       0
 
     case "compare" :: rest =>
-      val ps = positional(rest)
+      val ps = required(positional(rest), 2,
+        "compare <f1> <f2> [--epsilon e] [--no-header-row] [--key c1,c2]")
       val epsilon = opt(rest, "--epsilon").map(_.toDouble).getOrElse(0.0)
       val result = opt(rest, "--key") match {
         case Some(keys) =>
@@ -150,17 +167,20 @@ object Main {
       if (result.head().getBoolean(4)) 0 else -1
 
     case "describe" :: rest =>
-      val df = Formats.read(spark, positional(rest).head)
+      val df = Formats.read(spark,
+        required(positional(rest), 1, "describe <file> [--columns c1,c2]").head)
       val numeric = df.schema.fields.collect {
         case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
       }.toSeq
       val cols = opt(rest, "--columns")
-        .map(_.split(",").map(_.trim).toSeq).getOrElse(numeric)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(numeric)
+      if (cols.isEmpty) throw UsageError(
+        "describe: no numeric columns found; name columns explicitly with --columns c1,c2")
       Describe.describe(df, cols).orderBy("col_name").show(1000, truncate = false)
       0
 
     case "compact" :: rest =>
-      val ps = positional(rest)
+      val ps = required(positional(rest), 2, "compact <inDir> <outDir> [--target-mb N]")
       val targetBytes = opt(rest, "--target-mb").map(_.toLong).getOrElse(128L) * 1024 * 1024
       val (before, after) = Compact.compact(spark, ps(0), ps(1), targetBytes)
       println(s"files: $before -> $after")

@@ -22,22 +22,56 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Compact {
 
-  /** Parquet file count + total bytes under `dir` (non-recursive, data files
-    * only — skips _SUCCESS / hidden files), via the Hadoop FS API so it works
-    * on any cluster filesystem, not just local disk.
+  /** Parquet file count + total bytes under `dir` (RECURSIVE, data files
+    * only — skips _SUCCESS / hidden files and anything under a hidden or
+    * metadata subdirectory), via the Hadoop FS API so it works on any
+    * cluster filesystem, not just local disk. Recursion matters: a
+    * hive-partitioned directory keeps its data one level down, and the
+    * previous non-recursive listing reported 0 bytes there — which silently
+    * turned [[compact]] into coalesce(1).
     */
   def stats(spark: SparkSession, dir: String): (Int, Long) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter { s =>
-      val n = s.getPath.getName
-      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    def isData(path: Path): Boolean = {
+      // every path component from dir down must be non-hidden/non-metadata
+      Iterator.iterate(path)(_.getParent)
+        .takeWhile(q => q != null && q.toUri.getPath != p.toUri.getPath)
+        .forall { q =>
+          val n = q.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
     }
-    (files.length, files.map(_.getLen).sum)
+    var count = 0
+    var bytes = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && isData(s.getPath)) { count += 1; bytes += s.getLen }
+    }
+    (count, bytes)
+  }
+
+  /** True when `dir` contains data files below the top level (hive
+    * partitioning) — [[compact]] refuses those; see its doc.
+    */
+  private def hasNestedData(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      s.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   /** Rewrite `inDir` (parquet) into `outDir` with ~targetBytes output files.
     * Returns (filesBefore, filesAfter).
+    *
+    * Refuses a hive-partitioned input (data files below the top level): a
+    * flat rewrite would inline the partition columns and destroy partition
+    * pruning for every downstream scan. Compact each partition directory
+    * instead — which is also the right granularity at 100 TB (each coalesce
+    * stays narrow).
     */
   def compact(
       spark: SparkSession,
@@ -45,6 +79,9 @@ object Compact {
       outDir: String,
       targetBytes: Long): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
+    require(!hasNestedData(spark, inDir),
+      s"$inDir is partitioned (data in subdirectories); compact each partition directory separately " +
+        "so partition columns and pruning are preserved")
     val (before, totalBytes) = stats(spark, inDir)
     val outFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir)

@@ -75,9 +75,13 @@ object Compare {
     else l <=> r
 
   /** Indexed full-outer join of both sides plus the per-row equality
-    * predicate — shared by [[summarize]] and [[firstDiff]].
+    * predicate — shared by [[summarize]] and [[firstDiff]]. Exposed to the
+    * query layer so a caller producing SEVERAL compare outputs over one
+    * input pair (summary + first-diff row) can snapshot the join once and
+    * feed [[summarizeJoined]] / [[firstDiffJoined]] instead of re-running
+    * the zipWithIndex pipeline per output.
     */
-  private def positionalJoin(
+  private[graft] def positionalJoin(
       spark: SparkSession,
       left: DataFrame,
       right: DataFrame,
@@ -110,9 +114,12 @@ object Compare {
       left: DataFrame,
       right: DataFrame,
       epsilon: Double = 0.0): DataFrame = {
-
     val (joined, rowEqual) = positionalJoin(spark, left, right, epsilon)
+    summarizeJoined(joined, rowEqual)
+  }
 
+  /** Summary stage over an already-built positional join. */
+  private[graft] def summarizeJoined(joined: DataFrame, rowEqual: Column): DataFrame = {
     val agg = joined.agg(
       count(col("__lp")).as("rows_left"),
       count(col("__rp")).as("rows_right"),
@@ -138,8 +145,12 @@ object Compare {
       left: DataFrame,
       right: DataFrame,
       epsilon: Double = 0.0): DataFrame = {
-
     val (joined, rowEqual) = positionalJoin(spark, left, right, epsilon)
+    firstDiffJoined(joined, rowEqual)
+  }
+
+  /** First-diff stage over an already-built positional join. */
+  private[graft] def firstDiffJoined(joined: DataFrame, rowEqual: Column): DataFrame = {
     val diffs = joined.filter(!rowEqual)
     val firstIdx = diffs.agg(min(col("__idx")).as("__first"))
     diffs

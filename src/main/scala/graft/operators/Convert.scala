@@ -15,6 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    Spark analog is disabling dictionary encoding.
   *  - Avro output rejected, Arrow unimplemented — exactly like the reference
   *    (convert.rs:37-39,52); we do not silently add capability here.
+  *  - the reference stamps `created_by = "bdt"` into the parquet footer
+  *    (convert.rs:25,31). Spark exposes no public hook for the writer
+  *    created_by string (parquet-mr hardcodes its own), so our footers say
+  *    "parquet-mr ... (build ...)" — a permanent, cosmetic-only deviation:
+  *    no reader behavior keys off it, and view-parquet-meta surfaces
+  *    whatever the footer says on both engines.
   */
 object Convert {
 

@@ -19,19 +19,28 @@ object Describe {
 
   def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "describe needs at least one column")
-    def aggsFor(c: String): Seq[Column] = Seq(
-      count(col(c)).as(s"${c}__n"),
-      (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
-      round(avg(col(c)), 6).as(s"${c}__mean"),
-      round(stddev_samp(col(c)), 6).as(s"${c}__std"),
-      round(min(col(c)).cast("double"), 6).as(s"${c}__min"),
-      round(max(col(c)).cast("double"), 6).as(s"${c}__max"))
-    val aggs = cols.flatMap(aggsFor)
+    // source columns are addressed with backtick quoting (doubled-backtick
+    // escape) and intermediate aliases are INDEX-derived, so a column named
+    // `a.b`, `a b` or `a-b` never reaches the parser as a bare identifier
+    val src = cols.map(c => col(s"`${c.replace("`", "``")}`"))
+    def aggsFor(c: Column, i: Int): Seq[Column] = Seq(
+      count(c).as(s"c${i}__n"),
+      (count(lit(1)) - count(c)).as(s"c${i}__nulls"),
+      round(avg(c), 6).as(s"c${i}__mean"),
+      round(stddev_samp(c), 6).as(s"c${i}__std"),
+      round(min(c).cast("double"), 6).as(s"c${i}__min"),
+      round(max(c).cast("double"), 6).as(s"c${i}__max"))
+    val aggs = src.zipWithIndex.flatMap { case (c, i) => aggsFor(c, i) }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', ${c}__n, ${c}__nulls, ${c}__mean, ${c}__std, ${c}__min, ${c}__max"
-    }.mkString(", ")
-    one.select(expr(
-      s"stack(${cols.size}, $stackArgs) AS (col_name, n, n_null, mean, std, vmin, vmax)"))
+    // one row per column via explode(array(struct...)) — the Column-API
+    // equivalent of stack(), with the column NAME as a literal, never SQL
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"c${i}__n").as("n"), col(s"c${i}__nulls").as("n_null"),
+        col(s"c${i}__mean").as("mean"), col(s"c${i}__std").as("std"),
+        col(s"c${i}__min").as("vmin"), col(s"c${i}__max").as("vmax"))
+    }
+    one.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
   }
 }

@@ -180,17 +180,30 @@ object Coverage3 {
     * orders into 16 small files, compact shuffle-free to ~one target-sized
     * file, verify nothing was lost or duplicated via content checksums. The
     * files-actually-shrank property is pinned in CompactSpec (file counts
-    * aren't visible to the SQL oracle). The fixture cost is two write
-    * passes, so the mid-size table demonstrates the operator at half the
-    * bench cost of the biggest one.
+    * aren't visible to the SQL oracle).
     */
+  /** The 16-file spray is the FIXTURE (the small-file mess a compaction job
+    * inherits), not the operator's work — sprayed once per (fixture dir) so
+    * the timed body measures the compaction read+write only (VERDICT r4 #6).
+    */
+  private val compactInFor = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def compactInput(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    compactInFor.synchronized {
+      val in = Tables.scratch("compact_in")
+      if (compactInFor.get() != dir) {
+        t(s, dir, "orders").repartition(16)
+          .write.mode("overwrite").parquet(in)
+        compactInFor.set(dir)
+      }
+      in
+    }
+
   val compactFiles = Declared(
     "op_compact_files",
     (s, dir) => {
-      val in = Tables.scratch("compact_in")
+      val in = compactInput(s, dir)
       val out = Tables.scratch("compact_out")
-      t(s, dir, "orders").repartition(16)
-        .write.mode("overwrite").parquet(in)
       graft.operators.Compact.compacted(s, in, out, 256L * 1024 * 1024)
         .agg(
           count(lit(1)).as("n_rows"),

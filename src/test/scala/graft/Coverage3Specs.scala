@@ -262,3 +262,64 @@ class EmbedQuantizeZeroVectorSpec extends AnyFunSuite {
     assert(normal.getLong(4) == 64L, s"q_max: $normal")
   }
 }
+
+/** Round-5 robustness pins (VERDICT r4 #7): partitioned-dir Compact behavior,
+  * Describe identifier safety, CLI usage-error paths.
+  */
+class CompactPartitionedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("stats recurses into hive partitions; compact fails fast on them") {
+    val in = Tables.scratch("compact_part_spec_in")
+    spark.range(10000).toDF("v")
+      .withColumn("p", col("v") % 4)
+      .write.mode("overwrite").partitionBy("p").parquet(in)
+
+    val (files, bytes) = Compact.stats(spark, in)
+    assert(files >= 4, s"partitioned data files not counted: $files")
+    assert(bytes > 0L, "partitioned bytes must not read as 0 (pre-fix coalesce(1) bug)")
+
+    val e = intercept[IllegalArgumentException] {
+      Compact.compact(spark, in, Tables.scratch("compact_part_spec_out"), 1L << 20)
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+  }
+}
+
+class DescribeQuotingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("column names with dots, spaces and hyphens survive describe") {
+    val df = Seq((1.0, 2.0, 3.0), (3.0, 4.0, 5.0))
+      .toDF("a.b", "a b", "a-b")
+    val got = graft.operators.Describe.describe(df, Seq("a.b", "a b", "a-b"))
+      .orderBy(col("col_name")).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a b", "a-b", "a.b"))
+    // values flow through, not just names: mean of a.b is 2.0
+    val ab = got.find(_.getString(0) == "a.b").get
+    assert(ab.getLong(1) == 2L && ab.getDouble(3) == 2.0)
+  }
+}
+
+class CliUsageSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("missing positionals yield exit 1, not an exception") {
+    assert(graft.cli.Main.dispatch(spark, List("view")) == 1)
+    assert(graft.cli.Main.dispatch(spark, List("schema")) == 1)
+    assert(graft.cli.Main.dispatch(spark, List("count")) == 1)
+    assert(graft.cli.Main.dispatch(spark, List("convert", "only-one")) == 1)
+    assert(graft.cli.Main.dispatch(spark, List("compare", "one")) == 1)
+    assert(graft.cli.Main.dispatch(spark, List("describe")) == 1)
+    assert(graft.cli.Main.dispatch(spark, List("compact", "in-only")) == 1)
+    assert(graft.cli.Main.dispatch(spark, List("query")) == 1)
+  }
+
+  test("describe with zero numeric columns yields exit 1") {
+    import spark.implicits._
+    val p = Tables.scratch("cli_usage_strings.parquet")
+    Seq("x", "y").toDF("s").write.mode("overwrite").parquet(p)
+    assert(graft.cli.Main.dispatch(spark, List("describe", p)) == 1)
+  }
+}
