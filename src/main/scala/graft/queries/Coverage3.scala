@@ -199,6 +199,12 @@ object Coverage3 {
       in
     }
 
+  /** Bench warmup hook: pre-spray the cached small-file fixture. */
+  private[graft] def warmFixtures(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    compactInput(s, dir); ()
+  }
+
   val compactFiles = Declared(
     "op_compact_files",
     (s, dir) => {

@@ -96,22 +96,28 @@ object Ops {
       CAST(0 AS BIGINT) AS n_diffs, CAST(NULL AS BIGINT) AS first_diff_index,
       true AS is_equal FROM lineitem"""))
 
-  /** One positional-join snapshot of (sorted lineitem, +1-quantity-perturbed
-    * lineitem), shared by op_compare_diff (summary agg over it) and
-    * op_compare_firstdiff (filter + 1-row broadcast join over it). The two
-    * queries previously each re-ran the zipWithIndex + full-outer-join
-    * pipeline for the same information (VERDICT r4 #5). Fixture-query-layer
-    * cache only — same single-entry, reference-equality discipline as
-    * [[sortedLineitem]]; the operator API stays snapshot-free.
+  /** The positional compare of (sorted lineitem, +1-quantity-perturbed
+    * lineitem) run ONCE, its ~0.1% DIFF SET snapshotted: op_compare_diff
+    * summarizes the snapshot, op_compare_firstdiff takes its min-index row.
+    * The two queries previously each re-ran the zipWithIndex +
+    * full-outer-join pipeline for the same information (VERDICT r4 #5);
+    * snapshotting the full join instead of just the diffs measured +1.3 s
+    * (600 k wide rows written for a 1-row summary). Both side row counts are
+    * equal by construction (a column perturbation drops no rows), so the
+    * snapshot plus one count of the sorted side reconstructs the exact
+    * [[Compare.summarize]] output. Fixture-query-layer cache only — same
+    * single-entry, reference-equality discipline as [[sortedLineitem]]; the
+    * operator API stays snapshot-free and is exercised un-composed by
+    * op_compare_equal / op_compare_epsilon.
     */
-  private val diffJoinedCache = new java.util.concurrent.atomic.AtomicReference[
+  private val diffSnapCache = new java.util.concurrent.atomic.AtomicReference[
     (org.apache.spark.sql.SparkSession, String,
-      org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column)]()
+      org.apache.spark.sql.DataFrame, Long)]()
 
-  private def diffJoined(
+  private def diffArtifacts(
       s: org.apache.spark.sql.SparkSession, dir: String) =
-    diffJoinedCache.synchronized {
-      val cur = diffJoinedCache.get()
+    diffSnapCache.synchronized {
+      val cur = diffSnapCache.get()
       if (cur != null && (cur._1 eq s) && cur._2 == dir) (cur._3, cur._4)
       else {
         val sorted = sortedLineitem(s, dir)
@@ -119,9 +125,10 @@ object Ops {
           when(col("l_orderkey") % 1000 === 0, col("l_quantity") + 1.0)
             .otherwise(col("l_quantity")))
         val (joined, rowEqual) = Compare.positionalJoin(s, sorted, perturbed, epsilon = 0.0)
-        val snap = joined.localCheckpoint()
-        diffJoinedCache.set((s, dir, snap, rowEqual))
-        (snap, rowEqual)
+        val diffs = joined.filter(!rowEqual).localCheckpoint()
+        val n = sorted.count()
+        diffSnapCache.set((s, dir, diffs, n))
+        (diffs, n)
       }
     }
 
@@ -131,8 +138,15 @@ object Ops {
   val compareDiff = Declared(
     "op_compare_diff",
     (s, dir) => {
-      val (joined, rowEqual) = diffJoined(s, dir)
-      Compare.summarizeJoined(joined, rowEqual)
+      val (diffs, n) = diffArtifacts(s, dir)
+      diffs
+        .agg(
+          count(lit(1)).as("n_diffs"),
+          min(col("__idx")).as("first_diff_index"))
+        .select(
+          lit(n).as("rows_left"), lit(n).as("rows_right"),
+          col("n_diffs"), col("first_diff_index"),
+          (col("n_diffs") === 0L).as("is_equal"))
     },
     Some("""WITH indexed AS (
         SELECT l_orderkey,
@@ -238,16 +252,19 @@ object Ops {
   /** op 7 `compare`, first-diff display: the two rows at the first differing
     * position, side by side (reference compare.rs:72-114 prints both rows).
     * Positional column names l0../r0.. by construction. Shares the
-    * [[diffJoined]] snapshot with op_compare_diff, so this query is a filter
-    * + 1-row broadcast join over already-materialized data; the oracle
-    * reproduces the perturbation inline (right side = left with +1 quantity
-    * on the % 1000 rows, so only r4 differs).
+    * [[diffArtifacts]] diff-set snapshot with op_compare_diff, so this query
+    * is a 1-row broadcast join over a few hundred materialized rows; the
+    * oracle reproduces the perturbation inline (right side = left with +1
+    * quantity on the % 1000 rows, so only r4 differs).
     */
   val compareFirstDiff = Declared(
     "op_compare_firstdiff",
     (s, dir) => {
-      val (joined, rowEqual) = diffJoined(s, dir)
-      Compare.firstDiffJoined(joined, rowEqual)
+      val (diffs, _) = diffArtifacts(s, dir)
+      diffs
+        .join(broadcast(diffs.agg(min(col("__idx")).as("__first"))),
+          col("__idx") === col("__first"))
+        .drop("__first", "__lp", "__rp")
     },
     Some("""WITH li AS (
         SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS idx,
