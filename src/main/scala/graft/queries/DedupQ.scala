@@ -290,11 +290,13 @@ object DedupQ {
         "long_id")
       def h1(c: org.apache.spark.sql.Column) =
         graft.functions.Hashing.minhashBasePortable(c)._1
-      // sidx has exactly ONE consumer (the anchor window) — no snapshot;
-      // lidx feeds both the df-stats and the candidate join, so it keeps one
+      // sidx feeds the anchor window and the verify set aggregation; lidx
+      // feeds the df-stats, the candidate join and the verify sets — both
+      // snapshot once
       val sidx = docs
         .select(col("doc_id"), explode(TextFns.charShingles("text", K)).as("x"))
         .select(col("doc_id"), h1(col("x")).as("h")).distinct()
+        .localCheckpoint()
       val lidx = longs
         .select(col("long_id"), explode(TextFns.charShingles("ltext", K)).as("x"))
         .select(col("long_id"), h1(col("x")).as("h")).distinct()
@@ -308,16 +310,18 @@ object DedupQ {
         .select(col("doc_id"), col("h"))
       val cand = anchors.join(lidx, "h")
         .select(col("doc_id"), col("long_id")).distinct()
-      // verify against PRE-SHINGLED sets, one array per doc/long — shingling
-      // inside the verify projection would re-run the 3 k-substr pipeline of
-      // a long doc once per candidate (~300× each here), and AQE coalesces
-      // the small candidate shuffle to one partition, so that work would
-      // also be single-threaded (measured: 300 s → ~2 s at sf0.01). The
+      // verify against PRE-BUILT HASH sets aggregated from the same index
+      // rows the blocker uses — shingling inside the verify projection would
+      // re-run the substr pipeline of a long doc once per candidate (~300×
+      // each here), and AQE coalesces the small candidate shuffle to one
+      // partition, so that work would also be single-threaded (measured:
+      // 300 s → ~2 s at sf0.01). Containment over the 32-bit hash sets
+      // equals containment over the 16-gram sets up to hash collisions,
+      // which both engines share bit-for-bit; int arrays broadcast ~2.5×
+      // smaller and intersect much faster than 16-char strings. The
       // explicit repartition spreads the intersect work back across cores.
-      val ssets = docs
-        .select(col("doc_id"), TextFns.charShingles("text", K).as("ssh"))
-      val lsets = longs
-        .select(col("long_id"), TextFns.charShingles("ltext", K).as("lsh"))
+      val ssets = sidx.groupBy(col("doc_id")).agg(collect_list(col("h")).as("ssh"))
+      val lsets = lidx.groupBy(col("long_id")).agg(collect_list(col("h")).as("lsh"))
       // both set sides are per-DOC aggregates (one row per doc / per long),
       // tiny next to the candidate list — broadcast them so the verify
       // stage never shuffles a shingle array (the lsets side sits just over
@@ -357,8 +361,8 @@ object DedupQ {
         FROM sidx LEFT JOIN dfreq USING (h)),
       anchors AS (SELECT doc_id, h FROM sp WHERE rn <= n // 10 + 1),
       cand AS (SELECT DISTINCT a.doc_id, l.long_id FROM anchors a JOIN lidx l USING (h)),
-      ssets AS (SELECT doc_id, ${shingles("text")} AS sh FROM docs),
-      lsets AS (SELECT long_id, ${shingles("ltext")} AS sh FROM longs)
+      ssets AS (SELECT doc_id, list(h) AS sh FROM sidx GROUP BY doc_id),
+      lsets AS (SELECT long_id, list(h) AS sh FROM lidx GROUP BY long_id)
       SELECT * FROM (
         SELECT c.doc_id AS short_id, c.long_id,
           round(CAST(len(list_intersect(s.sh, l.sh)) AS DOUBLE) / CAST(len(s.sh) AS DOUBLE), 6)
