@@ -18,6 +18,7 @@ object SparkEntry {
 
   private def declaredModules: Seq[Declared] =
     _root_.graft.queries.Relational.all ++
+      _root_.graft.queries.TpchQ.all ++
       _root_.graft.queries.Aggregates.all ++
       _root_.graft.queries.Windows.all ++
       _root_.graft.queries.SetOps.all ++

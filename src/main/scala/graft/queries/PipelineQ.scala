@@ -370,7 +370,39 @@ object PipelineQ {
         FROM documents)
       GROUP BY lang, shard ORDER BY lang, shard"""))
 
+  /** Temperature-scaled mixture weights (the multilingual-pretraining
+    * sampling rule, p_s ∝ n_s^α with α = 0.5): up-weight small
+    * (source, lang) strata, down-weight dominant ones, and emit the expected
+    * per-stratum draw count for a fixed budget. One hash aggregate folds the
+    * corpus to O(strata) rows; the normalizer is a 1-row broadcast. The
+    * weights table is what a sampler joins back onto the corpus — computing
+    * it never touches more than the stratum histogram.
+    */
+  val mixTemperature = Declared(
+    "mix_temperature",
+    (s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val z = counts.agg(sum(pow(col("n_docs"), 0.5)).as("z"))
+      counts.crossJoin(broadcast(z))
+        .select(
+          col("source"), col("lang"), col("n_docs"),
+          round(pow(col("n_docs"), 0.5) / col("z"), 6).as("weight"),
+          round(pow(col("n_docs"), 0.5) / col("z") * 10000.0, 2).as("n_expected"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""WITH c AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source, lang),
+      z AS (SELECT sum(pow(n_docs, 0.5)) AS z FROM c)
+      SELECT source, lang, n_docs,
+        round(pow(n_docs, 0.5) / z.z, 6) AS weight,
+        round(pow(n_docs, 0.5) / z.z * 10000.0, 2) AS n_expected
+      FROM c CROSS JOIN z ORDER BY source, lang"""))
+
   val all: Seq[Declared] = Seq(
     decontaminate, packSequences, embedOutliers, corpusTerms, textRepetition,
-    mixSample, chunkDocuments, sampleStratified, curriculumOrder)
+    mixSample, chunkDocuments, sampleStratified, curriculumOrder,
+    mixTemperature)
 }

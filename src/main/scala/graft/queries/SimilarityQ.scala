@@ -252,7 +252,77 @@ object SimilarityQ {
       WHERE d.lang = 'en' AND e.vec_id <> 0
       ORDER BY cos DESC, e.vec_id LIMIT 10"""))
 
+  /** Cosine RANGE search — all neighbors above a similarity floor, the dual
+    * of top-k (retrieval wants "everything relevant", not "the 10 best").
+    * Same broadcast-probe scan shape as [[topkBrute]]: one corpus pass, the
+    * threshold filter runs inside the scan's codegen stage, and the tiny
+    * survivor set sorts after. No top-k cutoff means the result size is
+    * data-dependent — exactly why a range query must NOT be served by a
+    * limit-k plan.
+    */
+  val rangeSearch = Declared(
+    "sim_range_search",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(
+          col("vec_id"), col("label"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .filter(col("cos") >= 0.30)
+        .orderBy(col("cos").desc, col("vec_id"))
+    },
+    Some("""SELECT vec_id, label, cos FROM (
+        SELECT vec_id, label,
+          round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+            CAST(q.qv AS DOUBLE[])), 6) AS cos
+        FROM embeddings
+        CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        WHERE vec_id <> 0)
+      WHERE cos >= 0.30 ORDER BY cos DESC, vec_id"""))
+
+  /** Batched k-NN JOIN — top-3 neighbors for EVERY query in a probe set, the
+    * workhorse of embedding-based labeling / retrieval-augmentation over a
+    * batch. The probe batch broadcasts (queries × dim floats — fits executors
+    * for any realistic batch), the corpus streams through ONE scan, and the
+    * per-query top-3 is a row_number window partitioned by query id that the
+    * planner prunes with WindowGroupLimit — no per-query rescans, no corpus
+    * shuffle. For probe sets too big to broadcast, the LSH/IVF bucket join
+    * ([[annLsh]], sim_ivf) is the same contract with candidate pruning.
+    */
+  val knnJoin = Declared(
+    "knn_join_brute",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val win = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(
+          col("q_id"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some("""SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM (
+        SELECT q_id, vec_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+        FROM (
+          SELECT p.vec_id AS q_id, e.vec_id AS vec_id,
+            round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+              CAST(p.embedding AS DOUBLE[])), 6) AS cos
+          FROM embeddings e
+          CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) p
+          WHERE e.vec_id <> p.vec_id))
+      WHERE rk <= 3 ORDER BY q_id, rk"""))
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
-      filteredSearch)
+      filteredSearch, rangeSearch, knnJoin)
 }

@@ -522,7 +522,59 @@ object TextQ {
         min(doc_id) AS first_doc
       FROM canon GROUP BY canonical ORDER BY canonical"""))
 
+  /** Boilerplate detection (CCNet/RefinedWeb-style): a shingle that recurs
+    * across ≥3 DISTINCT documents of the same source is template text
+    * (headers, nav bars, license blurbs), not content — score each document
+    * by how much of it is boilerplate. Trigram shingles are deduped per
+    * document BEFORE the cross-document count (occurrences within one doc
+    * must not fake recurrence), the per-(source, shingle) doc-frequency is a
+    * hash aggregate on the natural key, and the mark-back is an equi-join on
+    * (source, shingle) — all shuffle-on-key shapes that scale; nothing is
+    * collected or broadcast except what Catalyst chooses to.
+    */
+  val boilerplate = Declared(
+    "text_boilerplate",
+    (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .withColumn("ws", TextFns.words(col("text")))
+        .select(col("doc_id"), col("source"), explode(expr(
+          """CASE WHEN size(ws) < 3 THEN array()
+             ELSE transform(sequence(1, size(ws) - 2),
+                            i -> concat_ws(' ', slice(ws, i, 3)))
+             END""")).as("g"))
+        .distinct()
+      val boiler = sh.groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 3)
+        .select(col("source"), col("g"), lit(1L).as("is_boiler"))
+      sh.join(boiler, Seq("source", "g"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"),
+          round(sum(coalesce(col("is_boiler"), lit(0L))).cast("double") /
+            count(lit(1)), 6).as("boiler_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ws AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, source,
+          unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+            i -> array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 2], ' '))) AS g
+        FROM ws),
+      boiler AS (
+        SELECT source, g FROM sh GROUP BY source, g HAVING count(*) >= 3)
+      SELECT sh.doc_id, sh.source,
+        CAST(count(*) AS BIGINT) AS n_shingles,
+        CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        round(sum(CASE WHEN b.g IS NOT NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) AS boiler_frac
+      FROM sh LEFT JOIN boiler b ON sh.source = b.source AND sh.g = b.g
+      GROUP BY sh.doc_id, sh.source ORDER BY sh.doc_id"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
-    corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize)
+    corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
+    boilerplate)
 }

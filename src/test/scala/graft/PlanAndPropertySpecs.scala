@@ -203,7 +203,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_gap_fill",       // spine construction: 1-row bounds × tiny type dim
     "q_histogram",      // 1-row global (min, max) bounds broadcast
     "text_unigram_nll", // 1-row global token-total broadcast
-    "corpus_tfidf"      // 1-row global doc-count broadcast
+    "corpus_tfidf",     // 1-row global doc-count broadcast
+    "sim_range_search", // 1-row broadcast query vector (threshold scan)
+    "knn_join_brute",   // 5-row broadcast probe batch
+    "mix_temperature"   // 1-row global normalizer broadcast
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
