@@ -227,8 +227,29 @@ object ExtrasQ {
       FROM numbered GROUP BY user_id, session_seq
       ORDER BY user_id, session_start"""))
 
+  /** Streaming incremental dedup — a document stream anti-joined in-flight
+    * against the static fingerprint index (stateless stream-static anti
+    * join; the index owns the memory, not the stream engine). Oracle is the
+    * equivalent batch anti join. The fixture split has no cross-split dups,
+    * so everything passes — StreamingIncrementalDedupSpec proves the
+    * rejection path on a synthetic overlap.
+    */
+  val streamIncrementalDedup = Declared(
+    "stream_incremental_dedup",
+    (s, dir) => StreamingOps.incrementalDedupStream(s, dir),
+    Some("""WITH fps AS (
+        SELECT doc_id, lang,
+          md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+      idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_new, min(doc_id) AS first_doc
+      FROM fps b
+      WHERE doc_id % 10 >= 8
+        AND NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = b.fp)
+      GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Declared] = Seq(
     mmCatalog, mmFrames, mmBlob, mmDecode, rollingHashQ, streamWindow,
     streamWindowAppend, streamDedup, streamStaticJoin, streamStreamJoin,
-    streamSessionize)
+    streamSessionize, streamIncrementalDedup)
 }

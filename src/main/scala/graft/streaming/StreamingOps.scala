@@ -273,6 +273,52 @@ object StreamingOps {
     spark.table(name).orderBy(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Streaming incremental dedup: a document stream LEFT-ANTI joined against
+    * a STATIC fingerprint index — the streaming form of dedup_incremental
+    * (new docs flow in continuously; anything whose content fingerprint is
+    * already in the corpus index is dropped in-flight). The anti join is
+    * STATELESS: Spark re-plans the static side per micro-batch (on a cluster
+    * the index is a slowly-growing table the batch indexer appends to), so
+    * unlike dropDuplicatesWithinWatermark there is no per-key state store at
+    * all — the stream never remembers what it passed; the INDEX is the
+    * memory. That split (streaming filter → batch indexer owns the state) is
+    * the deployment shape that survives 100 TB corpora: state size is the
+    * index table's, not the stream engine's.
+    */
+  def incrementalDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val (docSchema, scanParts) = parquetSchema(spark, s"$sfDir/documents.parquet")
+    val fp = md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp")
+    // "already-ingested" corpus: same 80/20 split as dedup_incremental
+    val index = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 10 < 8)
+      .select(fp).distinct()
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("lang"), fp)
+      .join(index, Seq("fp"), "left_anti")
+
+    val name = "graft_incr_dedup_sink"
+    runTuned(spark, scanParts) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // batch readout over the passed-through docs (same discipline as
+    // dedupStream: the streaming operator is the anti join, the summary is
+    // the consumer's)
+    spark.table(name)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+  }
+
   case class SessionState(start: Long, end: Long, n: Long, value: Double)
   case class SessionOut(
       user_id: Long, session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,

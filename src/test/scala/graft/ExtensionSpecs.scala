@@ -658,3 +658,47 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(out.count() == 1)
   }
 }
+
+/** The streaming incremental-dedup anti join must actually REJECT: the
+  * fixture split passes everything through (no cross-split dups), so the
+  * rejection path needs a synthetic overlap — a "new" doc whose normalized
+  * text already sits in the indexed 80%.
+  */
+class StreamingIncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("index hit is dropped in-flight; novel docs pass with counts per lang") {
+    val dir = Tables.scratch("stream_incr_dedup_fixture")
+    locally { // clean slate: a previous run may have left directories behind
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.createDirectories(root)
+    }
+    // doc 2 (indexed side) and doc 18 (stream side) share normalized text;
+    // docs 8, 19 are novel. Whitespace differs on purpose: the fingerprint
+    // normalizes runs of whitespace, so "a  b" must still collide with "a b".
+    // the op streams files NAMED documents.parquet (the fixture layout is a
+    // single file, not a directory) — write to a staging dir, then move the
+    // single part file into place under that name
+    Seq(
+      (2L, "dup text  body", "en", "s0", 13L),
+      (3L, "other indexed", "en", "s0", 13L),
+      (8L, "novel eight", "en", "s0", 11L),
+      (18L, "dup  text body", "en", "s0", 13L),
+      (19L, "novel nineteen", "de", "s0", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_stage")
+    val part = new java.io.File(s"$dir/_stage").listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val got = graft.streaming.StreamingOps.incrementalDedupStream(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    // stream side = doc_id % 10 >= 8 → {8, 18, 19}; 18 collides with 2 → out
+    assert(got == List(("de", 1L, 19L), ("en", 1L, 8L)))
+  }
+}
