@@ -67,6 +67,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("TPC-H top-k headliners plan TakeOrderedAndProject, not a full sort") {
+    // q3/q10/q18 end in ORDER BY ... LIMIT n — at 100 TB that must be a
+    // per-partition heap + driver merge of n rows, never a global sort
+    for (q <- Seq("q3_shipping_priority", "q10_returned_items", "q18_big_spenders")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q lacks TakeOrderedAndProject")
+    }
+  }
+
+  test("q5 snowflake: date filter reaches the orders scan; dims broadcast") {
+    val p = plan("q5_local_supplier")
+    // the o_orderdate range must be in PushedFilters (prunes row groups at
+    // the scan), and nation/region must ride broadcasts at any scale
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") || p.contains("PushedFilters"))
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("knn_join_brute per-query top-k plans WindowGroupLimit") {
+    val p = plan("knn_join_brute")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
   test("rank<=k filter plans WindowGroupLimit (per-group top-k, no full window state)") {
     // WindowGroupLimitExec keeps only the top k rows per group BEFORE the
     // window sort materializes — the difference between per-group heaps and
