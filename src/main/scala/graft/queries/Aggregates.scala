@@ -202,6 +202,45 @@ object Aggregates {
         AS median_within_band
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Datasketches HLL surface (Spark 3.5+ hll_sketch_agg / hll_union_agg):
+    * the MERGEABLE distinct-count sketch — the at-scale pattern where daily
+    * partials are stored as binary sketch columns and re-aggregated by
+    * union instead of rescanning history. Checked as a contract, like
+    * [[approxBound]]: the direct estimate must land within 5% (≈3σ of
+    * lgK=12's 1.6% rse) of exact, and the union of per-day partial sketches
+    * must estimate EXACTLY what the one-shot sketch estimates (HLL union is
+    * a per-register max — same registers, same estimate). DuckDB has no SQL
+    * sketch union, so the oracle computes its own HLL for the direct bound
+    * and states the merge identity as the expected literal; the Spark side
+    * genuinely computes both.
+    */
+  val hllSketch = Declared(
+    "q_hll_sketch",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val direct = e.groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"))
+      direct.join(merged, "event_type")
+        .select(
+          col("event_type"), col("exact_users"),
+          (abs(col("est_direct") - col("exact_users")).cast("double") /
+            col("exact_users").cast("double") <= 0.05).as("direct_within_5pct"),
+          (col("est_merged") === col("est_direct")).as("merge_lossless"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+      count(DISTINCT user_id) AS exact_users,
+      CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) AS DOUBLE)
+        / CAST(count(DISTINCT user_id) AS DOUBLE) <= 0.05 AS direct_within_5pct,
+      true AS merge_lossless
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** GROUPING SETS / ROLLUP / CUBE. Fixture keys are never null, so
     * coalesce('ALL') unambiguously marks subtotal rows.
     */
@@ -415,6 +454,6 @@ object Aggregates {
 
   val all: Seq[Declared] = Seq(
     stats, percentiles, collects, minmax, boolBit, countDistinctQ, modeMedian,
-    approxBound, rollupQ, cubeQ, groupingSets, multiDistinct, listAgg,
-    histogram, moments, mad)
+    approxBound, hllSketch, rollupQ, cubeQ, groupingSets, multiDistinct,
+    listAgg, histogram, moments, mad)
 }

@@ -146,6 +146,24 @@ object ExtrasQ {
       event_type, count(*) AS n, round(sum(value), 2) AS total
       FROM events GROUP BY h, event_type ORDER BY h, event_type"""))
 
+  /** Sliding 1-hour windows advancing every 15 minutes — every event belongs
+    * to exactly 4 windows. The oracle reproduces Spark's window assignment
+    * arithmetic: starts are the event's 15-minute bucket minus k×15 min for
+    * k = 0..3 (window length ÷ slide = 4 overlapping windows, all of which
+    * contain the event).
+    */
+  val streamWindowSliding = Declared(
+    "stream_window_sliding",
+    (s, dir) => StreamingOps.slidingTypeCounts(s, dir),
+    Some("""WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events),
+      x AS (
+        SELECT time_bucket(INTERVAL 15 MINUTE, t)
+            - k.k * (INTERVAL 15 MINUTE) AS ws, event_type, value
+        FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k)
+      SELECT ws, event_type, count(*) AS n, round(sum(value), 2) AS total
+      FROM x GROUP BY ws, event_type ORDER BY ws, event_type"""))
+
   /** Append-mode windowed counts with a 10-minute watermark — the unbounded
     * deployment mode: each window emitted once when the watermark passes its
     * end. The oracle applies the same cutoff (windows ending ≤ max(ts) − 10
@@ -250,6 +268,6 @@ object ExtrasQ {
 
   val all: Seq[Declared] = Seq(
     mmCatalog, mmFrames, mmBlob, mmDecode, rollingHashQ, streamWindow,
-    streamWindowAppend, streamDedup, streamStaticJoin, streamStreamJoin,
-    streamSessionize, streamIncrementalDedup)
+    streamWindowSliding, streamWindowAppend, streamDedup, streamStaticJoin,
+    streamStreamJoin, streamSessionize, streamIncrementalDedup)
 }

@@ -98,6 +98,41 @@ object StreamingOps {
     spark.table(name).orderBy(col("h"), col("event_type"))
   }
 
+  /** SLIDING windows (1 h length, 15 min slide): each event lands in 4
+    * overlapping windows — the smoothing mode tumbling windows can't express
+    * (a spike at :59 shows in the window starting :45, not only the one
+    * that began an hour ago). Spark assigns each row its window set inside
+    * the aggregate (an Expand of 4, no self-join); state is one row per
+    * (window, type) like the tumbling case, just 4× the window count.
+    */
+  def slidingTypeCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+
+    val agg = stream
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes").getField("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+
+    val name = "graft_stream_sliding_sink"
+    runTuned(spark, scanParts) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name).orderBy(col("ws"), col("event_type"))
+  }
+
   /** Append-mode windowed counts — the UNBOUNDED-deployment mode the
     * Complete-mode variant's doc promises: a 10-minute watermark, windows
     * emitted exactly once when the watermark passes their end, state evicted
