@@ -555,7 +555,79 @@ object DedupQ {
         FROM events)
       WHERE rn = 1 ORDER BY event_id"""))
 
+  /** Winnowing fingerprints (the MOSS algorithm, Schleimer et al. SIGMOD'03):
+    * hash every 32-char gram, keep the MINIMUM hash of each 16-gram window —
+    * content-defined sampling, so selection is position-INDEPENDENT and any
+    * verbatim substring shared by two documents of length ≥ K + W − 1 = 47
+    * chars is guaranteed to contribute at least one identical fingerprint
+    * (an aligned-stride sampler misses copies at shifted offsets; winnowing
+    * cannot). This is the exact-substring-duplication detector — license
+    * blocks, verbatim quotes — complementing the set-similarity family.
+    *
+    * Shapes at scale: grams are a per-row fan-out (no shuffle), the sliding
+    * min is a window partitioned by doc, fingerprints are ~|text|/W per doc.
+    * Ubiquitous fingerprints (df > 10) are dropped before the pair join —
+    * the standard frequency cap that bounds any fingerprint's pair fan-out
+    * at C(10,2) and keeps the self-join linear in practice (same reason the
+    * suffix-array pipelines drop ultra-frequent seeds).
+    */
+  val winnow = Declared(
+    "dedup_winnow",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 32
+      val W = 16
+      val grams = Tables.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), posexplode(expr(
+          s"""CASE WHEN length(text) < $K THEN array()
+              ELSE transform(sequence(1, length(text) - ${K - 1}),
+                             i -> substr(text, i, $K)) END"""))
+          .as(Seq("pos", "g")))
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, W - 1)
+      // fingerprints snapshot feeds the df-cap AND both sides of the pair
+      // join — without it the gram+window pipeline re-runs three times
+      val fps = grams
+        .select(col("doc_id"), col("pos"),
+          graft.functions.Hashing.md5Hash32(col("g")).as("h"))
+        .withColumn("fp", min(col("h")).over(byPos))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .filter(col("pos") <= col("n") - W) // only FULL windows select
+        .select(col("doc_id"), col("fp")).distinct()
+        .localCheckpoint()
+      val keep = fps.join(
+        fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd").between(2, 10)).select(col("fp")),
+        "fp")
+      keep.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(keep.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"), min(col("fp")).as("sample_fp"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH grams AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+          ${graft.functions.Hashing.md5Hash32DuckSql("substr(text, CAST(i AS INTEGER), 32)")} AS h
+        FROM documents, unnest(range(1, greatest(len(text) - 31, 0) + 1)) t(i)),
+      wins AS (
+        SELECT doc_id,
+          min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp,
+          pos, count(*) OVER (PARTITION BY doc_id) AS n
+        FROM grams),
+      fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n - 16 + 1),
+      df AS (SELECT fp, count(*) AS nd FROM fps GROUP BY fp),
+      keep AS (
+        SELECT fps.doc_id, fps.fp FROM fps JOIN df USING (fp)
+        WHERE nd BETWEEN 2 AND 10)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(count(*) AS BIGINT) AS n_shared, min(a.fp) AS sample_fp
+      FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Declared] = Seq(
     exact, exactRows, ngramJaccard, containment, containmentAsym, clusters,
-    incremental, minhash, simhash, simhashBuckets, embedCosine, temporal)
+    incremental, minhash, simhash, simhashBuckets, embedCosine, temporal,
+    winnow)
 }
