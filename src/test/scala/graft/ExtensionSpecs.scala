@@ -702,3 +702,42 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
     assert(got == List(("de", 1L, 19L), ("en", 1L, 8L)))
   }
 }
+
+/** The winnowing guarantee: a shared verbatim substring of length
+  * ≥ K + W − 1 = 47 chars must produce a common fingerprint REGARDLESS of
+  * its offset in each document — the property a fixed-stride seed sampler
+  * lacks. Docs share a 64-char run placed at offset 3 in one doc and offset
+  * 17 (≠ 3 mod 16) in the other; an unrelated doc must NOT pair.
+  */
+class WinnowGuaranteeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shifted verbatim 64-char run pairs the two docs; unrelated doc stays out") {
+    val dir = Tables.scratch("winnow_guarantee_fixture")
+    locally {
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.createDirectories(root)
+    }
+    val shared = "the exact same sixty four character run of text appears here verba"
+    assert(shared.length >= 47)
+    def pad(c: Char, n: Int) = c.toString * n
+    val docs = Seq(
+      (1L, pad('a', 3) + shared + pad('b', 40), "en", "s0", 0L),
+      (2L, pad('c', 17) + shared + pad('d', 55), "en", "s0", 0L),
+      (3L, pad('e', 120), "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/_stage")
+    val part = new java.io.File(s"$dir/_stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val pairs = SparkEntry.queries("dedup_winnow")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
