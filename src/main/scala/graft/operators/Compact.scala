@@ -33,34 +33,53 @@ object Compact {
   def stats(spark: SparkSession, dir: String): (Int, Long) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def isData(path: Path): Boolean = {
-      // every path component from dir down must be non-hidden/non-metadata
-      Iterator.iterate(path)(_.getParent)
-        .takeWhile(q => q != null && q.toUri.getPath != p.toUri.getPath)
-        .forall { q =>
-          val n = q.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }
-    }
     var count = 0
     var bytes = 0L
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val s = it.next()
-      if (s.isFile && isData(s.getPath)) { count += 1; bytes += s.getLen }
+      if (s.isFile && isDataUnder(fs, p)(s.getPath)) { count += 1; bytes += s.getLen }
     }
     (count, bytes)
   }
 
-  /** True when `dir` contains data files below the top level (hive
-    * partitioning) — [[compact]] refuses those; see its doc.
+  /** Every path component from `root` (exclusive) down to `path` must be
+    * non-hidden/non-metadata. The stop sentinel compares QUALIFIED paths:
+    * `fs.listFiles` hands back fully-qualified URIs, so a relative `root`
+    * would never match its own qualified form and the walk would escape the
+    * input directory (classifying everything under any hidden ancestor —
+    * e.g. a `.work` home component — as non-data).
+    */
+  private def isDataUnder(fs: org.apache.hadoop.fs.FileSystem, root: Path)(
+      path: Path): Boolean = {
+    val qroot = fs.makeQualified(root)
+    Iterator.iterate(fs.makeQualified(path))(_.getParent)
+      .takeWhile(q => q != null && q != qroot)
+      .forall { q =>
+        val n = q.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+  }
+
+  /** True when `dir` contains DATA FILES below the top level (hive
+    * partitioning) — [[compact]] refuses those; see its doc. An empty or
+    * metadata-only subdirectory (a leftover temp dir, `_delta_log`, …) is
+    * not partitioning and must not abort a working compaction.
     */
   private def hasNestedData(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(p).exists { s =>
       val n = s.getPath.getName
-      s.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      s.isDirectory && !n.startsWith("_") && !n.startsWith(".") && {
+        val it = fs.listFiles(s.getPath, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val f = it.next()
+          found = f.isFile && isDataUnder(fs, s.getPath)(f.getPath)
+        }
+        found
+      }
     }
   }
 

@@ -77,9 +77,9 @@ object Compare {
   /** Indexed full-outer join of both sides plus the per-row equality
     * predicate — shared by [[summarize]] and [[firstDiff]]. Exposed to the
     * query layer so a caller producing SEVERAL compare outputs over one
-    * input pair (summary + first-diff row) can snapshot the join once and
-    * feed [[summarizeJoined]] / [[firstDiffJoined]] instead of re-running
-    * the zipWithIndex pipeline per output.
+    * input pair can snapshot the (filtered) join once — Ops.diffArtifacts
+    * keeps only the diff rows plus one side count and derives both its
+    * summary and first-diff outputs from that snapshot.
     */
   private[graft] def positionalJoin(
       spark: SparkSession,
@@ -119,7 +119,7 @@ object Compare {
   }
 
   /** Summary stage over an already-built positional join. */
-  private[graft] def summarizeJoined(joined: DataFrame, rowEqual: Column): DataFrame = {
+  private def summarizeJoined(joined: DataFrame, rowEqual: Column): DataFrame = {
     val agg = joined.agg(
       count(col("__lp")).as("rows_left"),
       count(col("__rp")).as("rows_right"),
@@ -150,7 +150,7 @@ object Compare {
   }
 
   /** First-diff stage over an already-built positional join. */
-  private[graft] def firstDiffJoined(joined: DataFrame, rowEqual: Column): DataFrame = {
+  private def firstDiffJoined(joined: DataFrame, rowEqual: Column): DataFrame = {
     val diffs = joined.filter(!rowEqual)
     val firstIdx = diffs.agg(min(col("__idx")).as("__first"))
     diffs

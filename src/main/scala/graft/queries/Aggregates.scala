@@ -208,11 +208,16 @@ object Aggregates {
     * union instead of rescanning history. Checked as a contract, like
     * [[approxBound]]: the direct estimate must land within 5% (≈3σ of
     * lgK=12's 1.6% rse) of exact, and the union of per-day partial sketches
-    * must estimate EXACTLY what the one-shot sketch estimates (HLL union is
-    * a per-register max — same registers, same estimate). DuckDB has no SQL
-    * sketch union, so the oracle computes its own HLL for the direct bound
-    * and states the merge identity as the expected literal; the Spark side
-    * genuinely computes both.
+    * must agree with the one-shot sketch to within 5%. Agreement is a
+    * TOLERANCE, not equality: the union carries the same per-register maxima
+    * but Datasketches estimates a unioned sketch with the composite
+    * estimator while a directly-built sketch can use HIP — identical data,
+    * slightly different numbers once sketches leave the exact coupon range
+    * (measured: equal at sf0.01, ~1% apart at sf0.1). Both remain within the
+    * sketch's own error of the truth, which is the property that matters.
+    * DuckDB has no SQL sketch union, so the oracle computes its own HLL for
+    * the direct bound and states the merge agreement as the expected
+    * literal; the Spark side genuinely computes both.
     */
   val hllSketch = Declared(
     "q_hll_sketch",
@@ -231,14 +236,15 @@ object Aggregates {
           col("event_type"), col("exact_users"),
           (abs(col("est_direct") - col("exact_users")).cast("double") /
             col("exact_users").cast("double") <= 0.05).as("direct_within_5pct"),
-          (col("est_merged") === col("est_direct")).as("merge_lossless"))
+          (abs(col("est_merged") - col("est_direct")) /
+            col("est_direct") <= 0.05).as("merge_agrees"))
         .orderBy(col("event_type"))
     },
     Some("""SELECT event_type,
       count(DISTINCT user_id) AS exact_users,
       CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) AS DOUBLE)
         / CAST(count(DISTINCT user_id) AS DOUBLE) <= 0.05 AS direct_within_5pct,
-      true AS merge_lossless
+      true AS merge_agrees
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** GROUPING SETS / ROLLUP / CUBE. Fixture keys are never null, so

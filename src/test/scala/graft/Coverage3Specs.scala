@@ -284,6 +284,29 @@ class CompactPartitionedSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("partition"), e.getMessage)
   }
+
+  test("stats on a RELATIVE input path under a hidden ancestor still counts data") {
+    // an unqualified dir never equals the fs-qualified file URIs at the
+    // ancestor-walk stop sentinel, so the walk escapes the input dir; with a
+    // hidden ancestor component (.hidden here, a dot-dir in cwd in the wild)
+    // every file classifies non-data → stats (0, 0) → silent coalesce(1)
+    val abs = Tables.scratch("compact_rel_spec") + "/.hidden/in"
+    spark.range(1000).toDF("v").coalesce(2).write.mode("overwrite").parquet(abs)
+    val cwd = new java.io.File(".").getCanonicalPath
+    val rel = java.nio.file.Paths.get(cwd).relativize(java.nio.file.Paths.get(abs)).toString
+    val (files, bytes) = Compact.stats(spark, rel)
+    assert(files == 2 && bytes > 0L, s"relative-path stats broken: ($files, $bytes)")
+  }
+
+  test("an empty or metadata-only subdirectory does not abort compaction") {
+    val in = Tables.scratch("compact_emptydir_spec_in")
+    spark.range(1000).toDF("v").coalesce(2).write.mode("overwrite").parquet(in)
+    new java.io.File(s"$in/leftover_tmp").mkdirs()      // empty subdir
+    new java.io.File(s"$in/backup/_staging").mkdirs()   // metadata-only subdir
+    val out = Tables.scratch("compact_emptydir_spec_out")
+    val (before, after) = Compact.compact(spark, in, out, 1L << 30)
+    assert(before == 2 && after >= 1)
+  }
 }
 
 class DescribeQuotingSpec extends AnyFunSuite {

@@ -80,7 +80,7 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q5_local_supplier")
     // the o_orderdate range must be in PushedFilters (prunes row groups at
     // the scan), and nation/region must ride broadcasts at any scale
-    assert(p.contains("GreaterThanOrEqual(o_orderdate") || p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "date filter not pushed to scan")
     assert(p.contains("BroadcastExchange"))
   }
 
