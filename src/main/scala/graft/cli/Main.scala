@@ -32,6 +32,7 @@ object Main {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      .withExtensions(new graft.GraftExtensions) // native kernels in SQL
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -406,8 +406,43 @@ object Scalars {
       round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS max_abs
       FROM embeddings WHERE vec_id < 500 ORDER BY vec_id"""))
 
+  /** The native Catalyst kernels reached from PLAIN SQL — the `bdt query`
+    * user path. [[graft.GraftExtensions.register]] is idempotent and works
+    * on any host-provided session (extension injection covers sessions the
+    * library builds itself; this query must run under the harness's too).
+    * Values are pinned by the same DuckDB formulations the Column-API
+    * queries use, so the SQL route is oracle-checked end-to-end.
+    */
+  val sqlKernels = Declared(
+    "q_sql_kernels",
+    (s, dir) => {
+      graft.GraftExtensions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_sql_docs")
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_sql_emb")
+      s.sql("""SELECT d.doc_id,
+          rolling_hash(d.text) AS rhash,
+          md5_pair(d.text)[0] AS h1,
+          md5_pair(d.text)[1] AS h2,
+          round(cosine_sim(e.embedding, e.embedding), 6) AS self_cos
+        FROM graft_sql_docs d
+        JOIN graft_sql_emb e ON e.vec_id = d.doc_id
+        ORDER BY d.doc_id""")
+    },
+    Some("""SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, len(text) + 1),
+            i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 1000000007) AS rhash,
+      CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h1,
+      CAST(concat('0x', substr(md5(text), 9, 8)) AS BIGINT) AS h2,
+      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        CAST(e.embedding AS DOUBLE[])), 6) AS self_cos
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[Declared] = Seq(
     stringFuncs, mathFuncs, dateFuncs, regexFuncs, conditionalFuncs,
     castTypes, arrayFuncs, unnestQ, mathFuncs3, bitFuncs, dateFuncs2, mapFuncs,
-    hofFuncs)
+    hofFuncs, sqlKernels)
 }

@@ -346,3 +346,31 @@ class CliUsageSpec extends AnyFunSuite {
     assert(graft.cli.Main.dispatch(spark, List("describe", p)) == 1)
   }
 }
+
+/** SQL reachability of the native kernels: both registration paths must
+  * resolve the functions — injector applied to a SparkSessionExtensions
+  * (the spark.sql.extensions path) and register() on a live session.
+  */
+class SqlKernelRegistrationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("register() exposes the kernels to spark.sql with correct values") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT rolling_hash('abc') AS rh, md5_pair('abc') AS mp,
+         cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""").head()
+    // rolling_hash('abc') = ((97*31+98)*31+99) % 1e9+7
+    assert(r.getLong(0) == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+    assert(r.getSeq[Long](1).length == 2)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("the extensions injector applies cleanly (spark.sql.extensions path)") {
+    // building a second SparkSession in one JVM returns the existing one, so
+    // pin the injector contract directly: it must register every function
+    // without throwing when applied to a fresh SparkSessionExtensions
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+  }
+}
