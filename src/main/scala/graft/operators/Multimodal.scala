@@ -80,6 +80,36 @@ object Multimodal {
       }
   }
 
+  /** Resized media record (what a real resampler would emit). */
+  case class ResizedMedia(
+      doc_id: Long,
+      new_width: Int,
+      new_height: Int,
+      n_bytes_out: Long,
+      out_md5: String)
+
+  /** STUB resize: same batch-map shape as [[decodeFeatures]] — a real
+    * resampler (libvips/ffmpeg via JNI, or a Pandas UDF on a Python
+    * cluster) replaces only [[MultimodalStub.downsample]]. The fake is a
+    * deterministic stride-`factor` byte downsample with metadata halved
+    * accordingly, so the full path — binary in, binary transform, new
+    * payload + updated metadata out — is oracle-checkable bit-for-bit.
+    */
+  def resizeStub(
+      spark: SparkSession, cat: DataFrame, factor: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    cat.select(col("doc_id"), col("content"), col("meta.width"), col("meta.height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        // real pipeline: resampler init once per partition here
+        it.map { case (id, bytes, w, hgt) =>
+          val out = MultimodalStub.downsample(bytes, factor)
+          ResizedMedia(id, w / factor, hgt / factor,
+            out.length.toLong, MultimodalStub.md5Hex(out))
+        }
+      }
+  }
+
   /** Frame sampling: split the payload into fixed-size frames (the video
     * analog: every Nth frame), one output row per frame. Pure columnar —
     * posexplode over binary slices, no UDF.
@@ -114,6 +144,18 @@ object MultimodalStub {
     while (i < bytes.length) { val v = bytes(i) & 0xFF; if (v > m) m = v; i += 1 }
     m
   }
+
+  /** Stride-`factor` byte downsample — the fake "resize". */
+  def downsample(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
+  def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"${b & 0xFF}%02x").mkString
 
   /** Distinct-byte-count / 256 — a fake "entropy" stand-in for decoded
     * content statistics.

@@ -116,6 +116,33 @@ object ExtrasQ {
         round(CAST(len(list_distinct(bs)) AS DOUBLE) / 256.0, 6) AS entropy_proxy
       FROM h ORDER BY doc_id"""))
 
+  /** Resize-stub through the same batch-map shape as the decode stub:
+    * stride-2 byte downsample stands in for a real resampler, metadata
+    * halves, and the output payload is checksum-pinned — the oracle
+    * reproduces the downsampled bytes from the (ASCII) source text, so the
+    * whole binary-in → binary-out path is hash-checked.
+    */
+  val mmResize = Declared(
+    "mm_resize_stub",
+    (s, dir) =>
+      Multimodal.resizeStub(s, Multimodal.catalog(t(s, dir, "documents")), factor = 2)
+        .toDF()
+        .orderBy(col("doc_id")),
+    Some("""WITH h AS (
+        SELECT doc_id, text,
+          CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS hv
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+          CAST((32 + hv % 448) // 2 AS INTEGER) AS new_width,
+          CAST((32 + (hv // 448) % 448) // 2 AS INTEGER) AS new_height,
+          array_to_string(list_transform(range(1, len(text) + 1, 2),
+            i -> substr(text, CAST(i AS INTEGER), 1)), '') AS ds
+        FROM h)
+      SELECT doc_id, new_width, new_height,
+        CAST(len(ds) AS BIGINT) AS n_bytes_out, md5(ds) AS out_md5
+      FROM r ORDER BY doc_id"""))
+
   /** Custom codegen'd Expression: portable polynomial rolling hash, verified
     * byte-for-byte against a DuckDB list_reduce over the same ASCII bytes.
     */
@@ -267,7 +294,7 @@ object ExtrasQ {
       GROUP BY lang ORDER BY lang"""))
 
   val all: Seq[Declared] = Seq(
-    mmCatalog, mmFrames, mmBlob, mmDecode, rollingHashQ, streamWindow,
+    mmCatalog, mmFrames, mmBlob, mmDecode, mmResize, rollingHashQ, streamWindow,
     streamWindowSliding, streamWindowAppend, streamDedup, streamStaticJoin,
     streamStreamJoin, streamSessionize, streamIncrementalDedup)
 }
