@@ -341,7 +341,38 @@ object EventsQ {
       FROM numbered GROUP BY user_id, session_seq
       ORDER BY user_id, session_start"""))
 
+  /** Cohort retention — the classic event-analytics readout: users grouped
+    * by their first-seen day, tracked for how many return k days later.
+    * Two hash aggregates and one equi-join on user_id: the cohort table is
+    * O(users) and joins back onto the event scan; at 100 TB the join
+    * shuffles on user_id once and the (cohort, k) rollup is map-side
+    * partial. Capped at k ≤ 14 to keep the readout a fixed-width cohort
+    * triangle.
+    */
+  val retention = Declared(
+    "events_retention",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .select(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("k"))
+        .filter(col("k") <= 14)
+        .groupBy(col("cohort_day"), col("k"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day"), col("k"))
+    },
+    Some("""WITH ev AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events),
+      cohort AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id)
+      SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, e.d) AS INTEGER) AS k,
+        count(*) AS n_users
+      FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      WHERE date_diff('day', c.cohort_day, e.d) <= 14
+      GROUP BY c.cohort_day, k ORDER BY c.cohort_day, k"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
-    rangeJoin, variantAgg, gapFill, intervalArith)
+    rangeJoin, variantAgg, gapFill, intervalArith, retention)
 }

@@ -573,8 +573,41 @@ object TextQ {
       FROM sh LEFT JOIN boiler b ON sh.source = b.source AND sh.g = b.g
       GROUP BY sh.doc_id, sh.source ORDER BY sh.doc_id"""))
 
+  /** One BPE training iteration's core: corpus-wide adjacent-symbol pair
+    * counts (the pair with the max count is the next merge). Folding the
+    * corpus to the VOCABULARY first is what makes tokenizer training
+    * feasible at 100 TB — the word histogram is Heaps'-law bounded, so the
+    * expensive pair fan-out runs over ~|vocab| rows weighted by frequency
+    * instead of every corpus token occurrence.
+    */
+  val bpePairs = Declared(
+    "corpus_bpe_pairs",
+    (s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextFns.words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      vocab
+        .select(col("n"), explode(expr(
+          """CASE WHEN length(w) < 2 THEN array()
+             ELSE transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))
+             END""")).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("n")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pair"))
+        .limit(20)
+    },
+    Some("""WITH w AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      vocab AS (SELECT w, count(*) AS n FROM w GROUP BY w),
+      pairs AS (
+        SELECT n, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+          i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+        FROM vocab)
+      SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ
+      FROM pairs GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 20"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
-    boilerplate)
+    boilerplate, bpePairs)
 }
