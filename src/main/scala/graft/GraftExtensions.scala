@@ -37,18 +37,35 @@ object GraftExtensions {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
     builder)
 
+  /** Wrong arity surfaces as the same categorized AnalysisException every
+    * built-in raises (WRONG_NUM_ARGS, SQLSTATE 42605) — a raw require()
+    * would leak an uncategorized IllegalArgumentException past callers that
+    * catch AnalysisException to report SQL errors.
+    */
+  private def checkArity(
+      name: String, expected: Int, args: Seq[Expression]): Unit =
+    if (args.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> args.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"),
+        None)
+
   private[graft] val functions: Seq[
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     fn("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays") { args =>
-      require(args.length == 2, "cosine_sim(a, b) takes exactly two arguments")
+      checkArity("cosine_sim", 2, args)
       CosineSim(args.head, args(1))
     },
     fn("md5_pair", "md5_pair(s) - the two 32-bit halves of md5(s) as array<bigint>") { args =>
-      require(args.length == 1, "md5_pair(s) takes exactly one argument")
+      checkArity("md5_pair", 1, args)
       Md5Pair(args.head)
     },
     fn("rolling_hash", "rolling_hash(s) - polynomial rolling hash of a string") { args =>
-      require(args.length == 1, "rolling_hash(s) takes exactly one argument")
+      checkArity("rolling_hash", 1, args)
       RollingHash(args.head)
     })
 

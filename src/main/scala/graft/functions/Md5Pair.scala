@@ -32,7 +32,9 @@ case class Md5Pair(child: Expression) extends UnaryExpression {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "md5_pair32"
+  // must match the SQL registration name (GraftExtensions) — errors and
+  // EXPLAIN output should name the function a SQL user can actually call
+  override def prettyName: String = "md5_pair"
 
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(Md5Pair.pairOf(input.asInstanceOf[UTF8String].getBytes))

@@ -64,8 +64,10 @@ object RollingHash {
   def rolling_hash(c: Column): Column =
     GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(c)))
 
-  /** SQL registration: `SELECT rolling_hash(text) FROM ...`. */
+  /** SQL registration: `SELECT rolling_hash(text) FROM ...`. Delegates to
+    * the single registration point ([[graft.GraftExtensions.register]]) so
+    * the kernel can't end up registered two different ways on one session.
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    graft.GraftExtensions.register(spark)
 }

@@ -153,9 +153,19 @@ object MultimodalStub {
     out
   }
 
-  def md5Hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      .map(b => f"${b & 0xFF}%02x").mkString
+  // per-thread digest, reset per call — a getInstance() in the batch-map
+  // hot loop would pay a JCA provider lookup per ROW (same discipline as
+  // graft.functions.Md5Pair)
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5Hex(bytes: Array[Byte]): String = {
+    val d = md5Digest.get()
+    d.reset()
+    d.digest(bytes).map(b => f"${b & 0xFF}%02x").mkString
+  }
 
   /** Distinct-byte-count / 256 — a fake "entropy" stand-in for decoded
     * content statistics.

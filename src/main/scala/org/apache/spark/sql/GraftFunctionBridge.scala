@@ -15,4 +15,14 @@ object GraftFunctionBridge {
       info: ExpressionInfo,
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** Drive a SparkSessionExtensions' collected function injections into a
+    * registry — the exact step session construction performs; lets a test
+    * exercise the `spark.sql.extensions` path without building a session.
+    */
+  def applyExtensions(
+      ext: SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(reg)
 }

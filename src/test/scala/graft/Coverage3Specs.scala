@@ -366,11 +366,30 @@ class SqlKernelRegistrationSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
   }
 
-  test("the extensions injector applies cleanly (spark.sql.extensions path)") {
+  test("the extensions injector registers resolvable functions (spark.sql.extensions path)") {
     // building a second SparkSession in one JVM returns the existing one, so
-    // pin the injector contract directly: it must register every function
-    // without throwing when applied to a fresh SparkSessionExtensions
+    // drive the exact mechanism session construction uses: apply the
+    // injector to a fresh SparkSessionExtensions, register into a clean
+    // FunctionRegistry, and resolve + evaluate a function through it
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    import org.apache.spark.sql.catalyst.expressions.Literal
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.GraftFunctionBridge
+      .applyExtensions(ext, FunctionRegistry.builtin.clone())
+    for (n <- Seq("cosine_sim", "md5_pair", "rolling_hash"))
+      assert(reg.functionExists(FunctionIdentifier(n)), s"$n not registered")
+    val e = reg.lookupFunction(FunctionIdentifier("rolling_hash"), Seq(Literal("abc")))
+    assert(e.eval(null) == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+  }
+
+  test("wrong arity raises a categorized AnalysisException, not a raw require") {
+    graft.GraftExtensions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT)))").head()
+    }
+    assert(e.getCondition != null && e.getCondition.startsWith("WRONG_NUM_ARGS"),
+      s"condition=${e.getCondition} msg=${e.getMessage}")
   }
 }

@@ -359,7 +359,7 @@ class Md5PairSpec extends AnyFunSuite {
     val p = Tables.t(spark, TestSpark.sf, "documents")
       .select(graft.functions.Md5Pair.md5_pair($"text"))
       .queryExecution.executedPlan.toString
-    assert(p.contains("*(") && p.contains("md5_pair32"), p.take(500))
+    assert(p.contains("*(") && p.contains("md5_pair"), p.take(500))
   }
 }
 
