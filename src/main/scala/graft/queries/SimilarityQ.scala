@@ -322,7 +322,54 @@ object SimilarityQ {
           WHERE e.vec_id <> p.vec_id))
       WHERE rk <= 3 ORDER BY q_id, rk"""))
 
+  /** ANN quality evaluation — recall@10 of the sign-LSH cell probe against
+    * the exact brute-force top-10, plus the candidate-set size that bought
+    * it. THE readout an ANN deployment tunes against (bucket bits vs recall
+    * vs candidates scanned); at corpus scale it runs on a sampled probe set
+    * and the same one-pass scan computes both the exact ranking and the
+    * bucket membership, so evaluation costs one scan, not two systems.
+    */
+  val recallReport = Declared(
+    "sim_recall_report",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(
+        col("embedding").as("qv"),
+        Similarity.lshBucket(col("embedding"), annPlanes).as("qb"))
+      val scored = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(
+          col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"),
+          (Similarity.lshBucket(col("embedding"), annPlanes) === col("qb"))
+            .cast("long").as("in_bucket"))
+      val top = scored.orderBy(col("cos").desc, col("vec_id")).limit(10)
+        .agg(sum(col("in_bucket")).as("n_top10_in_bucket"))
+      scored.agg(sum(col("in_bucket")).as("n_candidates"))
+        .crossJoin(broadcast(top))
+        .select(
+          col("n_candidates"), col("n_top10_in_bucket"),
+          round(col("n_top10_in_bucket") / 10.0, 6).as("recall_at_10"))
+    },
+    Some(s"""WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv,
+          ${Similarity.lshBucketSql("CAST(embedding AS DOUBLE[])", annPlanes)} AS qb
+        FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id,
+          round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cos,
+          CASE WHEN ${Similarity.lshBucketSql("CAST(embedding AS DOUBLE[])", annPlanes)} = q.qb
+               THEN 1 ELSE 0 END AS in_bucket
+        FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+      top AS (
+        SELECT CAST(sum(in_bucket) AS BIGINT) AS n_top10_in_bucket FROM (
+          SELECT in_bucket FROM scored ORDER BY cos DESC, vec_id LIMIT 10))
+      SELECT CAST(sum(in_bucket) AS BIGINT) AS n_candidates,
+        t.n_top10_in_bucket,
+        round(t.n_top10_in_bucket / 10.0, 6) AS recall_at_10
+      FROM scored CROSS JOIN top t GROUP BY t.n_top10_in_bucket"""))
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
-      filteredSearch, rangeSearch, knnJoin)
+      filteredSearch, rangeSearch, knnJoin, recallReport)
 }

@@ -228,7 +228,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "corpus_tfidf",     // 1-row global doc-count broadcast
     "sim_range_search", // 1-row broadcast query vector (threshold scan)
     "knn_join_brute",   // 5-row broadcast probe batch
-    "mix_temperature"   // 1-row global normalizer broadcast
+    "mix_temperature",  // 1-row global normalizer broadcast
+    "sim_recall_report" // 1-row probe + 1-row top-10 summary broadcasts
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
