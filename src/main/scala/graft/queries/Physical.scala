@@ -125,5 +125,52 @@ object Physical {
       .orderBy(col("p_brand"))
   }
 
-  val all: Seq[Declared] = Seq(bucketedJoin, runtimeBloom)
+  /** STORAGE bloom filters (the write-side complement of q_runtime_bloom's
+    * runtime filter): write with `parquet.bloom.filter.enabled#<col>` on the
+    * point-lookup keys and prove from the FOOTER that the filters landed on
+    * exactly those columns — the layout knob that makes needle-in-haystack
+    * key lookups skip row groups without any index service. DuckDB 1.0's
+    * parquet_metadata() predates bloom offsets, so the oracle pins the
+    * expected per-column presence; the Spark side genuinely reads the
+    * footer's bloom offsets (same parquet-hadoop path as op_parquet_meta).
+    */
+  val parquetBloom = Declared(
+    "op_parquet_bloom",
+    (s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val out = Tables.scratch("bloom_parquet")
+      // parquet-java SKIPS the bloom when a column ends up fully
+      // dictionary-encoded (the dictionary already is an exact filter), so
+      // the bloom columns also turn dictionary off — the realistic shape
+      // anyway: blooms earn their bytes exactly on high-cardinality keys
+      // where dictionaries stop working
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.enabled#l_partkey", "true")
+        .option("parquet.enable.dictionary#l_orderkey", "false")
+        .option("parquet.enable.dictionary#l_partkey", "false")
+        .parquet(out)
+      val file = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+          s.sparkContext.hadoopConfiguration))
+      val rows =
+        try reader.getFooter.getBlocks.get(0).getColumns.asScala
+          .map(c => (c.getPath.toDotString, c.getBloomFilterOffset >= 0L)).toSeq
+        finally reader.close()
+      import s.implicits._
+      rows.toDF("path_in_schema", "has_bloom").orderBy(col("path_in_schema"))
+    },
+    Some("""SELECT * FROM (
+        SELECT 'l_orderkey' AS path_in_schema, true AS has_bloom
+        UNION ALL SELECT 'l_partkey', true
+        UNION ALL SELECT 'l_quantity', false)
+      ORDER BY path_in_schema"""))
+
+  val all: Seq[Declared] = Seq(bucketedJoin, runtimeBloom, parquetBloom)
 }
