@@ -238,7 +238,35 @@ object Coverage {
       round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Hidden `_metadata` columns on file scans — data provenance without a
+    * catalog: which FILE did each row come from, how big was it. The
+    * lineage every audited training pipeline records per sample. Costs
+    * nothing at scale (the values are per-split constants the scan already
+    * knows). The oracle reads the same fixed t2-verify path with DuckDB's
+    * filename option, same convention as op_parquet_meta.
+    */
+  val metadataCols = Declared(
+    "q_metadata_cols",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          regexp_extract(col("_metadata.file_name"), "[^/]+$", 0).as("file"),
+          (col("_metadata.file_size") > 0L).as("has_size"),
+          col("doc_id"))
+        .groupBy(col("file"), col("has_size"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("file")),
+    Some("""SELECT regexp_extract(filename, '[^/]+$') AS file,
+        true AS has_size,
+        count(*) AS n_rows, min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM read_parquet('/root/testdata/sf0.01/documents.parquet', filename = true)
+      GROUP BY file, has_size ORDER BY file"""))
+
   val all: Seq[Declared] = Seq(
     offset, nullsOrder, nullHandling, tryCast, predicates, unpivot,
-    nullSafeJoin, partitionedScan, schemaEvolution, queryRunnerQ, saltedAgg)
+    nullSafeJoin, partitionedScan, schemaEvolution, queryRunnerQ, saltedAgg,
+    metadataCols)
 }
