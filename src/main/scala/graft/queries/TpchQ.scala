@@ -162,5 +162,234 @@ object TpchQ {
       JOIN customer ON o_custkey = c_custkey
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""))
 
-  val all: Seq[Declared] = Seq(q3, q5, q10, q18)
+  /** TPC-H q6: forecasting revenue change — a pure single-table filter-agg.
+    * All three predicates (date range, discount band, quantity cap) reach the
+    * parquet scan as PushedFilters, so at 100 TB the scan reads only the
+    * row groups whose min/max stats overlap the band; no shuffle at all
+    * (partial sums combine map-side into one row).
+    */
+  val q6 = Declared(
+    "q6_forecast_revenue",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("timestamp'1997-01-01 00:00:00'") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    },
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24"""))
+
+  /** TPC-H q7: volume shipping — revenue shipped between two specific nations
+    * (either direction), by year. The two 25-row nation dims ride broadcasts
+    * with their `n_name IN (…)` filters applied BEFORE the broadcast, so the
+    * supplier/customer joins immediately drop every row outside the pair; the
+    * directional (n1,n2)≠(n2,n1) predicate is the only post-join filter.
+    * Fixture nations are NATION_0..24 (TESTDATA.md); the reference's
+    * FRANCE/GERMANY become NATION_1/NATION_2.
+    */
+  val q7 = Declared(
+    "q7_volume_shipping",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem").filter(
+        col("l_shipdate") >= expr("timestamp'1995-01-01 00:00:00'") &&
+          col("l_shipdate") <= expr("timestamp'1996-12-31 00:00:00'"))
+      val su = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*)).as("n1")
+      val n2 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*)).as("n2")
+      l.join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("n1.n_nationkey"))
+        .join(broadcast(n2), c("c_nationkey") === col("n2.n_nationkey"))
+        .filter(col("n1.n_name") =!= col("n2.n_name"))
+        .groupBy(
+          col("n1.n_name").as("supp_nation"),
+          col("n2.n_name").as("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        year(l_shipdate) AS l_year,
+        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year"""))
+
+  /** TPC-H q8: national market share — the fraction of one region's revenue
+    * in one part type supplied by one nation, per order year. The deepest
+    * join tree in the suite (7 tables, two nation roles): part's type filter
+    * prunes the fact side first (p_type is 1-of-6 in the fixture, standing in
+    * for 'ECONOMY ANODIZED STEEL'); region restricts the CUSTOMER nation via
+    * broadcast; the SUPPLIER nation is carried through to the conditional
+    * numerator. The share is a single conditional-sum / sum over one grouped
+    * aggregate — no second pass.
+    */
+  val q8 = Declared(
+    "q8_market_share",
+    (s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n1 = t(s, dir, "nation").as("n1") // customer nation → region gate
+      val n2 = t(s, dir, "nation").as("n2") // supplier nation → share numerator
+      val r = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), c("c_nationkey") === col("n1.n_nationkey"))
+        .join(broadcast(r), col("n1.n_regionkey") === r("r_regionkey"))
+        .join(broadcast(n2), su("s_nationkey") === col("n2.n_nationkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("n2.n_name") === "NATION_1", vol).otherwise(lit(0.0))) / sum(vol),
+          4).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+    Some("""SELECT o_year,
+        round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) / sum(volume), 4) AS mkt_share
+      FROM (SELECT year(o_orderdate) AS o_year,
+              l_extendedprice * (1.0 - l_discount) AS volume,
+              n2.n_name AS nation
+            FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+              AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+              AND p_type = 'ECONOMY') all_nations
+      GROUP BY o_year ORDER BY o_year"""))
+
+  /** TPC-H q14: promo revenue — the percentage of one month's revenue from
+    * promotional parts. One fact⋈dim join on partkey (part scales with SF, so
+    * no forced broadcast — AQE picks per side) with the month filter pushed
+    * to the lineitem scan; numerator and denominator come from the same
+    * single aggregate. Fixture p_type is exactly 'PROMO' (1-of-6), standing
+    * in for the reference's `p_type LIKE 'PROMO%%'`.
+    */
+  val q14 = Declared(
+    "q14_promo_revenue",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem").filter(
+        col("l_shipdate") >= expr("timestamp'1996-09-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp'1996-10-01 00:00:00'"))
+      val p = t(s, dir, "part")
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))) / sum(vol),
+          4).as("promo_revenue"))
+    },
+    Some("""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+              THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END)
+            / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate < TIMESTAMP '1996-10-01'"""))
+
+  /** TPC-H q13 (adapted): customer order-count distribution — how many
+    * customers placed k orders, including k=0 via the LEFT join. Two hash
+    * aggregates back to back: count per customer (shuffles on c_custkey),
+    * then the tiny histogram over counts. Adaptation: the reference filters
+    * `o_comment NOT LIKE '%special%requests%'`; the fixture has no comment
+    * columns (TESTDATA.md), so the filter is dropped and every order counts.
+    */
+  val q13 = Declared(
+    "q13_order_counts",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey) c_orders
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+
+  /** TPC-H q17 (adapted): small-quantity-order revenue — yearly revenue lost
+    * if small orders of one brand's parts were no longer taken. The reference
+    * correlates a scalar subquery (`0.2 * avg(l_quantity)` per part) against
+    * the outer row; here the part filter broadcasts into the fact scan FIRST,
+    * then the per-part average is a window over the already-pruned lineitem
+    * subset — one shuffle on l_partkey, no second scan of the fact table.
+    * Adaptation: `p_container = 'MED BOX'` has no fixture column; `p_size = 5`
+    * keeps an equality dim filter of similar selectivity.
+    */
+  val q17 = Declared(
+    "q17_small_qty_revenue",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_size") === 5)
+        .select(col("p_partkey"))
+      val l = t(s, dir, "lineitem")
+      val w = Window.partitionBy(col("l_partkey"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    },
+    Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND p_size = 5
+        AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"""))
+
+  /** TPC-H q19 (adapted): discounted revenue — an OR of three brand/size/
+    * quantity bands. The classic q19 plan trick is applied: the HULL of the
+    * disjunction (`p_size ≤ 15`, `l_quantity ≤ 30`, brand IN the three) is
+    * pushed to each scan as a conjunctive pre-filter — those DO reach parquet
+    * as PushedFilters — and only the exact three-way OR runs post-join.
+    * Adaptation: the reference's p_container/l_shipmode/l_shipinstruct legs
+    * have no fixture columns; brand × size × quantity keep the shape.
+    */
+  val q19 = Declared(
+    "q19_banded_revenue",
+    (s, dir) => {
+      val brands = Seq("Brand#12", "Brand#23", "Brand#3")
+      val p = t(s, dir, "part").filter(
+        col("p_brand").isin(brands: _*) && col("p_size").between(1, 15))
+      val l = t(s, dir, "lineitem").filter(col("l_quantity").between(1, 30))
+      val band = (b: String, szHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === b && col("p_size").between(1, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .filter(band("Brand#12", 5, 1, 11) || band("Brand#23", 10, 10, 20) ||
+          band("Brand#3", 15, 20, 30))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+    },
+    Some("""SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey AND (
+          (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))"""))
+
+  val all: Seq[Declared] = Seq(q3, q5, q6, q7, q8, q10, q13, q14, q17, q18, q19)
 }

@@ -84,6 +84,50 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"))
   }
 
+  // plan.toString elides metadata at 100 chars — read the scan nodes' full
+  // PushedFilters directly so long filter lists stay assertable
+  private def pushedFilters(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+    // sparkPlan, not executedPlan: AdaptiveSparkPlanExec hides its tree from collect()
+    df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString("; ")
+  }
+
+  test("q6 pushes all three predicate bands into the lineitem scan") {
+    // date range + discount band + quantity cap must ALL reach parquet —
+    // at 100 TB they are the difference between a row-group-pruned scan
+    // and reading the whole fact table for a one-row answer
+    val p = pushedFilters("q6_forecast_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "date lower bound not pushed")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), "discount band not pushed")
+    assert(p.contains("LessThan(l_quantity,24.0)"), "quantity cap not pushed")
+  }
+
+  test("q7/q8 carry both nation roles on broadcasts") {
+    // the two 25-row nation copies (supplier-side and customer-side) must
+    // never shuffle the fact spine — they stay broadcast at any scale
+    for (q <- Seq("q7_volume_shipping", "q8_market_share")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"$q lost its nation broadcasts")
+    }
+  }
+
+  test("q19 hull predicates reach both scans, OR residual pushed per table") {
+    val p = pushedFilters("q19_banded_revenue")
+    assert(p.contains("In(p_brand"), "brand hull not pushed to part scan")
+    assert(p.contains("LessThanOrEqual(l_quantity,30.0)"), "quantity hull not pushed")
+    assert(p.contains("LessThanOrEqual(p_size,15)"), "size hull not pushed")
+  }
+
+  test("q17 broadcasts the filtered part dim into the fact scan") {
+    // the brand/size filter makes the dim tiny; a shuffle join here would
+    // re-shuffle full lineitem to answer a per-part question
+    val p = plan("q17_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
   test("knn_join_brute per-query top-k plans WindowGroupLimit") {
     val p = plan("knn_join_brute")
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
