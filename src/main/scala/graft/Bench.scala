@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Cumulative hypervisor steal ticks (field 9 of /proc/stat's cpu line).
+    * The build host suffers transient co-tenant CPU steal that has twice
+    * masqueraded as a query regression; emitting the delta over the run lets
+    * every capture self-report whether its numbers are trustworthy
+    * (steal_delta ≈ 0 → calm window; hundreds+ → contended, don't compare).
+    * -1 when /proc/stat is unreadable (non-Linux).
+    */
+  private def stealTicks(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val steal0 = stealTicks()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions) // native kernels in SQL
@@ -11,6 +27,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val warm0 = System.nanoTime()
     // warm up codegen/shuffle machinery so the first measured query doesn't
     // absorb JVM startup
     spark.read.parquet(s"$sfDir/region.parquet")
@@ -49,6 +66,11 @@ object Bench {
     def wanted(names: String*) = only.forall(f => names.exists(f.contains))
     if (wanted("q_bucketed_join")) queries.Physical.warmFixtures(spark, sfDir)
     if (wanted("op_compact_files")) queries.Coverage3.warmFixtures(spark, sfDir)
+    if (wanted("q_partitioned_scan")) queries.Coverage.warmFixtures(spark, sfDir)
+    // warmup (page-cache pass + streaming init + fixture-layout prep) is
+    // reported separately so cross-round totals stay comparable as fixture
+    // accounting moves between warmup and query bodies (ADVICE r5)
+    val warmupSec = (System.nanoTime() - warm0) / 1e9
     // sorted name order: deterministic run-to-run, so round-over-round
     // per-query diffs reflect code changes, not iteration-order luck
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -61,7 +83,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val stealDelta =
+      if (steal0 < 0) -1L else { val s1 = stealTicks(); if (s1 < 0) -1L else s1 - steal0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"steal_delta":$stealDelta}""")
     spark.stop()
   }
 }

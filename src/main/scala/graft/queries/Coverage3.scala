@@ -191,7 +191,15 @@ object Coverage3 {
   private def compactInput(s: org.apache.spark.sql.SparkSession, dir: String): String =
     compactInFor.synchronized {
       val in = Tables.scratch("compact_in")
-      if (compactInFor.get() != dir) {
+      // the marker alone is not trusted: if the scratch dir was cleaned
+      // externally (or another session is mid-rewrite), a stale marker would
+      // hand the compactor an empty/partial directory — re-check the spray
+      // actually holds its 16 part files (ADVICE r5; mirrors
+      // Physical.bucketedTables' tableExists re-check)
+      val sprayed = Option(new java.io.File(in).listFiles())
+        .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
+      val ready = compactInFor.get() == dir && sprayed == 16
+      if (!ready) {
         t(s, dir, "orders").repartition(16)
           .write.mode("overwrite").parquet(in)
         compactInFor.set(dir)
