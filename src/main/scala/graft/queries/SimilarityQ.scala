@@ -324,10 +324,14 @@ object SimilarityQ {
 
   /** ANN quality evaluation — recall@10 of the sign-LSH cell probe against
     * the exact brute-force top-10, plus the candidate-set size that bought
-    * it. THE readout an ANN deployment tunes against (bucket bits vs recall
-    * vs candidates scanned); at corpus scale it runs on a sampled probe set
-    * and the same one-pass scan computes both the exact ranking and the
-    * bucket membership, so evaluation costs one scan, not two systems.
+    * it, at TWO probe widths from the same scan: the single cell, and the
+    * Hamming-≤1 multi-probe (own cell + the 6 cells one flipped plane away —
+    * the sim_ivf_probe2 knob applied to sign-LSH: near misses land in
+    * adjacent codes, so widening the probe buys recall for a bounded
+    * candidate multiplier). THE readout an ANN deployment tunes against
+    * (probe width vs recall vs candidates scanned); at corpus scale it runs
+    * on a sampled probe set and the same one-pass scan computes the exact
+    * ranking and both memberships, so evaluation costs one scan, not three.
     */
   val recallReport = Declared(
     "sim_recall_report",
@@ -341,33 +345,52 @@ object SimilarityQ {
         .select(
           col("vec_id"),
           round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"),
-          (Similarity.lshBucket(col("embedding"), annPlanes) === col("qb"))
-            .cast("long").as("in_bucket"))
+          Similarity.lshBucket(col("embedding"), annPlanes).as("b"),
+          col("qb"))
+        .select(
+          col("vec_id"), col("cos"),
+          (col("b") === col("qb")).cast("long").as("in_bucket"),
+          (expr("bit_count(b ^ qb)") <= 1).cast("long").as("in_probe"))
       val top = scored.orderBy(col("cos").desc, col("vec_id")).limit(10)
-        .agg(sum(col("in_bucket")).as("n_top10_in_bucket"))
-      scored.agg(sum(col("in_bucket")).as("n_candidates"))
+        .agg(
+          sum(col("in_bucket")).as("n_top10_in_bucket"),
+          sum(col("in_probe")).as("n_top10_in_probe"))
+      scored.agg(
+          sum(col("in_bucket")).as("n_candidates"),
+          sum(col("in_probe")).as("n_candidates_mp"))
         .crossJoin(broadcast(top))
         .select(
           col("n_candidates"), col("n_top10_in_bucket"),
-          round(col("n_top10_in_bucket") / 10.0, 6).as("recall_at_10"))
+          round(col("n_top10_in_bucket") / 10.0, 6).as("recall_at_10"),
+          col("n_candidates_mp"), col("n_top10_in_probe"),
+          round(col("n_top10_in_probe") / 10.0, 6).as("recall_at_10_mp"))
     },
     Some(s"""WITH q AS (
         SELECT CAST(embedding AS DOUBLE[]) AS qv,
           ${Similarity.lshBucketSql("CAST(embedding AS DOUBLE[])", annPlanes)} AS qb
         FROM embeddings WHERE vec_id = 0),
       scored AS (
-        SELECT vec_id,
-          round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cos,
-          CASE WHEN ${Similarity.lshBucketSql("CAST(embedding AS DOUBLE[])", annPlanes)} = q.qb
-               THEN 1 ELSE 0 END AS in_bucket
-        FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+        SELECT vec_id, cos,
+          CASE WHEN b = qb THEN 1 ELSE 0 END AS in_bucket,
+          CASE WHEN bit_count(xor(b, qb)) <= 1 THEN 1 ELSE 0 END AS in_probe
+        FROM (
+          SELECT vec_id,
+            round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cos,
+            ${Similarity.lshBucketSql("CAST(embedding AS DOUBLE[])", annPlanes)} AS b,
+            q.qb AS qb
+          FROM embeddings CROSS JOIN q WHERE vec_id <> 0)),
       top AS (
-        SELECT CAST(sum(in_bucket) AS BIGINT) AS n_top10_in_bucket FROM (
-          SELECT in_bucket FROM scored ORDER BY cos DESC, vec_id LIMIT 10))
+        SELECT CAST(sum(in_bucket) AS BIGINT) AS n_top10_in_bucket,
+               CAST(sum(in_probe) AS BIGINT) AS n_top10_in_probe FROM (
+          SELECT in_bucket, in_probe FROM scored ORDER BY cos DESC, vec_id LIMIT 10))
       SELECT CAST(sum(in_bucket) AS BIGINT) AS n_candidates,
         t.n_top10_in_bucket,
-        round(t.n_top10_in_bucket / 10.0, 6) AS recall_at_10
-      FROM scored CROSS JOIN top t GROUP BY t.n_top10_in_bucket"""))
+        round(t.n_top10_in_bucket / 10.0, 6) AS recall_at_10,
+        CAST(sum(in_probe) AS BIGINT) AS n_candidates_mp,
+        t.n_top10_in_probe,
+        round(t.n_top10_in_probe / 10.0, 6) AS recall_at_10_mp
+      FROM scored CROSS JOIN top t
+      GROUP BY t.n_top10_in_bucket, t.n_top10_in_probe"""))
 
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
