@@ -14,6 +14,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The fixed scale-factor dir the driver's t2 correctness verify runs at
+    * (TESTDATA.md). Two oracle SQLs (op_parquet_meta, q_metadata_cols) must
+    * name a literal file PATH — DuckDB's parquet_metadata()/filename=true
+    * have no notion of the registered views — so they are COUPLED to this
+    * verify convention; this single definition site keeps that coupling
+    * explicit and greppable. A verify run at another sf would need this
+    * constant changed with it.
+    */
+  val verifySfDir: String = "/root/testdata/sf0.01"
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read

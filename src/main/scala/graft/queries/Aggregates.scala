@@ -223,14 +223,18 @@ object Aggregates {
     "q_hll_sketch",
     (s, dir) => {
       val e = t(s, dir, "events")
+      // lgK pinned explicitly (12 = today's default): the 5% contract is
+      // calibrated to lgK=12's ~1.6% rse, so a Spark upgrade changing the
+      // default must not silently move the sketch accuracy under the bound
+      val lgK = 12
       val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("d"))
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
       val merged = daily.groupBy(col("event_type"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
       val direct = e.groupBy(col("event_type"))
         .agg(
           countDistinct(col("user_id")).as("exact_users"),
-          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"))
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK))).as("est_direct"))
       direct.join(merged, "event_type")
         .select(
           col("event_type"), col("exact_users"),

@@ -287,10 +287,10 @@ object Coverage {
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
         .orderBy(col("file")),
-    Some("""SELECT regexp_extract(filename, '[^/]+$') AS file,
+    Some(s"""SELECT regexp_extract(filename, '[^/]+$$') AS file,
         true AS has_size,
         count(*) AS n_rows, min(doc_id) AS min_id, max(doc_id) AS max_id
-      FROM read_parquet('/root/testdata/sf0.01/documents.parquet', filename = true)
+      FROM read_parquet('${Tables.verifySfDir}/documents.parquet', filename = true)
       GROUP BY file, has_size ORDER BY file"""))
 
   val all: Seq[Declared] = Seq(

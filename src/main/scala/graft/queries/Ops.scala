@@ -182,10 +182,10 @@ object Ops {
     (s, dir) =>
       ParquetMeta.metadata(s, s"$dir/lineitem.parquet")
         .orderBy(col("row_group_id"), col("column_id")),
-    Some("""SELECT row_group_id, row_group_num_rows, column_id, path_in_schema,
+    Some(s"""SELECT row_group_id, row_group_num_rows, column_id, path_in_schema,
       type, num_values, stats_null_count, stats_min_value, stats_max_value,
       compression
-      FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+      FROM parquet_metadata('${Tables.verifySfDir}/lineitem.parquet')
       ORDER BY row_group_id, column_id"""))
 
   /** CSV source path: parquet → headered CSV (convert) → inferred-schema CSV

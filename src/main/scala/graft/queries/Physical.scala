@@ -153,16 +153,29 @@ object Physical {
         .option("parquet.enable.dictionary#l_orderkey", "false")
         .option("parquet.enable.dictionary#l_partkey", "false")
         .parquet(out)
-      val file = new java.io.File(out).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
+      // Hadoop FS, not java.io.File — same discipline as Compact.stats, so
+      // the footer probe keeps working on a non-local filesystem; and ALL
+      // row groups are asserted, not just block 0: a column counts as
+      // bloom-covered only if every row group carries the filter
+      val conf = s.sparkContext.hadoopConfiguration
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(conf)
+      val part = fs.listStatus(outPath).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).headOption
+        .getOrElse(sys.error(s"no parquet part file under $out"))
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(file.getAbsolutePath),
-          s.sparkContext.hadoopConfiguration))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(part, conf))
       val rows =
-        try reader.getFooter.getBlocks.get(0).getColumns.asScala
-          .map(c => (c.getPath.toDotString, c.getBloomFilterOffset >= 0L)).toSeq
-        finally reader.close()
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          require(blocks.nonEmpty, s"no row groups in $part")
+          blocks
+            .flatMap(_.getColumns.asScala
+              .map(c => (c.getPath.toDotString, c.getBloomFilterOffset >= 0L)))
+            .groupBy(_._1).toSeq
+            .map { case (p, perBlock) => (p, perBlock.forall(_._2)) }
+        } finally reader.close()
       import s.implicits._
       rows.toDF("path_in_schema", "has_bloom").orderBy(col("path_in_schema"))
     },

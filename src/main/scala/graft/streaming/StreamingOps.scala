@@ -11,6 +11,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * parquet file through a real streaming query (memory sink +
   * processAllAvailable); on a cluster the identical code tails a directory /
   * Kafka source.
+  *
+  * State store at scale: every op here is provider-agnostic — at 100 TB
+  * state the deployment sets
+  * `spark.sql.streaming.stateStore.providerClass = RocksDBStateStoreProvider`
+  * so per-executor state is disk-bounded RocksDB instead of JVM heap;
+  * RocksDbStateStoreSpec proves that provider runs these aggregations in
+  * this environment with identical results.
   */
 object StreamingOps {
 
