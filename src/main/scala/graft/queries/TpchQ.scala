@@ -391,5 +391,159 @@ object TpchQ {
        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))"""))
 
-  val all: Seq[Declared] = Seq(q3, q5, q6, q7, q8, q10, q13, q14, q17, q18, q19)
+  /** TPC-H q9 (adapted): product-type profit by nation and year. The classic
+    * widest-fact plan: part's name filter prunes the join tree first, the
+    * supplier→nation lookup is a 25-row broadcast, and profit aggregates in
+    * one pass grouped by (nation, year). Adaptations: no partsupp table in
+    * the fixture, so `ps_supplycost` becomes a `p_retailprice × quantity`
+    * cost proxy (identical join/agg shape minus one dim); the reference's
+    * `p_name LIKE '%green%'` becomes `'%red%'` (a color the fixture names
+    * actually contain).
+    */
+  val q9 = Declared(
+    "q9_nation_profit",
+    (s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").like("%red%"))
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      val n = t(s, dir, "nation")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .groupBy(
+          col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            col("p_retailprice") * col("l_quantity")), 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some("""SELECT nation, o_year, round(sum(amount), 2) AS sum_profit FROM (
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+          l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity AS amount
+        FROM part, supplier, lineitem, orders, nation
+        WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%red%') profit
+      GROUP BY nation, o_year ORDER BY nation, o_year DESC"""))
+
+  /** TPC-H q12 (adapted): shipping-priority split — of the lines shipped in
+    * one year, how many belonged to urgent/high-priority orders vs the rest.
+    * One fact⋈orders join with the year filter pushed to the lineitem scan
+    * and both counts from one conditional aggregate. Adaptations: the
+    * fixture has no l_shipmode/l_commitdate/l_receiptdate, so the grouping
+    * key is l_returnflag and the late-delivery predicate is dropped;
+    * o_orderpriority drives the urgent/other split exactly as written.
+    */
+  val q12 = Declared(
+    "q12_priority_shipping",
+    (s, dir) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val l = t(s, dir, "lineitem").filter(
+        col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp'1997-01-01 00:00:00'"))
+      val o = t(s, dir, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders, lineitem
+      WHERE o_orderkey = l_orderkey
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** TPC-H q15: top supplier — the supplier(s) whose quarter revenue equals
+    * the maximum. The per-supplier revenue fold happens FIRST (map-side
+    * partial sums on l_suppkey), the scalar max of that small per-supplier
+    * table broadcasts back over it (never a single-partition window), and
+    * only the winner row(s) join to supplier. s_address/s_phone are not in
+    * the fixture and are simply absent from the projection.
+    */
+  val q15 = Declared(
+    "q15_top_supplier",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("timestamp'1996-04-01 00:00:00'"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      val top = rev.join(broadcast(mx), rev("total_revenue") === mx("mx"))
+      val su = t(s, dir, "supplier")
+      su.join(broadcast(top), su("s_suppkey") === top("supplier_no"))
+        .select(
+          col("s_suppkey"), col("s_name"),
+          round(col("total_revenue"), 2).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+          sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+      FROM supplier, revenue
+      WHERE s_suppkey = supplier_no
+        AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      ORDER BY s_suppkey"""))
+
+  /** TPC-H q22 (adapted): global sales opportunity — well-funded customers
+    * in selected country codes who have gone dormant. The plan shape is the
+    * reference's exactly: a scalar average broadcast back over the filtered
+    * customer scan, then a LEFT ANTI join against (date-filtered) orders on
+    * o_custkey — never a correlated per-row probe. Adaptations: the fixture
+    * has no c_phone, so the country code is `c_custkey % 7` (a deterministic
+    * 7-way code with the same IN-list selectivity lever); every fixture
+    * customer has ≥1 order, so "no orders at all" becomes the equivalent
+    * dormancy predicate "no orders since 1999-01-01".
+    */
+  val q22 = Declared(
+    "q22_global_sales",
+    (s, dir) => {
+      val cAll = t(s, dir, "customer")
+        .select(
+          (col("c_custkey") % 7).as("cntrycode"),
+          col("c_custkey"), col("c_acctbal"))
+      val codes = cAll.filter(col("cntrycode").isin(1, 2, 3))
+      val avgBal = codes.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= expr("timestamp'1999-01-01 00:00:00'"))
+        .select(col("o_custkey"))
+      codes.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, codes("c_custkey") === recent("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(
+          count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    },
+    Some("""SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+        round(sum(c_acctbal), 2) AS totacctbal FROM (
+        SELECT c_custkey % 7 AS cntrycode, c_acctbal FROM customer
+        WHERE c_custkey % 7 IN (1, 2, 3)
+          AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0 AND c_custkey % 7 IN (1, 2, 3))
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')) custsale
+      GROUP BY cntrycode ORDER BY cntrycode"""))
+
+  val all: Seq[Declared] =
+    Seq(q3, q5, q6, q7, q8, q9, q10, q12, q13, q14, q15, q17, q18, q19, q22)
 }

@@ -128,6 +128,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
   }
 
+  test("q9 pushes the part-name contains filter; nation stays broadcast") {
+    val pf = pushedFilters("q9_nation_profit")
+    assert(pf.contains("StringContains(p_name,red)"), "name filter not pushed")
+    val p = plan("q9_nation_profit")
+    assert(p.contains("BroadcastExchange"), "nation dim lost its broadcast")
+  }
+
+  test("q22 dormancy check plans as an anti-join, not a correlated probe") {
+    val p = plan("q22_global_sales")
+    assert(p.contains("LeftAnti"), s"no anti-join in:\n$p")
+    val pf = pushedFilters("q22_global_sales")
+    assert(pf.contains("GreaterThanOrEqual(o_orderdate"),
+      "dormancy date bound not pushed to the orders scan")
+  }
+
   test("knn_join_brute per-query top-k plans WindowGroupLimit") {
     val p = plan("knn_join_brute")
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
@@ -273,7 +288,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_range_search", // 1-row broadcast query vector (threshold scan)
     "knn_join_brute",   // 5-row broadcast probe batch
     "mix_temperature",  // 1-row global normalizer broadcast
-    "sim_recall_report" // 1-row probe + 1-row top-10 summary broadcasts
+    "sim_recall_report", // 1-row probe + 1-row top-10 summary broadcasts
+    "q15_top_supplier",  // 1-row broadcast max-revenue scalar
+    "q22_global_sales"   // 1-row broadcast average-balance scalar
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
