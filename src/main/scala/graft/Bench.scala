@@ -73,19 +73,29 @@ object Bench {
     val warmupSec = (System.nanoTime() - warm0) / 1e9
     // sorted name order: deterministic run-to-run, so round-over-round
     // per-query diffs reflect code changes, not iteration-order luck
+    // per-query steal attribution: one cheap /proc/stat read per query so a
+    // contended capture shows WHICH timings absorbed the noise, not just
+    // that noise happened somewhere in the run
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val st0 = stealTicks()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val st = if (st0 < 0) -1L else { val s1 = stealTicks(); if (s1 < 0) -1L else s1 - st0 }
+      (name, sec, st)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // only the noisy queries are listed (steal is ~always 0 in a calm run —
+    // an empty map IS the calm-capture attestation)
+    val stolen = results.collect { case (k, _, st) if st > 0 => s"\"" + k + "\":" + st }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val stealDelta =
       if (steal0 < 0) -1L else { val s1 = stealTicks(); if (s1 < 0) -1L else s1 - steal0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"steal_delta":$stealDelta}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"steal_delta":$stealDelta,"query_steal":$stolen}""")
     spark.stop()
   }
 }

@@ -289,7 +289,43 @@ object Coverage3 {
              CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
              CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase"""))
 
+  /** Dynamic partition overwrite — the lakehouse backfill primitive: rewrite
+    * ONE partition of a partitioned table in place while every other
+    * partition survives untouched (static overwrite mode would truncate the
+    * whole table). Here the base 5-partition events table is laid down, then
+    * the purchase partition alone is overwritten with doubled values; the
+    * readback aggregate proves both that the overwrite landed (purchase sums
+    * doubled) and that the other four partitions survived (their sums
+    * unchanged) — if the dynamic mode failed to engage, four event types
+    * would vanish and the oracle's row count would catch it. At 100 TB this
+    * is the idempotent daily-partition reprocess: the write touches only the
+    * partition's files, never the table.
+    */
+  val dynamicOverwrite = Declared(
+    "op_dynamic_overwrite",
+    (s, dir) => {
+      val out = Tables.scratch("dyn_overwrite")
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+      val saved = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        ev.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 2.0)
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+        round(sum(CASE WHEN event_type = 'purchase' THEN value * 2.0
+                       ELSE value END), 2) AS total
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Declared] = Seq(
     notInNulls, embedQuantize, simMips, zorderLayout, mergeUpsert,
-    compactFiles, describeOp, eventsFunnel)
+    compactFiles, describeOp, eventsFunnel, dynamicOverwrite)
 }

@@ -306,8 +306,32 @@ object Ops {
         WHERE c.table_name IN ('region', 'customer', 'orders')
         ORDER BY c.table_name, c.ordinal_position"""))
 
+  /** ORC source/sink path (engine extension beyond the reference's format
+    * map — ORC is the other Spark-native columnar format a migrating
+    * lakehouse user hits): parquet → zstd ORC → extension-sniffed read →
+    * agg. Columnar stats/pushdown survive the trip; the oracle stays on the
+    * original table because the round trip must be lossless.
+    */
+  val orcRoundtrip = Declared(
+    "op_orc_roundtrip",
+    (s, dir) => {
+      val out = Tables.scratch("customer_orc.orc")
+      t(s, dir, "customer")
+        .write.mode("overwrite").option("compression", "zstd").orc(out)
+      graft.sources.Formats.read(s, out)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+      round(sum(c_acctbal), 2) AS total_bal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   val all: Seq[Declared] = Seq(
     view, schemaQ, countQ, convertRoundtrip, csvRoundtrip, jsonRoundtrip,
+    orcRoundtrip,
     compareEqual, compareDiff, compareEpsilon, compareKeyed, compareFirstDiff,
     infoSchema, parquetMeta)
 }

@@ -392,7 +392,86 @@ object SimilarityQ {
       FROM scored CROSS JOIN top t
       GROUP BY t.n_top10_in_bucket, t.n_top10_in_probe"""))
 
+  /** IVF index TRAINING — one Lloyd (k-means) refinement round, the step
+    * that turns sim_ivf's label-seeded cells into data-driven ones. Seeds
+    * are deterministic (cluster = vec_id mod k, so the oracle can replay
+    * them); one round then (1) averages members per seed cell into k
+    * centroids, (2) re-assigns every vector to its nearest centroid by
+    * squared-L2 — an argmin as `min(struct(dist, cluster))` inside ONE hash
+    * aggregate, never a per-vector window sort — and (3) re-averages the new
+    * members. Per cluster the report carries membership count, how many
+    * vectors moved off their seed, and a centroid checksum. At 100 TB this
+    * is the canonical distributed k-means iteration: centroids broadcast
+    * (k rows), assignment is a map-side argmin, each re-average is one
+    * shuffle keyed by (cluster, dim) — a full IVF build just loops it.
+    * Distances are rounded to 6dp before the argmin so the winner never
+    * hinges on cross-engine 1e-15 float-order noise (ties then break by
+    * cluster id on both sides).
+    */
+  val ivfTrain = Declared(
+    "sim_ivf_train",
+    (s, dir) => {
+      val k = 4
+      val e = t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      def centroidsOf(members: org.apache.spark.sql.DataFrame) = members
+        .select(col("cluster"), posexplode(col("emb")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cluster").as("c_id"), expr("transform(pv, x -> x.v)").as("centroid"))
+      val c0 = centroidsOf(e.withColumn("cluster", col("vec_id") % k))
+      val assigned = e.crossJoin(broadcast(c0))
+        .select(
+          col("vec_id"), col("emb"), col("c_id"),
+          round(expr(
+            "aggregate(zip_with(emb, centroid, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
+          ), 6).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(
+          min(struct(col("d"), col("c_id"))).getField("c_id").as("cluster"),
+          first(col("emb")).as("emb"))
+        .withColumn("moved",
+          (col("cluster") =!= col("vec_id") % k).cast("long"))
+      val cent1 = centroidsOf(assigned)
+        .select(
+          col("c_id").as("cluster"),
+          round(expr("aggregate(centroid, 0D, (a, x) -> a + x)"), 4).as("centroid_sum"))
+      assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("moved")).as("n_moved"))
+        .join(cent1, "cluster")
+        .orderBy(col("cluster"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      init AS (
+        SELECT vec_id % 4 AS cluster, CAST(i AS INTEGER) AS i,
+               avg(emb[CAST(i AS INTEGER)]) AS v
+        FROM ev CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+      c0 AS (SELECT cluster, list(v ORDER BY i) AS centroid FROM init GROUP BY cluster),
+      scored AS (
+        SELECT ev.vec_id, ev.emb, c0.cluster,
+          round(list_distance(ev.emb, c0.centroid) ^ 2, 6) AS d
+        FROM ev CROSS JOIN c0),
+      assign AS (
+        SELECT vec_id, emb, cluster,
+          CASE WHEN cluster <> vec_id % 4 THEN 1 ELSE 0 END AS mv FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+          FROM scored)
+        WHERE rn = 1),
+      nc AS (
+        SELECT cluster, CAST(i AS INTEGER) AS i, avg(emb[CAST(i AS INTEGER)]) AS v
+        FROM assign CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+      cent AS (SELECT cluster, round(sum(v), 4) AS centroid_sum FROM nc GROUP BY cluster)
+      SELECT a.cluster, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(a.mv) AS BIGINT) AS n_moved, any_value(c.centroid_sum) AS centroid_sum
+      FROM assign a JOIN cent c ON a.cluster = c.cluster
+      GROUP BY a.cluster ORDER BY a.cluster"""))
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
-      filteredSearch, rangeSearch, knnJoin, recallReport)
+      filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain)
 }

@@ -24,6 +24,11 @@ object Formats {
   case object Csv extends FileFormat("csv")
   case object Json extends FileFormat("json")
   case object Parquet extends FileFormat("parquet")
+  /** Engine extension beyond the reference's format map: ORC is a Spark
+    * built-in columnar source/sink (footer stats, predicate pushdown) and a
+    * bdt user migrating a lakehouse will meet it; costs one match arm.
+    */
+  case object Orc extends FileFormat("orc")
 
   /** Sniff the format of a path from its extension. Directories are sniffed
     * from the first file inside (reference registers dirs of parquet the same
@@ -43,6 +48,7 @@ object Formats {
       case Some("avro")             => Right(Avro)
       case Some("csv")              => Right(Csv)
       case Some("json")             => Right(Json)
+      case Some("orc")              => Right(Orc)
       case Some("parquet" | "parq") => Right(Parquet)
       case Some(other)              => Left(s"unsupported file extension '$other'")
       case None                     => Left(s"no file extension in '$path'")
@@ -78,6 +84,7 @@ object Formats {
       case Right(Csv) =>
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
       case Right(Json)    => spark.read.json(path)
+      case Right(Orc)     => spark.read.orc(path)
       case Right(Parquet) => spark.read.parquet(path)
       case Right(Avro)    => spark.read.format("avro").load(path)
       case Left(err)      => throw new IllegalArgumentException(err)
