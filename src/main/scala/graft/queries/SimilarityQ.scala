@@ -436,6 +436,11 @@ object SimilarityQ {
           first(col("emb")).as("emb"))
         .withColumn("moved",
           (col("cluster") =!= col("vec_id") % k).cast("long"))
+        // each Lloyd round's assignment feeds TWO consumers (re-average +
+        // movement report) — checkpoint it so the seed-centroid pipeline
+        // isn't recomputed per consumer; at scale every k-means round
+        // checkpoints its assignments exactly like DedupClusters' rounds
+        .localCheckpoint()
       val cent1 = centroidsOf(assigned)
         .select(
           col("c_id").as("cluster"),
