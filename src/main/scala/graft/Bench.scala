@@ -81,21 +81,26 @@ object Bench {
       .map { case (name, fn) =>
       val st0 = stealTicks()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       val st = if (st0 < 0) -1L else { val s1 = stealTicks(); if (s1 < 0) -1L else s1 - st0 }
-      (name, sec, st)
+      (name, sec, st, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // only the noisy queries are listed (steal is ~always 0 in a calm run —
     // an empty map IS the calm-capture attestation)
-    val stolen = results.collect { case (k, _, st) if st > 0 => s"\"" + k + "\":" + st }
+    val stolen = results.collect { case (k, _, st, _) if st > 0 => s"\"" + k + "\":" + st }
       .mkString("{", ",", "}")
+    // a crashed query must not masquerade as a fast one: its (truncated)
+    // timing still counts, but the capture names it — a non-empty errors
+    // list means total/queries are NOT comparable to other rounds
+    val errors = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val stealDelta =
       if (steal0 < 0) -1L else { val s1 = stealTicks(); if (s1 < 0) -1L else s1 - steal0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"steal_delta":$stealDelta,"query_steal":$stolen}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"steal_delta":$stealDelta,"query_steal":$stolen,"errors":$errors}""")
     spark.stop()
   }
 }

@@ -61,6 +61,13 @@ object Convert {
           .option("parquet.compression.codec.zstd.level", "8")
           .option("parquet.enable.dictionary", "false")
           .parquet(output)
+      case Right(Formats.Orc) =>
+        // engine extension beyond the reference's convert targets (which
+        // reject everything but csv/json/parquet): ORC is Spark-native and
+        // the sniffer recognizes it, so .orc output must not MatchError
+        df.write.mode("overwrite")
+          .option("compression", if (zstd) "zstd" else "snappy")
+          .orc(output)
       case Right(Formats.Avro) =>
         throw new IllegalArgumentException("avro output is not supported")
       case Left(err) =>

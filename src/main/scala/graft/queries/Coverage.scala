@@ -167,18 +167,15 @@ object Coverage {
   private val partitionedFor = new java.util.concurrent.atomic.AtomicReference[String]()
 
   private def partitionedEvents(
-      s: org.apache.spark.sql.SparkSession, dir: String): String =
-    partitionedFor.synchronized {
-      val out = Tables.scratch("partitioned_events")
-      val ready = partitionedFor.get() == dir &&
-        new java.io.File(out, "event_type=purchase").isDirectory
-      if (!ready) {
-        t(s, dir, "events")
-          .write.mode("overwrite").partitionBy("event_type").parquet(out)
-        partitionedFor.set(dir)
-      }
-      out
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = Tables.scratch("partitioned_events")
+    Tables.cachedFixture(partitionedFor, dir)(
+      new java.io.File(out, "event_type=purchase").isDirectory) {
+      t(s, dir, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
     }
+    out
+  }
 
   /** Bench warmup hook: pre-write the cached partitioned layout. */
   private[graft] def warmFixtures(

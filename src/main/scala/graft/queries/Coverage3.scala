@@ -187,25 +187,20 @@ object Coverage3 {
     * the timed body measures the compaction read+write only (VERDICT r4 #6).
     */
   private val compactInFor = new java.util.concurrent.atomic.AtomicReference[String]()
+  private val sprayFiles = 16 // spray width AND the on-disk readiness probe
 
-  private def compactInput(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    compactInFor.synchronized {
-      val in = Tables.scratch("compact_in")
-      // the marker alone is not trusted: if the scratch dir was cleaned
-      // externally (or another session is mid-rewrite), a stale marker would
-      // hand the compactor an empty/partial directory — re-check the spray
-      // actually holds its 16 part files (ADVICE r5; mirrors
-      // Physical.bucketedTables' tableExists re-check)
-      val sprayed = Option(new java.io.File(in).listFiles())
-        .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
-      val ready = compactInFor.get() == dir && sprayed == 16
-      if (!ready) {
-        t(s, dir, "orders").repartition(16)
-          .write.mode("overwrite").parquet(in)
-        compactInFor.set(dir)
-      }
-      in
+  private def compactInput(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val in = Tables.scratch("compact_in")
+    // readiness re-probes the spray actually holds its part files (a cleaned
+    // scratch dir or mid-rewrite state must rebuild, ADVICE r5)
+    Tables.cachedFixture(compactInFor, dir)(
+      Option(new java.io.File(in).listFiles())
+        .exists(_.count(_.getName.endsWith(".parquet")) == sprayFiles)) {
+      t(s, dir, "orders").repartition(sprayFiles)
+        .write.mode("overwrite").parquet(in)
     }
+    in
+  }
 
   /** Bench warmup hook: pre-spray the cached small-file fixture. */
   private[graft] def warmFixtures(
@@ -308,13 +303,13 @@ object Coverage3 {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
       ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
-      val saved = s.conf.get("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try
-        ev.filter(col("event_type") === "purchase")
-          .withColumn("value", col("value") * 2.0)
-          .write.mode("overwrite").partitionBy("event_type").parquet(out)
-      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+      // per-WRITE option, not a session-conf flip: mutating the global
+      // partitionOverwriteMode would silently change overwrite semantics for
+      // any concurrent writer sharing the session (parallel test suites)
+      ev.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2.0)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(out)
       s.read.parquet(out)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))

@@ -32,24 +32,21 @@ object Physical {
   private val bucketedFor = new java.util.concurrent.atomic.AtomicReference[String]()
 
   private def bucketedTables(
-      s: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    bucketedFor.synchronized {
-      val names = Seq("customer" -> "c_custkey", "orders" -> "o_custkey")
-      val ready = bucketedFor.get() == dir &&
-        names.forall { case (tbl, _) => s.catalog.tableExists(s"graft_bucketed_$tbl") }
-      if (!ready) {
-        names.foreach { case (table, key) =>
-          val name = s"graft_bucketed_$table"
-          s.sql(s"DROP TABLE IF EXISTS $name")
-          t(s, dir, table)
-            .write.mode("overwrite")
-            .bucketBy(8, key).sortBy(key)
-            .option("path", Tables.scratch(s"bucketed_$table"))
-            .saveAsTable(name)
-        }
-        bucketedFor.set(dir)
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val names = Seq("customer" -> "c_custkey", "orders" -> "o_custkey")
+    Tables.cachedFixture(bucketedFor, dir)(
+      names.forall { case (tbl, _) => s.catalog.tableExists(s"graft_bucketed_$tbl") }) {
+      names.foreach { case (table, key) =>
+        val name = s"graft_bucketed_$table"
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        t(s, dir, table)
+          .write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", Tables.scratch(s"bucketed_$table"))
+          .saveAsTable(name)
       }
     }
+  }
 
   /** Bench warmup hook: pre-build the cached fixture layout. */
   private[graft] def warmFixtures(

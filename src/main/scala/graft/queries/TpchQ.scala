@@ -247,7 +247,9 @@ object TpchQ {
       val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
       val l = t(s, dir, "lineitem")
       val su = t(s, dir, "supplier")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= expr("timestamp'1995-01-01 00:00:00'") &&
+          col("o_orderdate") <= expr("timestamp'1996-12-31 00:00:00'"))
       val c = t(s, dir, "customer")
       val n1 = t(s, dir, "nation").as("n1") // customer nation → region gate
       val n2 = t(s, dir, "nation").as("n2") // supplier nation → share numerator
@@ -276,6 +278,7 @@ object TpchQ {
               AND l_orderkey = o_orderkey AND o_custkey = c_custkey
               AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
               AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+              AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
               AND p_type = 'ECONOMY') all_nations
       GROUP BY o_year ORDER BY o_year"""))
 
@@ -473,29 +476,33 @@ object TpchQ {
   val q15 = Declared(
     "q15_top_supplier",
     (s, dir) => {
+      // revenue is rounded AT the aggregate: the winner is selected by
+      // equality between two independently executed evaluations of this
+      // fold, and raw double sums can differ in the last bit across plan
+      // branches (shuffle-merge order) — rounding first makes the equality
+      // stable, and it is the precision the output contract states anyway
       val rev = t(s, dir, "lineitem")
         .filter(
           col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
             col("l_shipdate") < expr("timestamp'1996-04-01 00:00:00'"))
         .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_revenue"))
       val mx = rev.agg(max(col("total_revenue")).as("mx"))
       val top = rev.join(broadcast(mx), rev("total_revenue") === mx("mx"))
       val su = t(s, dir, "supplier")
       su.join(broadcast(top), su("s_suppkey") === top("supplier_no"))
-        .select(
-          col("s_suppkey"), col("s_name"),
-          round(col("total_revenue"), 2).as("total_revenue"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
         .orderBy(col("s_suppkey"))
     },
     Some("""WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-          sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+          round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
         GROUP BY l_suppkey)
-      SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+      SELECT s_suppkey, s_name, total_revenue
       FROM supplier, revenue
       WHERE s_suppkey = supplier_no
         AND total_revenue = (SELECT max(total_revenue) FROM revenue)

@@ -82,6 +82,17 @@ class ConvertSpec extends AnyFunSuite {
       Convert.convert(spark, s"${TestSpark.sf}/region.parquet", "/tmp/x.avro")
     }
   }
+
+  test("parquet -> orc -> read round trip (engine extension)") {
+    // the sniffer knows .orc, so convert must write it rather than
+    // MatchError (regression: Orc was added to Formats without a write arm)
+    val dir = java.nio.file.Files.createTempDirectory("graft_conv4").toString
+    Convert.convert(spark, s"${TestSpark.sf}/region.parquet", s"$dir/r.orc")
+    val a = spark.read.parquet(s"${TestSpark.sf}/region.parquet")
+    val b = graft.sources.Formats.read(spark, s"$dir/r.orc")
+    assert(b.count() == a.count())
+    assert(b.columns.toSeq == a.columns.toSeq)
+  }
 }
 
 class ParquetMetaSpec extends AnyFunSuite {
