@@ -85,24 +85,26 @@ object DedupQ {
       }
     }
 
-  private def buildBandedCandidates(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-      val K = 16; val BANDS = 4; val ROWS = 4
-      // spread BEFORE shingling: a single-file scan would run the whole
-      // shingle+md5 pipeline on one core (Tables.spread is a no-op when the
-      // scan already has enough splits)
-      val docs = Tables.spread(t(s, dir, "documents"), "doc_id")
-      // signatures via explode + K min() aggregates: md5 runs ONCE per
-      // shingle (native Md5Pair expression — both 32-bit halves packed
-      // straight from the digest bytes, no hex/conv round-trip) and the
-      // minima fold map-side — the per-row array formulation
-      // (transform+zip_with per k) allocates 16 intermediate arrays per doc
-      // and measured 10× slower at sf0.1.
-      // The explode is INLINE on the shingle expression, not on a named
-      // intermediate column: naming it first makes InferFiltersFromGenerate
-      // infer `size(sh) > 0` and push the whole shingle expression below the
-      // spread repartition, where it runs a second time on the unspread
-      // (single-partition) side — measured 5× the cost of this stage.
+  private val K = 16
+
+  /** K-position portable MinHash signature per doc (one column per
+    * position). `docs` must already be spread across cores — see the
+    * explode note below.
+    *
+    * Signatures via explode + K min() aggregates: md5 runs ONCE per
+    * shingle (native Md5Pair expression — both 32-bit halves packed
+    * straight from the digest bytes, no hex/conv round-trip) and the
+    * minima fold map-side — the per-row array formulation
+    * (transform+zip_with per k) allocates 16 intermediate arrays per doc
+    * and measured 10× slower at sf0.1.
+    * The explode is INLINE on the shingle expression, not on a named
+    * intermediate column: naming it first makes InferFiltersFromGenerate
+    * infer `size(sh) > 0` and push the whole shingle expression below the
+    * spread repartition, where it runs a second time on the unspread
+    * (single-partition) side — measured 5× the cost of this stage.
+    */
+  private def minhashSignatures(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val (h1c, h2c) = graft.functions.Hashing.minhashBasePortable(col("x"))
       val hashed = docs
         .select(col("doc_id"), explode(TextFns.charShingles("text", 8)).as("x"))
@@ -113,7 +115,17 @@ object DedupQ {
       val P = graft.functions.MinHashSignatureAgg.P
       val sigAggs = (0 until K).map(k =>
         min(pmod(col("h1") + lit(k.toLong) * col("h2"), lit(P))).as(s"sig_$k"))
-      val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  private def buildBandedCandidates(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+      val BANDS = 4; val ROWS = 4
+      // spread BEFORE shingling: a single-file scan would run the whole
+      // shingle+md5 pipeline on one core (Tables.spread is a no-op when the
+      // scan already has enough splits)
+      val docs = Tables.spread(t(s, dir, "documents"), "doc_id")
+      val sigs = minhashSignatures(docs)
       val banded = sigs.select(
         col("doc_id"),
         posexplode(array((0 until BANDS).map { b =>
@@ -626,8 +638,65 @@ object DedupQ {
       FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""))
 
+  /** MinHash ESTIMATION-ACCURACY report — the eval that justifies the
+    * sketch: over the banded candidate pairs, the signature-estimated
+    * Jaccard (matching positions / K) is compared against the exact
+    * shingle Jaccard, summarized as MAE / signed bias / worst error. This
+    * is the readout that sizes K in production (est error ~ 1/√K): if MAE
+    * drifts, the signature family or banding broke, long before downstream
+    * dedup quality visibly degrades. Signatures are recomputed only for
+    * candidate MEMBERS (semi-join first — near-linear in the dup count,
+    * never a second full-corpus pass); est values are exact multiples of
+    * 1/16 so the comparison itself adds no float noise.
+    */
+  val minhashAccuracy = Declared(
+    "dedup_minhash_accuracy",
+    (s, dir) => {
+      val cand = bandedCandidates(s, dir)
+      val members = cand.select(col("id1").as("doc_id"))
+        .union(cand.select(col("id2").as("doc_id"))).distinct()
+      val docs = Tables.spread(
+        t(s, dir, "documents").join(members, "doc_id"), "doc_id")
+      val sigs = minhashSignatures(docs)
+      def side(tag: String) = sigs.select(
+        col("doc_id").as(tag) +: (0 until K).map(k => col(s"sig_$k").as(s"${tag}_$k")): _*)
+      val est = (0 until K)
+        .map(k => (col(s"id1_$k") === col(s"id2_$k")).cast("int"))
+        .reduce(_ + _).cast("double") / K
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      cand
+        .join(side("id1"), "id1").join(side("id2"), "id2")
+        .select(col("id1"), col("id2"), est.as("est"))
+        .join(base.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+        .join(base.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+        .select(col("id1"), col("id2"), col("est"),
+          round(TextFns.jaccard(
+            TextFns.charShingles("t1", 8), TextFns.charShingles("t2", 8)), 6).as("exact"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          round(avg(abs(col("est") - col("exact"))), 6).as("mae"),
+          round(avg(col("est") - col("exact")), 6).as("bias"),
+          round(max(abs(col("est") - col("exact"))), 6).as("worst"))
+    },
+    Some {
+      val estSql = (0 until K)
+        .map(k => s"CASE WHEN a.sig_$k = b.sig_$k THEN 1 ELSE 0 END")
+        .mkString("(", " + ", s") / ${K}.0")
+      s"""WITH ${ngramPairCtes("", scoreName = "exact", minScore = -1.0)},
+      est AS (
+        SELECT p.id1, p.id2, p.exact, $estSql AS est
+        FROM pairs p
+        JOIN sig a ON a.doc_id = p.id1
+        JOIN sig b ON b.doc_id = p.id2)
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        round(avg(abs(est - exact)), 6) AS mae,
+        round(avg(est - exact), 6) AS bias,
+        round(max(abs(est - exact)), 6) AS worst
+      FROM est"""
+    })
+
   val all: Seq[Declared] = Seq(
     exact, exactRows, ngramJaccard, containment, containmentAsym, clusters,
     incremental, minhash, simhash, simhashBuckets, embedCosine, temporal,
-    winnow)
+    winnow, minhashAccuracy)
 }

@@ -606,8 +606,61 @@ object TextQ {
       SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ
       FROM pairs GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 20"""))
 
+  /** Line-level corpus dedup with in-place reassembly — the CCNet-style
+    * cleanup that strips lines repeated across many documents (nav bars,
+    * license headers, cookie banners) while PRESERVING each document's
+    * remaining line order. The fixture text has no newlines, so consecutive
+    * 3-word segments stand in for lines; the pipeline is line-identical:
+    * segment with position → corpus document-frequency per segment (one
+    * shuffle on the segment key; at 100 TB the key is md5(segment), same
+    * layout) → mark-back join → order-preserving reassembly via
+    * array_sort(collect_list(struct(pos, seg))) inside ONE aggregate — never
+    * a per-document sort task. Dropped = segment seen in >2 documents. The
+    * cleaned text is pinned by md5 so the oracle checks the actual
+    * reassembled bytes, not just counts.
+    */
+  val lineDedup = Declared(
+    "text_line_dedup",
+    (s, dir) => {
+      val segLen = 3
+      val words = Tables.spread(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val segs = words
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, CAST((size(ws) - 1) div $segLen AS INT)),
+                 i -> array_join(slice(ws, i * $segLen + 1, $segLen), ' '))""")))
+        .select(col("doc_id"), col("pos"), col("col").as("seg"))
+      val df = segs.groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      segs.join(df, "seg")
+        .groupBy(col("doc_id"))
+        .agg(
+          sum((col("df") <= 2).cast("long")).as("n_kept"),
+          sum((col("df") > 2).cast("long")).as("n_dropped"),
+          md5(array_join(expr(
+            "transform(array_sort(collect_list(CASE WHEN df <= 2 THEN struct(pos, seg) END)), x -> x.seg)"
+          ), " ")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      segs AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+          array_to_string(ws[(i*3+1):(i*3+3)], ' ') AS seg
+        FROM w CROSS JOIN generate_series(0, 10000) t(i)
+        WHERE i <= (len(ws) - 1) // 3),
+      df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+      SELECT s.doc_id,
+        CAST(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN d.df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        md5(coalesce(string_agg(seg, ' ' ORDER BY pos)
+              FILTER (WHERE d.df <= 2), '')) AS clean_md5
+      FROM segs s JOIN df d USING (seg)
+      GROUP BY s.doc_id ORDER BY s.doc_id"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
-    boilerplate, bpePairs)
+    boilerplate, bpePairs, lineDedup)
 }
