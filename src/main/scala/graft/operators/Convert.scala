@@ -14,7 +14,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - reference always writes PLAIN encoding (convert.rs:26,32); closest
   *    Spark analog is disabling dictionary encoding.
   *  - Avro output rejected, Arrow unimplemented — exactly like the reference
-  *    (convert.rs:37-39,52); we do not silently add capability here.
+  *    (convert.rs:37-39,52).
+  *  - ORC in/out is a DOCUMENTED engine extension (the sniffer recognizes
+  *    `.orc`, so convert must handle it rather than MatchError): the
+  *    reference rejects it, we write it — see Formats.Orc and README's
+  *    convert row. The avro/arrow rejections above stay reference-exact.
   *  - the reference stamps `created_by = "bdt"` into the parquet footer
   *    (convert.rs:25,31). Spark exposes no public hook for the writer
   *    created_by string (parquet-mr hardcodes its own), so our footers say

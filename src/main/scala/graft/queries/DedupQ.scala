@@ -657,7 +657,11 @@ object DedupQ {
         .union(cand.select(col("id2").as("doc_id"))).distinct()
       val docs = Tables.spread(
         t(s, dir, "documents").join(members, "doc_id"), "doc_id")
-      val sigs = minhashSignatures(docs)
+      // snapshot: both join sides below are renamed projections of this one
+      // aggregate — without the checkpoint the member shingle+md5+16-min
+      // pipeline executes once per side (same discipline as the banded
+      // self-join's localCheckpoint above)
+      val sigs = minhashSignatures(docs).localCheckpoint()
       def side(tag: String) = sigs.select(
         col("doc_id").as(tag) +: (0 until K).map(k => col(s"sig_$k").as(s"${tag}_$k")): _*)
       val est = (0 until K)

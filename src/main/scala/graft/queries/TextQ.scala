@@ -646,10 +646,12 @@ object TextQ {
     Some("""WITH w AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       segs AS (
-        SELECT doc_id, CAST(i AS INTEGER) AS pos,
-          array_to_string(ws[(i*3+1):(i*3+3)], ' ') AS seg
-        FROM w CROSS JOIN generate_series(0, 10000) t(i)
-        WHERE i <= (len(ws) - 1) // 3),
+        SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+          SELECT doc_id, unnest(list_transform(range(0, (len(ws) - 1) // 3 + 1),
+            i -> {'pos': CAST(i AS INTEGER),
+                  'seg': array_to_string(
+                    ws[(CAST(i*3+1 AS INTEGER)):(CAST(i*3+3 AS INTEGER))], ' ')})) AS u
+          FROM w)),
       df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
       SELECT s.doc_id,
         CAST(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
