@@ -741,3 +741,29 @@ class WinnowGuaranteeSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 }
+
+/** text_line_dedup's reassembly must be byte-faithful: a document that loses
+  * NO segments must reassemble to exactly its original text (md5-equal) —
+  * the property that makes the positioned-segment split/rebuild safe to run
+  * over a corpus (order preserved, no separator drift, no boundary loss).
+  */
+class LineDedupReassemblySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("docs with zero dropped segments reassemble md5-identical to the original") {
+    val out = SparkEntry.queries("text_line_dedup")(spark, TestSpark.sf)
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("orig_md5"))
+    val joined = out.join(docs, "doc_id").cache()
+    try {
+      val intact = joined.filter(col("n_dropped") === 0)
+      assert(intact.count() > 0, "fixture must contain fully-kept docs")
+      val broken = intact.filter(col("clean_md5") =!= col("orig_md5")).count()
+      assert(broken == 0, s"$broken fully-kept docs reassembled differently")
+      // and at least one doc must actually exercise the drop path
+      assert(joined.filter(col("n_dropped") > 0).count() > 0,
+        "fixture must contain docs with dropped segments")
+    } finally joined.unpersist()
+  }
+}
