@@ -329,9 +329,32 @@ object Ops {
       round(sum(c_acctbal), 2) AS total_bal
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Avro source path — previously environment-blocked (no spark-avro
+    * connector jar), now REAL: [[graft.sources.AvroRead]] reads Avro through
+    * the avro-mapred Hadoop input format on the stock classpath, matching
+    * the reference's native Avro read support (utils.rs:62-84). The fixture
+    * file is written driver-side via the avro core API (25-row dim — Avro
+    * OUTPUT stays rejected like the reference, convert.rs:37-39; the sink
+    * here is test plumbing, the distributed READ is the surface under
+    * test). The oracle stays on the original table: the trip must be
+    * lossless.
+    */
+  val avroRoundtrip = Declared(
+    "op_avro_roundtrip",
+    (s, dir) => {
+      val out = Tables.scratch("nation_avro") + "/nation.avro"
+      graft.sources.AvroRead.writeFixture(t(s, dir, "nation"), out)
+      graft.sources.Formats.read(s, out)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_nation"))
+        .orderBy(col("n_regionkey"))
+    },
+    Some("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_nation
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
   val all: Seq[Declared] = Seq(
     view, schemaQ, countQ, convertRoundtrip, csvRoundtrip, jsonRoundtrip,
-    orcRoundtrip,
+    orcRoundtrip, avroRoundtrip,
     compareEqual, compareDiff, compareEpsilon, compareKeyed, compareFirstDiff,
     infoSchema, parquetMeta)
 }

@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.{AvroInputFormat, AvroWrapper}
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.NullWritable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Distributed Avro READ path built directly on avro-mapred's Hadoop input
+  * format — no spark-avro connector required (this container ships the avro
+  * core/mapred jars but not the Spark datasource; the reference reads Avro
+  * natively, /root/reference/src/utils.rs:62-84, so a bdt user's `.avro`
+  * inputs must work here too).
+  *
+  * Scale shape: the writer schema is read ONCE on the driver from the file
+  * header; records decode inside the scan tasks (`AvroInputFormat` splits
+  * on Avro block boundaries, so a large file still fans out across
+  * executors) and convert to `Row`s in the same task — Avro objects never
+  * cross a shuffle, and the reader's object reuse is safe because every
+  * field is copied out per record. Column pruning/pushdown don't apply to
+  * row-oriented Avro in ANY engine — converting to parquet (the `convert`
+  * op) is the documented fast path, same as the reference.
+  *
+  * Supported Avro types are the primitive subset the reference's utility
+  * reads (int/long/float/double/boolean/string/bytes + nullable unions);
+  * anything else fails loudly rather than mis-decoding.
+  */
+object AvroRead {
+
+  private def toSparkType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.INT     => (IntegerType, false)
+    case Schema.Type.LONG    => (LongType, false)
+    case Schema.Type.FLOAT   => (FloatType, false)
+    case Schema.Type.DOUBLE  => (DoubleType, false)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.STRING  => (StringType, false)
+    case Schema.Type.BYTES   => (BinaryType, false)
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1 && branches.size != nonNull.size,
+        s"unsupported avro union $s (only [null, T] unions)")
+      (toSparkType(nonNull.head)._1, true)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported avro type $other")
+  }
+
+  /** Resolve the data file (a file path, or the first `.avro` inside a
+    * directory) and its writer schema, via the Hadoop FS API.
+    */
+  private def resolve(spark: SparkSession, path: String): (Path, Schema) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".avro")).sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalArgumentException(s"no .avro file in $path"))
+      else p
+    val in = fs.open(file)
+    try {
+      val stream = new DataFileStream[GenericRecord](
+        in, new GenericDatumReader[GenericRecord]())
+      try (file, stream.getSchema) finally stream.close()
+    } finally ()
+  }
+
+  def sparkSchema(avro: Schema): StructType = StructType(
+    avro.getFields.asScala.toSeq.map { f =>
+      val (dt, nullable) = toSparkType(f.schema())
+      StructField(f.name(), dt, nullable)
+    })
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val (file, avroSchema) = resolve(spark, path)
+    val struct = sparkSchema(avroSchema)
+    val nFields = struct.size
+    val rdd = spark.sparkContext
+      .hadoopFile(
+        file.toString,
+        classOf[AvroInputFormat[GenericRecord]],
+        classOf[AvroWrapper[GenericRecord]],
+        classOf[NullWritable])
+      .map { case (wrapper, _) =>
+        // copy every field out NOW — the record reader reuses its datum
+        val rec = wrapper.datum()
+        val vals = new Array[Any](nFields)
+        var i = 0
+        while (i < nFields) {
+          vals(i) = rec.get(i) match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case b: java.nio.ByteBuffer =>
+              val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+            case x => x
+          }
+          i += 1
+        }
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    spark.createDataFrame(rdd, struct)
+  }
+
+  /** TEST-FIXTURE writer: a driver-side Avro file from collected rows via
+    * the avro core API. This is NOT a distributed sink (the reference
+    * rejects avro OUTPUT too, convert.rs:37-39) — it exists solely so the
+    * read path above can be proven end-to-end without a connector jar.
+    * Callers must keep it to dimension-sized data.
+    */
+  def writeFixture(df: DataFrame, out: String): Unit = {
+    val struct = df.schema
+    val fields = struct.fields.map { f =>
+      val avroType = f.dataType match {
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case LongType    => Schema.create(Schema.Type.LONG)
+        case FloatType   => Schema.create(Schema.Type.FLOAT)
+        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case StringType  => Schema.create(Schema.Type.STRING)
+        case BinaryType  => Schema.create(Schema.Type.BYTES)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported fixture type $other")
+      }
+      new Schema.Field(f.name, avroType, null, null.asInstanceOf[Object])
+    }
+    val schema = Schema.createRecord("fixture", null, "graft", false, fields.toList.asJava)
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    val f = new java.io.File(out)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    writer.create(schema, f)
+    try df.collect().foreach { row =>
+      val rec = new GenericData.Record(schema)
+      struct.fields.zipWithIndex.foreach { case (sf, i) =>
+        val v = row.get(i) match {
+          case bytes: Array[Byte] => java.nio.ByteBuffer.wrap(bytes)
+          case x => x
+        }
+        rec.put(sf.name, v)
+      }
+      writer.append(rec)
+    } finally writer.close()
+  }
+}

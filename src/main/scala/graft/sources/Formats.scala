@@ -77,7 +77,8 @@ object Formats {
     name.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
 
   /** Read a file/dir with the sniffed format. CSV: header + inferred schema;
-    * JSON: newline-delimited (Spark's default); Avro via spark-avro.
+    * JSON: newline-delimited (Spark's default); Avro via the avro-mapred
+    * Hadoop input format ([[AvroRead]] — no spark-avro connector needed).
     */
   def read(spark: SparkSession, path: String): DataFrame =
     fileFormat(path) match {
@@ -86,7 +87,7 @@ object Formats {
       case Right(Json)    => spark.read.json(path)
       case Right(Orc)     => spark.read.orc(path)
       case Right(Parquet) => spark.read.parquet(path)
-      case Right(Avro)    => spark.read.format("avro").load(path)
+      case Right(Avro)    => AvroRead.read(spark, path)
       case Left(err)      => throw new IllegalArgumentException(err)
     }
 
