@@ -83,6 +83,18 @@ class ConvertSpec extends AnyFunSuite {
     }
   }
 
+  test("avro input converts to parquet (the reference's canonical avro flow)") {
+    // `bdt convert in.avro out.parquet` is what the reference's avro read
+    // support exists for — prove the same flow end-to-end here
+    val dir = java.nio.file.Files.createTempDirectory("graft_conv5").toString
+    val nation = Tables.t(spark, TestSpark.sf, "nation")
+    graft.sources.AvroRead.writeFixture(nation, s"$dir/n.avro")
+    Convert.convert(spark, s"$dir/n.avro", s"$dir/n.parquet")
+    val back = spark.read.parquet(s"$dir/n.parquet")
+    assert(back.count() == nation.count())
+    assert(back.columns.toSeq == nation.columns.toSeq)
+  }
+
   test("parquet -> orc -> read round trip (engine extension)") {
     // the sniffer knows .orc, so convert must write it rather than
     // MatchError (regression: Orc was added to Formats without a write arm)
