@@ -32,43 +32,59 @@ import scala.jdk.CollectionConverters._
   */
 object AvroRead {
 
-  private def toSparkType(s: Schema): (DataType, Boolean) = s.getType match {
-    case Schema.Type.INT     => (IntegerType, false)
-    case Schema.Type.LONG    => (LongType, false)
-    case Schema.Type.FLOAT   => (FloatType, false)
-    case Schema.Type.DOUBLE  => (DoubleType, false)
-    case Schema.Type.BOOLEAN => (BooleanType, false)
-    case Schema.Type.STRING  => (StringType, false)
-    case Schema.Type.BYTES   => (BinaryType, false)
-    case Schema.Type.UNION =>
-      val branches = s.getTypes.asScala
-      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
-      require(nonNull.size == 1 && branches.size != nonNull.size,
-        s"unsupported avro union $s (only [null, T] unions)")
-      (toSparkType(nonNull.head)._1, true)
-    case other =>
-      throw new IllegalArgumentException(s"unsupported avro type $other")
+  private def toSparkType(s: Schema): (DataType, Boolean) = {
+    // logical types (timestamp-millis, date, decimal, ...) annotate a
+    // primitive but change its meaning — decoding them as the raw primitive
+    // would be silent mis-typing, so they fail loudly instead (convert the
+    // producer's file to parquet for full logical-type fidelity)
+    if (s.getLogicalType != null)
+      throw new IllegalArgumentException(
+        s"unsupported avro logical type ${s.getLogicalType.getName} on $s")
+    s.getType match {
+      case Schema.Type.INT     => (IntegerType, false)
+      case Schema.Type.LONG    => (LongType, false)
+      case Schema.Type.FLOAT   => (FloatType, false)
+      case Schema.Type.DOUBLE  => (DoubleType, false)
+      case Schema.Type.BOOLEAN => (BooleanType, false)
+      case Schema.Type.STRING  => (StringType, false)
+      case Schema.Type.BYTES   => (BinaryType, false)
+      case Schema.Type.UNION =>
+        val branches = s.getTypes.asScala
+        val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+        require(nonNull.size == 1 && branches.size != nonNull.size,
+          s"unsupported avro union $s (only [null, T] unions)")
+        (toSparkType(nonNull.head)._1, true)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported avro type $other")
+    }
   }
 
-  /** Resolve the data file (a file path, or the first `.avro` inside a
-    * directory) and its writer schema, via the Hadoop FS API.
+  /** The writer schema, read from the header of the first `.avro` file
+    * under `path` (directories assume one schema across part files — the
+    * layout every Avro-producing job emits), via the Hadoop FS API.
     */
-  private def resolve(spark: SparkSession, path: String): (Path, Schema) = {
+  private def writerSchema(spark: SparkSession, path: String): Schema = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val file =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).map(_.getPath)
-          .filter(_.getName.endsWith(".avro")).sortBy(_.getName).headOption
+          // lowercase: the sniffer accepts DATA.AVRO, so resolution must too
+          .filter(_.getName.toLowerCase.endsWith(".avro")).sortBy(_.getName)
+          .headOption
           .getOrElse(throw new IllegalArgumentException(s"no .avro file in $path"))
       else p
     val in = fs.open(file)
+    var ok = false
     try {
       val stream = new DataFileStream[GenericRecord](
         in, new GenericDatumReader[GenericRecord]())
-      try (file, stream.getSchema) finally stream.close()
-    } finally ()
+      // stream.close() also closes `in`; the outer finally covers the case
+      // where the constructor itself threw (corrupt / non-Avro file) and
+      // the stream never existed to close
+      try { val s = stream.getSchema; ok = true; s } finally stream.close()
+    } finally if (!ok) in.close()
   }
 
   def sparkSchema(avro: Schema): StructType = StructType(
@@ -78,12 +94,15 @@ object AvroRead {
     })
 
   def read(spark: SparkSession, path: String): DataFrame = {
-    val (file, avroSchema) = resolve(spark, path)
+    val avroSchema = writerSchema(spark, path)
     val struct = sparkSchema(avroSchema)
     val nFields = struct.size
+    // the WHOLE path (file or directory) goes to the input format —
+    // AvroInputFormat lists a directory's part files itself, so a
+    // many-file dataset reads completely, same as every other format arm
     val rdd = spark.sparkContext
       .hadoopFile(
-        file.toString,
+        path,
         classOf[AvroInputFormat[GenericRecord]],
         classOf[AvroWrapper[GenericRecord]],
         classOf[NullWritable])
@@ -115,7 +134,7 @@ object AvroRead {
   def writeFixture(df: DataFrame, out: String): Unit = {
     val struct = df.schema
     val fields = struct.fields.map { f =>
-      val avroType = f.dataType match {
+      val base = f.dataType match {
         case IntegerType => Schema.create(Schema.Type.INT)
         case LongType    => Schema.create(Schema.Type.LONG)
         case FloatType   => Schema.create(Schema.Type.FLOAT)
@@ -126,6 +145,11 @@ object AvroRead {
         case other =>
           throw new IllegalArgumentException(s"unsupported fixture type $other")
       }
+      // nullable Spark fields become [null, T] unions so null values write
+      // (and so the read path's union branch is actually exercisable)
+      val avroType =
+        if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+        else base
       new Schema.Field(f.name, avroType, null, null.asInstanceOf[Object])
     }
     val schema = Schema.createRecord("fixture", null, "graft", false, fields.toList.asJava)

@@ -207,16 +207,35 @@ class AvroSpec extends AnyFunSuite {
     assert(a == b, "row values differ after the avro round trip")
   }
 
-  test("binary and double columns survive; unsupported types fail loudly") {
+  test("binary, double and NULL values survive (union branch exercised)") {
     import spark.implicits._
     val out = Tables.scratch("avro_spec2") + "/mixed.avro"
-    val df = Seq((1L, 1.5, "x"), (2L, -2.25, "y")).toDF("id", "v", "s")
+    val df = Seq((1L, Some(1.5), Some("x")), (2L, Some(-2.25), None),
+        (3L, None, Some("z")))
+      .toDF("id", "v", "s")
       .withColumn("b", org.apache.spark.sql.functions.expr("CAST(s AS BINARY)"))
     graft.sources.AvroRead.writeFixture(df, out)
     val back = Formats.read(spark, out).orderBy("id").collect()
-    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
-    assert(back.map(_.getDouble(1)).toSeq == Seq(1.5, -2.25))
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(back(0).getDouble(1) == 1.5 && back(1).getDouble(1) == -2.25)
+    assert(back(2).isNullAt(1), "null double must survive the round trip")
+    assert(back(1).isNullAt(2) && back(1).isNullAt(3), "null string/bytes survive")
     assert(new String(back(0).getAs[Array[Byte]]("b")) == "x")
+  }
+
+  test("a DIRECTORY of avro part files reads completely, not first-file-only") {
+    val dir = Tables.scratch("avro_spec_dir")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val nation = Tables.t(spark, TestSpark.sf, "nation")
+    graft.sources.AvroRead.writeFixture(
+      nation.filter(org.apache.spark.sql.functions.col("n_nationkey") < 10),
+      s"$dir/part-00000.avro")
+    graft.sources.AvroRead.writeFixture(
+      nation.filter(org.apache.spark.sql.functions.col("n_nationkey") >= 10),
+      s"$dir/part-00001.avro")
+    val back = Formats.read(spark, dir)
+    assert(back.count() == nation.count(),
+      "directory read must include every part file")
   }
 }
 
