@@ -551,6 +551,92 @@ object TpchQ {
                             AND o_orderdate >= TIMESTAMP '1999-01-01')) custsale
       GROUP BY cntrycode ORDER BY cntrycode"""))
 
+  /** TPC-H q4 (adapted): order-priority checking — how many orders in one
+    * quarter had at least one late line, counted per priority. The EXISTS
+    * is a LEFT SEMI join carrying the non-equi lateness predicate alongside
+    * the orderkey equi-condition (the equi key still drives the shuffle; the
+    * date comparison rides as a residual). Adaptation: the fixture has no
+    * l_commitdate/l_receiptdate, so "late" is the equivalent dormancy-style
+    * stand-in `l_shipdate > o_orderdate + 60 days` — same plan shape, same
+    * semi-join cardinality behavior.
+    */
+  val q4 = Declared(
+    "q4_priority_count",
+    (s, dir) => {
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= expr("timestamp'1996-07-01 00:00:00'") &&
+          col("o_orderdate") < expr("timestamp'1996-10-01 00:00:00'"))
+      val l = t(s, dir, "lineitem")
+      o.join(l,
+          o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o_orderdate < TIMESTAMP '1996-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** TPC-H q21 (adapted): suppliers who kept waiting — lines late on
+    * finished multi-supplier orders where NO other supplier on the order was
+    * late. The densest correlated-subquery shape in the suite: one LEFT SEMI
+    * (another supplier exists on the order) and one LEFT ANTI (no OTHER
+    * late supplier) both keyed on the order, with the supplier-inequality
+    * and lateness predicates as residuals on the equi-shuffle; nation rides
+    * a broadcast and the top-100 is a TakeOrderedAndProject. Adaptation:
+    * lateness is `l_shipdate > o_orderdate + 60 days` (no receipt/commit
+    * dates in the fixture); SAUDI ARABIA becomes NATION_3.
+    */
+  val q21 = Declared(
+    "q21_waiting_suppliers",
+    (s, dir) => {
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation").filter(col("n_name") === "NATION_3")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val l1 = t(s, dir, "lineitem")
+      val l2 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("l2_ok"), col("l_suppkey").as("l2_sk"))
+      val l3 = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("l3_ok"), col("l_suppkey").as("l3_sk"),
+        col("l_shipdate").as("l3_sd"))
+      l1.join(o, l1("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .join(su, l1("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(l2,
+          col("l2_ok") === col("l_orderkey") && col("l2_sk") =!= col("l_suppkey"),
+          "left_semi")
+        .join(l3,
+          col("l3_ok") === col("l_orderkey") && col("l3_sk") =!= col("l_suppkey") &&
+            col("l3_sd") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+    Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM supplier, lineitem l1, orders, nation
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""))
+
   val all: Seq[Declared] =
-    Seq(q3, q5, q6, q7, q8, q9, q10, q12, q13, q14, q15, q17, q18, q19, q22)
+    Seq(q3, q4, q5, q6, q7, q8, q9, q10, q12, q13, q14, q15, q17, q18, q19,
+      q21, q22)
 }

@@ -143,6 +143,16 @@ class PlanSpec extends AnyFunSuite {
       "dormancy date bound not pushed to the orders scan")
   }
 
+  test("q21 plans semi + anti joins on the order key and a top-k") {
+    // the EXISTS/NOT EXISTS pair must stay equi-shuffled semi/anti joins
+    // with residuals — a correlated per-row probe would rescan lineitem
+    // per line at 100 TB — and the final top-100 must not be a full sort
+    val p = plan("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi"), "EXISTS did not plan as a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS did not plan as an anti join")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 planned as a full sort")
+  }
+
   test("knn_join_brute per-query top-k plans WindowGroupLimit") {
     val p = plan("knn_join_brute")
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
