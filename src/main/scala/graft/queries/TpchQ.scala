@@ -585,13 +585,19 @@ object TpchQ {
 
   /** TPC-H q21 (adapted): suppliers who kept waiting — lines late on
     * finished multi-supplier orders where NO other supplier on the order was
-    * late. The densest correlated-subquery shape in the suite: one LEFT SEMI
-    * (another supplier exists on the order) and one LEFT ANTI (no OTHER
-    * late supplier) both keyed on the order, with the supplier-inequality
-    * and lateness predicates as residuals on the equi-shuffle; nation rides
-    * a broadcast and the top-100 is a TakeOrderedAndProject. Adaptation:
-    * lateness is `l_shipdate > o_orderdate + 60 days` (no receipt/commit
-    * dates in the fixture); SAUDI ARABIA becomes NATION_3.
+    * late. The reference SQL is the densest correlated shape in the suite
+    * (an EXISTS plus a NOT EXISTS, both over lineitem); planned naively that
+    * is THREE full fact scans and a semi + anti join pair. Spark-first, the
+    * whole correlated pair collapses into ONE grouped pass over the fact
+    * table: per order, count distinct suppliers, collect the distinct LATE
+    * suppliers, and count late lines — an order qualifies exactly when it
+    * has >1 supplier and its late-supplier set has size 1, and that lone
+    * supplier's numwait contribution is the order's late-line count. One
+    * lineitem scan, one shuffle on the order key (the plan pin asserts the
+    * single scan); supplier/nation attach after the order-level fold has
+    * already collapsed the fact table. Adaptation: lateness is
+    * `l_shipdate > o_orderdate + 60 days` (no receipt/commit dates in the
+    * fixture); SAUDI ARABIA becomes NATION_3.
     */
   val q21 = Declared(
     "q21_waiting_suppliers",
@@ -599,25 +605,30 @@ object TpchQ {
       val su = t(s, dir, "supplier")
       val n = t(s, dir, "nation").filter(col("n_name") === "NATION_3")
       val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
-      val l1 = t(s, dir, "lineitem")
-      val l2 = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("l2_ok"), col("l_suppkey").as("l2_sk"))
-      val l3 = t(s, dir, "lineitem").select(
-        col("l_orderkey").as("l3_ok"), col("l_suppkey").as("l3_sk"),
-        col("l_shipdate").as("l3_sd"))
-      l1.join(o, l1("l_orderkey") === o("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        .join(su, l1("l_suppkey") === su("s_suppkey"))
+      val l = t(s, dir, "lineitem")
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      // two stacked hash aggregates, both with map-side partial combine and
+      // NO Expand (a countDistinct + collect_set single-agg would expand
+      // every row): first fold lines to (order, supplier) late counts, then
+      // fold suppliers to the per-order verdict — when exactly one supplier
+      // is late, max(when(late, suppkey)) IS that supplier
+      val perOrder = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(col("is_late"), 1L).otherwise(0L)).as("supp_late"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n_supp"),
+          sum(when(col("supp_late") > 0, 1L).otherwise(0L)).as("n_late_supp"),
+          max(when(col("supp_late") > 0, col("l_suppkey"))).as("wait_sk"),
+          sum(col("supp_late")).as("n_late_lines"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+        .select(col("wait_sk"), col("n_late_lines"))
+      perOrder
+        .join(su, col("wait_sk") === su("s_suppkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
-        .join(l2,
-          col("l2_ok") === col("l_orderkey") && col("l2_sk") =!= col("l_suppkey"),
-          "left_semi")
-        .join(l3,
-          col("l3_ok") === col("l_orderkey") && col("l3_sk") =!= col("l_suppkey") &&
-            col("l3_sd") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
-          "left_anti")
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("n_late_lines")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     },

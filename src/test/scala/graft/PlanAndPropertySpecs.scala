@@ -143,14 +143,18 @@ class PlanSpec extends AnyFunSuite {
       "dormancy date bound not pushed to the orders scan")
   }
 
-  test("q21 plans semi + anti joins on the order key and a top-k") {
-    // the EXISTS/NOT EXISTS pair must stay equi-shuffled semi/anti joins
-    // with residuals — a correlated per-row probe would rescan lineitem
-    // per line at 100 TB — and the final top-100 must not be a full sort
-    val p = plan("q21_waiting_suppliers")
-    assert(p.contains("LeftSemi"), "EXISTS did not plan as a semi join")
-    assert(p.contains("LeftAnti"), "NOT EXISTS did not plan as an anti join")
-    assert(p.contains("TakeOrderedAndProject"), "top-100 planned as a full sort")
+  test("q21 collapses the correlated EXISTS pair into ONE lineitem scan + top-k") {
+    // the naive plan for q21's EXISTS + NOT EXISTS is three full fact
+    // scans; the grouped formulation must keep it to exactly one, and the
+    // final top-100 must not be a full sort
+    val df = SparkEntry.queries("q21_waiting_suppliers")(spark, TestSpark.sf)
+    val lineitemScans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.count(_.metadata.getOrElse("Location", "").contains("lineitem"))
+    assert(lineitemScans == 1,
+      s"lineitem scanned $lineitemScans times; the order-fold needs exactly ONE")
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "top-100 planned as a full sort")
   }
 
   test("knn_join_brute per-query top-k plans WindowGroupLimit") {
