@@ -59,23 +59,32 @@ object AvroRead {
     }
   }
 
-  /** The writer schema, read from the header of the first `.avro` file
-    * under `path` (directories assume one schema across part files — the
-    * layout every Avro-producing job emits), via the Hadoop FS API.
+  /** The data files under `path` (a file, or every `.avro` part file in a
+    * directory — case-insensitive, Spark/Hadoop bookkeeping files skipped)
+    * plus the writer schema from the first one's header, via the Hadoop FS
+    * API. The explicit file list (rather than handing the directory to the
+    * input format) matters: AvroInputFormat's own listing filter is
+    * case-SENSITIVE on ".avro", so a `DATA.AVRO` the sniffer accepts would
+    * otherwise be silently dropped from the scan — schema resolved, zero
+    * rows read.
     */
-  private def writerSchema(spark: SparkSession, path: String): Schema = {
+  private def resolve(spark: SparkSession, path: String): (Seq[Path], Schema) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val file =
+    val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).map(_.getPath)
-          // lowercase: the sniffer accepts DATA.AVRO, so resolution must too
-          .filter(_.getName.toLowerCase.endsWith(".avro")).sortBy(_.getName)
-          .headOption
-          .getOrElse(throw new IllegalArgumentException(s"no .avro file in $path"))
-      else p
-    val in = fs.open(file)
+          .filter { f =>
+            val n = f.getName
+            n.toLowerCase.endsWith(".avro") &&
+              !n.startsWith(".") && !n.startsWith("_")
+          }
+          .sortBy(_.getName).toSeq
+      else Seq(p)
+    if (files.isEmpty)
+      throw new IllegalArgumentException(s"no .avro file in $path")
+    val in = fs.open(files.head)
     var ok = false
     try {
       val stream = new DataFileStream[GenericRecord](
@@ -83,7 +92,8 @@ object AvroRead {
       // stream.close() also closes `in`; the outer finally covers the case
       // where the constructor itself threw (corrupt / non-Avro file) and
       // the stream never existed to close
-      try { val s = stream.getSchema; ok = true; s } finally stream.close()
+      try { val s = stream.getSchema; ok = true; (files, s) }
+      finally stream.close()
     } finally if (!ok) in.close()
   }
 
@@ -94,33 +104,56 @@ object AvroRead {
     })
 
   def read(spark: SparkSession, path: String): DataFrame = {
-    val avroSchema = writerSchema(spark, path)
+    val (files, avroSchema) = resolve(spark, path)
     val struct = sparkSchema(avroSchema)
     val nFields = struct.size
-    // the WHOLE path (file or directory) goes to the input format —
-    // AvroInputFormat lists a directory's part files itself, so a
-    // many-file dataset reads completely, same as every other format arm
+    // field layout fingerprint: records decode positionally against the
+    // FIRST file's schema, so a part file whose writer schema reordered or
+    // retyped fields would silently transpose columns — every task checks
+    // its records' actual schema (reference-compare, so once per file in
+    // practice) and fails loudly instead
+    val expectedLayout = avroSchema.getFields.asScala
+      .map(f => f.name + ":" + f.schema().toString).mkString(";")
+    // explicit JobConf: AvroInputFormat's own listing filter drops files
+    // not ending in lowercase ".avro" even when they are passed explicitly,
+    // so its extension filter is disabled — resolve() above already did the
+    // (case-insensitive) selection
+    val jobConf = new org.apache.hadoop.mapred.JobConf(
+      spark.sparkContext.hadoopConfiguration)
+    jobConf.setBoolean("avro.mapred.ignore.inputs.without.extension", false)
+    org.apache.hadoop.mapred.FileInputFormat.setInputPaths(jobConf, files: _*)
     val rdd = spark.sparkContext
-      .hadoopFile(
-        path,
+      .hadoopRDD(
+        jobConf,
         classOf[AvroInputFormat[GenericRecord]],
         classOf[AvroWrapper[GenericRecord]],
         classOf[NullWritable])
-      .map { case (wrapper, _) =>
-        // copy every field out NOW — the record reader reuses its datum
-        val rec = wrapper.datum()
-        val vals = new Array[Any](nFields)
-        var i = 0
-        while (i < nFields) {
-          vals(i) = rec.get(i) match {
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case b: java.nio.ByteBuffer =>
-              val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
-            case x => x
+      .mapPartitions { it =>
+        var checked: Schema = null
+        it.map { case (wrapper, _) =>
+          // copy every field out NOW — the record reader reuses its datum
+          val rec = wrapper.datum()
+          if (rec.getSchema ne checked) {
+            val layout = rec.getSchema.getFields.asScala
+              .map(f => f.name + ":" + f.schema().toString).mkString(";")
+            require(layout == expectedLayout,
+              s"avro part file schema differs from ${files.head}: " +
+                s"expected [$expectedLayout], got [$layout]")
+            checked = rec.getSchema
           }
-          i += 1
+          val vals = new Array[Any](nFields)
+          var i = 0
+          while (i < nFields) {
+            vals(i) = rec.get(i) match {
+              case u: org.apache.avro.util.Utf8 => u.toString
+              case b: java.nio.ByteBuffer =>
+                val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+              case x => x
+            }
+            i += 1
+          }
+          Row.fromSeq(vals.toIndexedSeq)
         }
-        Row.fromSeq(vals.toIndexedSeq)
       }
     spark.createDataFrame(rdd, struct)
   }

@@ -143,6 +143,11 @@ class PlanSpec extends AnyFunSuite {
       "dormancy date bound not pushed to the orders scan")
   }
 
+  test("q4 plans the EXISTS as a semi join, lateness as a residual") {
+    val p = plan("q4_priority_count")
+    assert(p.contains("LeftSemi"), "EXISTS did not plan as a semi join")
+  }
+
   test("q21 collapses the correlated EXISTS pair into ONE lineitem scan + top-k") {
     // the naive plan for q21's EXISTS + NOT EXISTS is three full fact
     // scans; the grouped formulation must keep it to exactly one, and the
@@ -235,6 +240,31 @@ class AvroSpec extends AnyFunSuite {
     assert(back(2).isNullAt(1), "null double must survive the round trip")
     assert(back(1).isNullAt(2) && back(1).isNullAt(3), "null string/bytes survive")
     assert(new String(back(0).getAs[Array[Byte]]("b")) == "x")
+  }
+
+  test("uppercase .AVRO reads completely — sniffer and scan must agree") {
+    // AvroInputFormat's own listing filter is case-sensitive; the sniffer
+    // is not — without the explicit file list + filter override this was a
+    // schema-resolved, ZERO-row silent read
+    val dir = Tables.scratch("avro_spec_case")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val nation = Tables.t(spark, TestSpark.sf, "nation")
+    graft.sources.AvroRead.writeFixture(nation, s"$dir/DATA.AVRO")
+    assert(Formats.read(spark, dir).count() == nation.count())
+  }
+
+  test("part files with a different field layout fail loudly, never transpose") {
+    val dir = Tables.scratch("avro_spec_mixed")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val nation = Tables.t(spark, TestSpark.sf, "nation")
+    graft.sources.AvroRead.writeFixture(nation, s"$dir/a.avro")
+    graft.sources.AvroRead.writeFixture(
+      nation.select("n_regionkey", "n_name", "n_nationkey"), s"$dir/b.avro")
+    val e = intercept[Exception] { Formats.read(spark, dir).count() }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(e).contains("schema differs"),
+      s"expected a loud layout mismatch, got: $e")
   }
 
   test("a DIRECTORY of avro part files reads completely, not first-file-only") {
