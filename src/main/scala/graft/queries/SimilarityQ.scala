@@ -476,7 +476,108 @@ object SimilarityQ {
       FROM assign a JOIN cent c ON a.cluster = c.cluster
       GROUP BY a.cluster ORDER BY a.cluster"""))
 
+  /** Product-quantization ANN — the memory-compression scale path: split
+    * each 64-dim vector into M=4 subvectors, learn an 8-code codebook per
+    * subspace (seeded deterministically as code = vec_id mod 8, averaged —
+    * the replayable seeding [[ivfTrain]] uses), encode every vector as 4
+    * small code ids, then answer a query by Asymmetric Distance Computation:
+    * a 32-entry lookup table of query-subvector→centroid distances, summed
+    * per vector over its codes. A float32 corpus becomes 4 bytes/vector
+    * (16× smaller), the codebook+LUT broadcast (M×k rows), encode is a
+    * map-side argmin, and the ADC scan is a tiny-LUT broadcast join + one
+    * hash aggregate — no full-width vectors move after encoding. Exact
+    * distances are joined back for the 10 winners only, so the report shows
+    * the ADC approximation error directly. At 100 TB the codes are computed
+    * once and stored; this query rebuilds them inline to stay
+    * self-contained. Determinism: distances round to 6dp before the argmin
+    * (ties break by code id), and the ADC sum is over 1e6-scaled LONGS so
+    * no floating addition order can straddle a rounding boundary
+    * cross-engine.
+    */
+  val pqAdc = Declared(
+    "sim_pq_adc",
+    (s, dir) => {
+      val M = 4; val sub = 16; val k = 8
+      def sqd(a: String, b: String) = expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      val sv = e.select(
+        col("vec_id"),
+        posexplode(array((0 until M).map(m =>
+          slice(col("emb"), m * sub + 1, sub)): _*)).as(Seq("m", "sv")))
+      // codebook: per (subspace, seed code) centroid — M*k = 32 rows, the
+      // whole "index". Checkpointed: encode AND the query LUT consume it.
+      val cb = sv.withColumn("code", col("vec_id") % k)
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("code"), col("pos")).agg(avg(col("v")).as("cv"))
+        .groupBy(col("m"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pv"))
+        .select(col("m"), col("code"), expr("transform(pv, x -> x.cv)").as("centroid"))
+        .localCheckpoint()
+      // encode: nearest code per (vector, subspace) — argmin as
+      // min(struct(d, code)) inside one hash aggregate, same as ivfTrain
+      val enc = sv.join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("code"),
+          round(sqd("sv", "centroid"), 6).as("d"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d"), col("code"))).getField("code").as("code"))
+      // ADC lookup table: query subvector → every centroid, as scaled longs
+      val lut = sv.filter(col("vec_id") === 0)
+        .select(col("m").as("qm"), col("sv").as("qsv"))
+        .join(broadcast(cb), col("qm") === col("m"))
+        .select(col("m"), col("code"),
+          floor(round(sqd("qsv", "centroid"), 6) * 1e6 + 0.5).cast("long").as("qd"))
+      val top = enc.filter(col("vec_id") =!= 0)
+        .join(broadcast(lut), Seq("m", "code"))
+        .groupBy(col("vec_id"))
+        .agg(round(sum(col("qd")) / 1e6, 6).as("adc_d"))
+        .orderBy(col("adc_d"), col("vec_id"))
+        .limit(10)
+      val qv = e.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+      top.join(e, "vec_id")
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("adc_d"),
+          round(sqd("emb", "qv"), 6).as("exact_d"))
+        .orderBy(col("adc_d"), col("vec_id"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      sv AS (
+        SELECT vec_id, CAST(m AS INTEGER) AS m,
+          emb[CAST(m AS INTEGER)*16+1 : CAST(m AS INTEGER)*16+16] AS sv
+        FROM ev CROSS JOIN generate_series(0, 3) t(m)),
+      cbp AS (
+        SELECT m, vec_id % 8 AS code, CAST(i AS INTEGER) AS i,
+          avg(sv[CAST(i AS INTEGER)]) AS cv
+        FROM sv CROSS JOIN generate_series(1, 16) t(i)
+        GROUP BY 1, 2, 3),
+      cb AS (SELECT m, code, list(cv ORDER BY i) AS centroid FROM cbp GROUP BY m, code),
+      enc AS (
+        SELECT vec_id, m, code FROM (
+          SELECT s.vec_id, s.m, c.code,
+            row_number() OVER (PARTITION BY s.vec_id, s.m
+              ORDER BY round(list_distance(s.sv, c.centroid) ^ 2, 6), c.code) AS rn
+          FROM sv s JOIN cb c ON s.m = c.m)
+        WHERE rn = 1),
+      lut AS (
+        SELECT c.m, c.code,
+          CAST(floor(round(list_distance(q.sv, c.centroid) ^ 2, 6) * 1e6 + 0.5) AS BIGINT) AS qd
+        FROM cb c JOIN (SELECT m, sv FROM sv WHERE vec_id = 0) q ON q.m = c.m),
+      adc AS (
+        SELECT e.vec_id, round(sum(l.qd) / 1e6, 6) AS adc_d
+        FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+        WHERE e.vec_id <> 0 GROUP BY e.vec_id
+        ORDER BY adc_d, vec_id LIMIT 10)
+      SELECT a.vec_id, a.adc_d,
+        round(list_distance(ev.emb, q.emb) ^ 2, 6) AS exact_d
+      FROM adc a
+      JOIN ev ON ev.vec_id = a.vec_id
+      CROSS JOIN (SELECT emb FROM ev WHERE vec_id = 0) q
+      ORDER BY a.adc_d, a.vec_id"""))
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
-      filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain)
+      filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc)
 }

@@ -371,7 +371,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_recall_report", // 1-row probe + 1-row top-10 summary broadcasts
     "q15_top_supplier",  // 1-row broadcast max-revenue scalar
     "q22_global_sales",  // 1-row broadcast average-balance scalar
-    "sim_ivf_train"      // k-row broadcast centroid table (k=4)
+    "sim_ivf_train",     // k-row broadcast centroid table (k=4)
+    "sim_pq_adc"         // 1-row broadcast query vector over the 10 winners
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
