@@ -699,8 +699,51 @@ object DedupQ {
       FROM est"""
     })
 
+  /** URL-keyed keep-best dedup — the web-corpus curation step that follows
+    * canonicalization (see text_url_normalize): multiple crawls of the same
+    * canonical URL collapse to ONE kept document, the longest (n_chars as
+    * the quality proxy; doc_id breaks ties for determinism). The argmax
+    * rides inside the hash aggregate as max(struct(quality, -id)) — one
+    * shuffle on the canonical key, no window, no second pass over the
+    * corpus; at 100 TB this is the cheapest possible keep-best (map-side
+    * partial max carries only one struct per key). URLs are synthesized
+    * deterministically from (source, doc_id) since the fixture has none.
+    */
+  val urlDedup = Declared(
+    "dedup_url",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"),
+        concat(lit("https://"), col("source"), lit(".example.com/page?id="),
+          (col("doc_id") % 7).cast("string")).as("canonical"))
+      docs.groupBy(col("canonical"))
+        .agg(
+          max(struct(col("n_chars").as("ch"), (-col("doc_id")).as("nid"))).as("best"),
+          count(lit(1)).as("cnt"))
+        .select(
+          col("canonical"),
+          (-col("best.nid")).as("kept_doc"),
+          col("best.ch").as("kept_chars"),
+          (col("cnt") - 1).as("n_dups"))
+        .orderBy(col("canonical"))
+    },
+    Some("""WITH canon AS (
+        SELECT doc_id, n_chars,
+          'https://' || source || '.example.com/page?id=' ||
+            CAST(doc_id % 7 AS VARCHAR) AS canonical
+        FROM documents),
+      ranked AS (
+        SELECT canonical, doc_id, n_chars,
+          row_number() OVER (PARTITION BY canonical
+            ORDER BY n_chars DESC, doc_id) AS rn,
+          count(*) OVER (PARTITION BY canonical) AS cnt
+        FROM canon)
+      SELECT canonical, doc_id AS kept_doc, n_chars AS kept_chars,
+        CAST(cnt - 1 AS BIGINT) AS n_dups
+      FROM ranked WHERE rn = 1 ORDER BY canonical"""))
+
   val all: Seq[Declared] = Seq(
     exact, exactRows, ngramJaccard, containment, containmentAsym, clusters,
     incremental, minhash, simhash, simhashBuckets, embedCosine, temporal,
-    winnow, minhashAccuracy)
+    winnow, minhashAccuracy, urlDedup)
 }

@@ -372,7 +372,58 @@ object EventsQ {
       WHERE date_diff('day', c.cohort_day, e.d) <= 14
       GROUP BY c.cohort_day, k ORDER BY c.cohort_day, k"""))
 
+  /** Hourly anomaly detection — flag the (event_type, hour) buckets whose
+    * count sits more than 2 sigma from that type's hourly mean. The scan
+    * folds to O(types × hours) in one hash aggregate, the per-type moments
+    * fold again to O(types) and ride a broadcast back over the hourly
+    * table — at 100 TB nothing after the first aggregate is large. The
+    * z-score is derived from raw (sum, sum-of-squares, count) with explicit
+    * multiplications so Spark and the oracle execute the identical IEEE
+    * operation sequence — stddev_samp's Welford path would differ in the
+    * last ulp and make round() a coin flip at boundaries.
+    */
+  val anomaly = Declared(
+    "events_anomaly",
+    (s, dir) => {
+      val hourlyN = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourlyN.groupBy(col("event_type")).agg(
+        sum(col("n")).cast("double").as("sum_n"),
+        sum(col("n") * col("n")).cast("double").as("sum_n2"),
+        count(lit(1)).cast("double").as("cnt"))
+      val mu = col("sum_n") / col("cnt")
+      val ss = col("sum_n2") - col("cnt") * mu * mu
+      val z = (col("n") - mu) / sqrt(ss / (col("cnt") - 1))
+      hourlyN.join(broadcast(stats), "event_type")
+        .filter(col("cnt") > 1 && ss > 0 && abs(z) > 2)
+        .select(
+          col("event_type"), col("h").cast("timestamp_ntz").as("h"),
+          col("n"), round(z, 4).as("z"))
+        .orderBy(col("event_type"), col("h"))
+    },
+    Some("""WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, CAST(sum(n) AS DOUBLE) AS sum_n,
+          CAST(sum(n * n) AS DOUBLE) AS sum_n2,
+          CAST(count(*) AS DOUBLE) AS cnt
+        FROM hourly GROUP BY 1)
+      SELECT h.event_type, h.h, h.n,
+        round((h.n - s.sum_n / s.cnt) /
+          sqrt((s.sum_n2 - s.cnt * (s.sum_n / s.cnt) * (s.sum_n / s.cnt))
+            / (s.cnt - 1)), 4) AS z
+      FROM hourly h JOIN stats s USING (event_type)
+      WHERE s.cnt > 1
+        AND (s.sum_n2 - s.cnt * (s.sum_n / s.cnt) * (s.sum_n / s.cnt)) > 0
+        AND abs((h.n - s.sum_n / s.cnt) /
+          sqrt((s.sum_n2 - s.cnt * (s.sum_n / s.cnt) * (s.sum_n / s.cnt))
+            / (s.cnt - 1))) > 2
+      ORDER BY h.event_type, h.h"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
-    rangeJoin, variantAgg, gapFill, intervalArith, retention)
+    rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly)
 }
