@@ -293,8 +293,45 @@ object ExtrasQ {
         AND NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = b.fp)
       GROUP BY lang ORDER BY lang"""))
 
+  /** Streaming trending top-k: daily per-type counts maintained by the
+    * stream (Complete mode), top-3 per day ranked at readout — the
+    * dashboard-over-state split ([[StreamingOps.trendingTopK]]). Oracle is
+    * the equivalent batch count + row_number.
+    */
+  val streamTopk = Declared(
+    "stream_topk",
+    (s, dir) => StreamingOps.trendingTopK(s, dir),
+    Some("""WITH c AS (
+        SELECT time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS d,
+          event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT d, event_type, n,
+          row_number() OVER (PARTITION BY d ORDER BY n DESC, event_type) AS rk
+        FROM c)
+      SELECT d, CAST(rk AS INTEGER) AS rk, event_type, n
+      FROM r WHERE rk <= 3 ORDER BY d, rk"""))
+
+  /** foreachBatch keyed upsert — each micro-batch MERGEs into a running
+    * "latest event per user" table ([[StreamingOps.foreachBatchUpsert]]).
+    * Oracle is the batch argmax per user over the same events.
+    */
+  val streamUpsert = Declared(
+    "stream_upsert",
+    (s, dir) => StreamingOps.foreachBatchUpsert(s, dir),
+    Some("""WITH ranked AS (
+        SELECT user_id, event_type, ts,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn,
+          count(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events)
+      SELECT user_id, event_type AS last_type, CAST(ts AS TIMESTAMP) AS last_ts,
+        CAST(n_events AS BIGINT) AS n_events
+      FROM ranked WHERE rn = 1 ORDER BY user_id"""))
+
   val all: Seq[Declared] = Seq(
     mmCatalog, mmFrames, mmBlob, mmDecode, mmResize, rollingHashQ, streamWindow,
     streamWindowSliding, streamWindowAppend, streamDedup, streamStaticJoin,
-    streamStreamJoin, streamSessionize, streamIncrementalDedup)
+    streamStreamJoin, streamSessionize, streamIncrementalDedup, streamTopk,
+    streamUpsert)
 }

@@ -455,4 +455,132 @@ object StreamingOps {
         round(col("session_value"), 2).as("session_value"))
       .orderBy(col("user_id"), col("session_start"))
   }
+
+  /** Streaming trending top-k: the stream maintains daily per-type counts
+    * (the stateful, incremental part — state is O(days × types), watermark-
+    * evictable in an unbounded run), and the top-3 ranking is a batch
+    * readout over the sink snapshot — exactly the production split, where a
+    * dashboard ranks the continuously-maintained counters at render time
+    * rather than asking the stream engine to hold a rank (which Structured
+    * Streaming's no-windows-on-streams rule forbids anyway).
+    */
+  def trendingTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 day").getField("start").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = "graft_stream_topk_sink"
+    runTuned(spark, scanParts) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val win = Window.partitionBy(col("d")).orderBy(col("n").desc, col("event_type"))
+    spark.table(name)
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 3)
+      .select(col("d").cast("timestamp_ntz").as("d"), col("rk"),
+        col("event_type"), col("n"))
+      .orderBy(col("d"), col("rk"))
+  }
+
+  // running "latest event per user" table maintained by foreachBatchUpsert:
+  // (last merged batchId, target). A driver-held REFERENCE to a distributed,
+  // localCheckpoint-backed DataFrame (the rows live in executor storage,
+  // never on the driver). Same retention contract as the fixed-name memory
+  // sinks above: the next invocation replaces it.
+  @volatile private var upsertState: Option[(Long, DataFrame)] = None
+
+  /** Idempotent foreachBatch step: merge the batch unless its batchId was
+    * already merged — the standard replay guard for non-transactional
+    * foreachBatch sinks (after a crash the engine re-delivers the last
+    * uncommitted batch with the SAME batchId; an additive merge like the
+    * n_events sum would double-count without the gate).
+    */
+  private[graft] def upsertStep(batchId: Long, batch: DataFrame): Unit =
+    upsertState match {
+      case Some((last, _)) if batchId <= last => // replayed batch: skip
+      case cur => upsertState = Some((batchId, mergeLatestBatch(cur.map(_._2), batch)))
+    }
+
+  private[graft] def upsertReset(): Unit = upsertState = None
+  private[graft] def upsertSnapshot: Option[DataFrame] = upsertState.map(_._2)
+
+  /** One foreachBatch merge step: fold a micro-batch into the running
+    * (user_id → last event, total count) table. The batch side folds FIRST
+    * (one row per user before touching the target), the keep-latest argmax
+    * rides max(struct(ts, event_id, type)) inside the re-aggregate, and the
+    * result is localCheckpointed so lineage stays one merge deep no matter
+    * how many batches flow. At 100 TB the target is a keyed storage table
+    * and this exact union-reaggregate is the MERGE the sink engine runs;
+    * the state size is the target table's, not the stream engine's — the
+    * same state-lives-in-the-table shape as incrementalDedupStream.
+    */
+  def mergeLatestBatch(target: Option[DataFrame], batch: DataFrame): DataFrame = {
+    val delta = batch
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"),
+        count(lit(1)).as("n_events"))
+    val merged = target match {
+      case Some(t) =>
+        t.unionByName(delta)
+          .groupBy(col("user_id"))
+          .agg(max(col("last")).as("last"), sum(col("n_events")).as("n_events"))
+      case None => delta
+    }
+    merged.localCheckpoint(true)
+  }
+
+  /** foreachBatch upsert sink — the production pattern the memory-sink ops
+    * deliberately avoid: every micro-batch is handed to batch-DataFrame code
+    * that MERGEs it into a keyed target table ("latest event per user"
+    * here). foreachBatch is where streaming meets arbitrary batch sinks
+    * (JDBC upsert, keyed-table MERGE, multi-sink fan-out); idempotency under
+    * batch replay comes from the batchId gate in [[upsertStep]] — the argmax
+    * is naturally replay-proof, the additive n_events sum is not, so the
+    * gate is load-bearing. UpsertReplaySpec pins the multi-batch and replay
+    * behavior on a two-file stream.
+    */
+  def foreachBatchUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)").as("ts"))
+    upsertReset()
+    runTuned(spark, scanParts) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          upsertStep(batchId, batch.toDF())
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    upsertSnapshot
+      .map(_.select(
+        col("user_id"),
+        col("last.event_type").as("last_type"),
+        col("last.ts").as("last_ts"),
+        col("n_events"))
+        .orderBy(col("user_id")))
+      .getOrElse(spark.emptyDataFrame)
+  }
 }
