@@ -577,7 +577,167 @@ object SimilarityQ {
       CROSS JOIN (SELECT emb FROM ev WHERE vec_id = 0) q
       ORDER BY a.adc_d, a.vec_id"""))
 
+  /** IVF-PQ — the two quantizers composed the way a production ANN index
+    * composes them ([[ivfTrain]]'s coarse cells + [[pqAdc]]'s codes, on
+    * RESIDUALS): each vector is assigned to its nearest coarse cell, the
+    * residual (vector − cell centroid) is PQ-encoded, and a query probes
+    * only its 2 nearest cells — per probed cell the query's OWN residual
+    * yields a 32-entry LUT, and the ADC scan joins codes to LUT on
+    * (cell, m, code). At 100 TB the cell is the partition key: the probe
+    * touches 2 of kc partitions (here 2 of 4; real indexes 64 of 65k) and
+    * moves only 4-byte codes, never vectors — the index shape that makes
+    * billion-vector search a partition-pruned scan. Exact distances join
+    * back for the 10 winners so the report shows both the compression error
+    * and any probe miss. Same determinism rules as [[pqAdc]]: 6dp rounding
+    * before every argmin, scaled-long ADC sums.
+    */
+  val ivfPq = Declared(
+    "sim_ivfpq",
+    (s, dir) => {
+      val kc = 4; val M = 4; val sub = 16; val kpq = 8
+      def sqd(a: String, b: String) = expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      // coarse centroids, seeded cell = vec_id % kc (ivfTrain's replayable
+      // seeding) — kc rows, the coarse quantizer; broadcast to every stage
+      val cc = e.withColumn("cell", col("vec_id") % kc)
+        .select(col("cell"), posexplode(col("emb")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cell"), expr("transform(pv, x -> x.v)").as("ccent"))
+        .localCheckpoint()
+      // assign each vector to its nearest cell, then take the residual
+      val assign = e.crossJoin(broadcast(cc))
+        .select(col("vec_id"), col("emb"), col("cell"),
+          round(sqd("emb", "ccent"), 6).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cell"))).getField("cell").as("cell"),
+          first(col("emb")).as("emb"))
+      val res = assign.join(broadcast(cc), "cell")
+        .select(col("vec_id"), col("cell"),
+          expr("zip_with(emb, ccent, (x, y) -> x - y)").as("res"))
+        .localCheckpoint() // consumed by the codebook build AND the encode
+      val sv = res.select(col("vec_id"), col("cell"),
+        posexplode(array((0 until M).map(m =>
+          slice(col("res"), m * sub + 1, sub)): _*)).as(Seq("m", "sv")))
+      // PQ codebook over residual subvectors, seeded code = vec_id % kpq
+      val cb = sv.withColumn("code", col("vec_id") % kpq)
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("code"), col("pos")).agg(avg(col("v")).as("cv"))
+        .groupBy(col("m"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pv"))
+        .select(col("m"), col("code"), expr("transform(pv, x -> x.cv)").as("centroid"))
+        .localCheckpoint()
+      val enc = sv.join(broadcast(cb), "m")
+        .select(col("vec_id"), col("cell"), col("m"), col("code"),
+          round(sqd("sv", "centroid"), 6).as("d"))
+        .groupBy(col("vec_id"), col("cell"), col("m"))
+        .agg(min(struct(col("d"), col("code"))).getField("code").as("code"))
+      // query side: probe the 2 nearest cells, LUT per (cell, m, code) from
+      // the query's residual wrt THAT cell's centroid
+      // top-2 cells as a TakeOrderedAndProject over the kc-row quantizer
+      // table (not a global window — the plan audit bans those outright)
+      val qcell = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
+        .crossJoin(broadcast(cc))
+        .select(col("cell"), col("ccent"), col("qemb"),
+          round(sqd("qemb", "ccent"), 6).as("d"))
+        .orderBy(col("d"), col("cell"))
+        .limit(2)
+      val lut = qcell
+        .select(col("cell"),
+          expr("zip_with(qemb, ccent, (x, y) -> x - y)").as("qres"))
+        .select(col("cell"), posexplode(array((0 until M).map(m =>
+          slice(col("qres"), m * sub + 1, sub)): _*)).as(Seq("m", "qsv")))
+        .join(broadcast(cb), "m")
+        .select(col("cell"), col("m"), col("code"),
+          floor(round(sqd("qsv", "centroid"), 6) * 1e6 + 0.5).cast("long").as("qd"))
+      // ADC over the probed cells only: inner join on (cell, m, code) prunes
+      // every unprobed cell before any arithmetic
+      val top = enc.filter(col("vec_id") =!= 0)
+        .join(broadcast(lut), Seq("cell", "m", "code"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("cell")).as("cell"),
+          round(sum(col("qd")) / 1e6, 6).as("adc_d"))
+        .orderBy(col("adc_d"), col("vec_id"))
+        .limit(10)
+      val qv = e.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+      top.join(e, "vec_id")
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("cell"), col("adc_d"),
+          round(sqd("emb", "qv"), 6).as("exact_d"))
+        .orderBy(col("adc_d"), col("vec_id"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      cci AS (
+        SELECT vec_id % 4 AS cell, CAST(i AS INTEGER) AS i,
+          avg(emb[CAST(i AS INTEGER)]) AS v
+        FROM ev CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+      cc AS (SELECT cell, list(v ORDER BY i) AS ccent FROM cci GROUP BY cell),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT ev.vec_id, cc.cell,
+            row_number() OVER (PARTITION BY ev.vec_id
+              ORDER BY round(list_distance(ev.emb, cc.ccent) ^ 2, 6), cc.cell) AS rn
+          FROM ev CROSS JOIN cc) WHERE rn = 1),
+      res AS (
+        SELECT a.vec_id, a.cell,
+          list_transform(range(1, 65),
+            i -> ev.emb[CAST(i AS INTEGER)] - c.ccent[CAST(i AS INTEGER)]) AS res
+        FROM assign a JOIN ev ON ev.vec_id = a.vec_id JOIN cc c ON c.cell = a.cell),
+      sv AS (
+        SELECT vec_id, cell, CAST(m AS INTEGER) AS m,
+          res[CAST(m AS INTEGER)*16+1 : CAST(m AS INTEGER)*16+16] AS sv
+        FROM res CROSS JOIN generate_series(0, 3) t(m)),
+      cbp AS (
+        SELECT m, vec_id % 8 AS code, CAST(i AS INTEGER) AS i,
+          avg(sv[CAST(i AS INTEGER)]) AS cv
+        FROM sv CROSS JOIN generate_series(1, 16) t(i) GROUP BY 1, 2, 3),
+      cb AS (SELECT m, code, list(cv ORDER BY i) AS centroid FROM cbp GROUP BY m, code),
+      enc AS (
+        SELECT vec_id, cell, m, code FROM (
+          SELECT s.vec_id, s.cell, s.m, c.code,
+            row_number() OVER (PARTITION BY s.vec_id, s.m
+              ORDER BY round(list_distance(s.sv, c.centroid) ^ 2, 6), c.code) AS rn
+          FROM sv s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+      qcell AS (
+        SELECT cell, ccent FROM (
+          SELECT cc.cell, cc.ccent,
+            row_number() OVER (
+              ORDER BY round(list_distance(q.emb, cc.ccent) ^ 2, 6), cc.cell) AS rk
+          FROM cc CROSS JOIN (SELECT emb FROM ev WHERE vec_id = 0) q) WHERE rk <= 2),
+      qres AS (
+        SELECT qc.cell,
+          list_transform(range(1, 65),
+            i -> q.emb[CAST(i AS INTEGER)] - qc.ccent[CAST(i AS INTEGER)]) AS res
+        FROM qcell qc CROSS JOIN (SELECT emb FROM ev WHERE vec_id = 0) q),
+      qsv AS (
+        SELECT cell, CAST(m AS INTEGER) AS m,
+          res[CAST(m AS INTEGER)*16+1 : CAST(m AS INTEGER)*16+16] AS sv
+        FROM qres CROSS JOIN generate_series(0, 3) t(m)),
+      lut AS (
+        SELECT s.cell, s.m, c.code,
+          CAST(floor(round(list_distance(s.sv, c.centroid) ^ 2, 6) * 1e6 + 0.5)
+            AS BIGINT) AS qd
+        FROM qsv s JOIN cb c ON s.m = c.m),
+      adc AS (
+        SELECT e.vec_id, any_value(e.cell) AS cell,
+          round(sum(l.qd) / 1e6, 6) AS adc_d
+        FROM enc e JOIN lut l ON e.cell = l.cell AND e.m = l.m AND e.code = l.code
+        WHERE e.vec_id <> 0 GROUP BY e.vec_id
+        ORDER BY adc_d, vec_id LIMIT 10)
+      SELECT a.vec_id, a.cell, a.adc_d,
+        round(list_distance(ev.emb, q.emb) ^ 2, 6) AS exact_d
+      FROM adc a
+      JOIN ev ON ev.vec_id = a.vec_id
+      CROSS JOIN (SELECT emb FROM ev WHERE vec_id = 0) q
+      ORDER BY a.adc_d, a.vec_id"""))
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
-      filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc)
+      filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
+      ivfPq)
 }

@@ -372,7 +372,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q15_top_supplier",  // 1-row broadcast max-revenue scalar
     "q22_global_sales",  // 1-row broadcast average-balance scalar
     "sim_ivf_train",     // k-row broadcast centroid table (k=4)
-    "sim_pq_adc"         // 1-row broadcast query vector over the 10 winners
+    "sim_pq_adc",        // 1-row broadcast query vector over the 10 winners
+    "sim_ivfpq"          // kc-row broadcast coarse-centroid table (kc=4)
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
