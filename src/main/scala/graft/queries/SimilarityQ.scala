@@ -591,84 +591,106 @@ object SimilarityQ {
     * and any probe miss. Same determinism rules as [[pqAdc]]: 6dp rounding
     * before every argmin, scaled-long ADC sums.
     */
+  private val IvfKc = 4; private val PqM = 4; private val PqSub = 16
+  private val PqK = 8
+
+  private def sqd(a: String, b: String) = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+
+  private def embTable(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+
+  /** Build the IVF-PQ index: (coarse centroids, PQ codebook, codes).
+    * Shared by [[ivfPq]] (inline) and [[ivfPqStored]] (persisted fixture).
+    */
+  private def ivfpqBuild(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val e = embTable(s, dir)
+    // coarse centroids, seeded cell = vec_id % kc (ivfTrain's replayable
+    // seeding) — kc rows, the coarse quantizer; broadcast to every stage
+    val cc = e.withColumn("cell", col("vec_id") % IvfKc)
+      .select(col("cell"), posexplode(col("emb")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .select(col("cell"), expr("transform(pv, x -> x.v)").as("ccent"))
+      .localCheckpoint()
+    // assign each vector to its nearest cell, then take the residual
+    val assign = e.crossJoin(broadcast(cc))
+      .select(col("vec_id"), col("emb"), col("cell"),
+        round(sqd("emb", "ccent"), 6).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cell"))).getField("cell").as("cell"),
+        first(col("emb")).as("emb"))
+    val res = assign.join(broadcast(cc), "cell")
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(emb, ccent, (x, y) -> x - y)").as("res"))
+      .localCheckpoint() // consumed by the codebook build AND the encode
+    val sv = res.select(col("vec_id"), col("cell"),
+      posexplode(array((0 until PqM).map(m =>
+        slice(col("res"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "sv")))
+    // PQ codebook over residual subvectors, seeded code = vec_id % kpq
+    val cb = sv.withColumn("code", col("vec_id") % PqK)
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("code"), col("pos")).agg(avg(col("v")).as("cv"))
+      .groupBy(col("m"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pv"))
+      .select(col("m"), col("code"), expr("transform(pv, x -> x.cv)").as("centroid"))
+      .localCheckpoint()
+    val enc = sv.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("cell"), col("m"), col("code"),
+        round(sqd("sv", "centroid"), 6).as("d"))
+      .groupBy(col("vec_id"), col("cell"), col("m"))
+      .agg(min(struct(col("d"), col("code"))).getField("code").as("code"))
+    (cc, cb, enc)
+  }
+
+  /** Probe side shared by the inline and stored variants: top-2 cells for
+    * the query vector, the per-cell scaled-long LUT, the ADC aggregate over
+    * `codes`, and the exact-distance readback for the 10 winners.
+    */
+  private def ivfpqProbe(
+      e: org.apache.spark.sql.DataFrame, cc: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame, codes: org.apache.spark.sql.DataFrame) = {
+    // top-2 cells as a TakeOrderedAndProject over the kc-row quantizer
+    // table (not a global window — the plan audit bans those outright)
+    val qcell = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
+      .crossJoin(broadcast(cc))
+      .select(col("cell"), col("ccent"), col("qemb"),
+        round(sqd("qemb", "ccent"), 6).as("d"))
+      .orderBy(col("d"), col("cell"))
+      .limit(2)
+    val lut = qcell
+      .select(col("cell"),
+        expr("zip_with(qemb, ccent, (x, y) -> x - y)").as("qres"))
+      .select(col("cell"), posexplode(array((0 until PqM).map(m =>
+        slice(col("qres"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "qsv")))
+      .join(broadcast(cb), "m")
+      .select(col("cell"), col("m"), col("code"),
+        floor(round(sqd("qsv", "centroid"), 6) * 1e6 + 0.5).cast("long").as("qd"))
+    // ADC over the probed cells only: inner join on (cell, m, code) prunes
+    // every unprobed cell before any arithmetic
+    val top = codes.filter(col("vec_id") =!= 0)
+      .join(broadcast(lut), Seq("cell", "m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("cell")).as("cell"),
+        round(sum(col("qd")) / 1e6, 6).as("adc_d"))
+      .orderBy(col("adc_d"), col("vec_id"))
+      .limit(10)
+    val qv = e.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+    top.join(e, "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("cell"), col("adc_d"),
+        round(sqd("emb", "qv"), 6).as("exact_d"))
+      .orderBy(col("adc_d"), col("vec_id"))
+  }
+
   val ivfPq = Declared(
     "sim_ivfpq",
     (s, dir) => {
-      val kc = 4; val M = 4; val sub = 16; val kpq = 8
-      def sqd(a: String, b: String) = expr(
-        s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-      // coarse centroids, seeded cell = vec_id % kc (ivfTrain's replayable
-      // seeding) — kc rows, the coarse quantizer; broadcast to every stage
-      val cc = e.withColumn("cell", col("vec_id") % kc)
-        .select(col("cell"), posexplode(col("emb")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-        .select(col("cell"), expr("transform(pv, x -> x.v)").as("ccent"))
-        .localCheckpoint()
-      // assign each vector to its nearest cell, then take the residual
-      val assign = e.crossJoin(broadcast(cc))
-        .select(col("vec_id"), col("emb"), col("cell"),
-          round(sqd("emb", "ccent"), 6).as("d"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d"), col("cell"))).getField("cell").as("cell"),
-          first(col("emb")).as("emb"))
-      val res = assign.join(broadcast(cc), "cell")
-        .select(col("vec_id"), col("cell"),
-          expr("zip_with(emb, ccent, (x, y) -> x - y)").as("res"))
-        .localCheckpoint() // consumed by the codebook build AND the encode
-      val sv = res.select(col("vec_id"), col("cell"),
-        posexplode(array((0 until M).map(m =>
-          slice(col("res"), m * sub + 1, sub)): _*)).as(Seq("m", "sv")))
-      // PQ codebook over residual subvectors, seeded code = vec_id % kpq
-      val cb = sv.withColumn("code", col("vec_id") % kpq)
-        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy(col("m"), col("code"), col("pos")).agg(avg(col("v")).as("cv"))
-        .groupBy(col("m"), col("code"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pv"))
-        .select(col("m"), col("code"), expr("transform(pv, x -> x.cv)").as("centroid"))
-        .localCheckpoint()
-      val enc = sv.join(broadcast(cb), "m")
-        .select(col("vec_id"), col("cell"), col("m"), col("code"),
-          round(sqd("sv", "centroid"), 6).as("d"))
-        .groupBy(col("vec_id"), col("cell"), col("m"))
-        .agg(min(struct(col("d"), col("code"))).getField("code").as("code"))
-      // query side: probe the 2 nearest cells, LUT per (cell, m, code) from
-      // the query's residual wrt THAT cell's centroid
-      // top-2 cells as a TakeOrderedAndProject over the kc-row quantizer
-      // table (not a global window — the plan audit bans those outright)
-      val qcell = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
-        .crossJoin(broadcast(cc))
-        .select(col("cell"), col("ccent"), col("qemb"),
-          round(sqd("qemb", "ccent"), 6).as("d"))
-        .orderBy(col("d"), col("cell"))
-        .limit(2)
-      val lut = qcell
-        .select(col("cell"),
-          expr("zip_with(qemb, ccent, (x, y) -> x - y)").as("qres"))
-        .select(col("cell"), posexplode(array((0 until M).map(m =>
-          slice(col("qres"), m * sub + 1, sub)): _*)).as(Seq("m", "qsv")))
-        .join(broadcast(cb), "m")
-        .select(col("cell"), col("m"), col("code"),
-          floor(round(sqd("qsv", "centroid"), 6) * 1e6 + 0.5).cast("long").as("qd"))
-      // ADC over the probed cells only: inner join on (cell, m, code) prunes
-      // every unprobed cell before any arithmetic
-      val top = enc.filter(col("vec_id") =!= 0)
-        .join(broadcast(lut), Seq("cell", "m", "code"))
-        .groupBy(col("vec_id"))
-        .agg(first(col("cell")).as("cell"),
-          round(sum(col("qd")) / 1e6, 6).as("adc_d"))
-        .orderBy(col("adc_d"), col("vec_id"))
-        .limit(10)
-      val qv = e.filter(col("vec_id") === 0).select(col("emb").as("qv"))
-      top.join(e, "vec_id")
-        .crossJoin(broadcast(qv))
-        .select(col("vec_id"), col("cell"), col("adc_d"),
-          round(sqd("emb", "qv"), 6).as("exact_d"))
-        .orderBy(col("adc_d"), col("vec_id"))
+      val (cc, cb, enc) = ivfpqBuild(s, dir)
+      ivfpqProbe(embTable(s, dir), cc, cb, enc)
     },
     Some("""WITH ev AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -736,8 +758,67 @@ object SimilarityQ {
       CROSS JOIN (SELECT emb FROM ev WHERE vec_id = 0) q
       ORDER BY a.adc_d, a.vec_id"""))
 
+  // persisted IVF-PQ index (coarse/, codebook/, codes/ partitioned by cell),
+  // written ONCE per (fixture dir) — the "codes are computed once and
+  // stored" deployment the inline variant's doc promises. Marker alone not
+  // trusted: all three components re-checked on disk (Coverage.
+  // partitionedEvents discipline).
+  private val ivfpqIndexFor = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def ivfpqIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = Tables.scratch("ivfpq_index")
+    Tables.cachedFixture(ivfpqIndexFor, dir)(
+      new java.io.File(s"$out/codes", "cell=0").isDirectory &&
+        new java.io.File(out, "coarse").isDirectory &&
+        new java.io.File(out, "codebook").isDirectory) {
+      val (cc, cb, enc) = ivfpqBuild(s, dir)
+      cc.write.mode("overwrite").parquet(s"$out/coarse")
+      cb.write.mode("overwrite").parquet(s"$out/codebook")
+      enc.write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+    }
+    out
+  }
+
+  /** Bench warmup hook: pre-write the persisted index. */
+  private[graft] def warmFixtures(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    ivfpqIndexDir(s, dir); ()
+  }
+
+  /** IVF-PQ probe against the PERSISTED index: everything the query touches
+    * is the stored index — the 4-row coarse quantizer, the 32-row codebook,
+    * and ONLY the probed cell partitions of the codes table (plus the 10-row
+    * exact readback). The two probed cell ids are collected driver-side
+    * first: the coarse quantizer is index METADATA every ANN client holds in
+    * memory (2 longs, not data), and turning them into an `isin` filter
+    * makes the cell pruning STATIC — the codes scan lists 2 of kc partition
+    * directories and never opens the rest, which at a billion vectors is
+    * the difference between reading 3% and 100% of the index
+    * (StoredIndexPruningSpec pins the PartitionFilters). Result — and
+    * oracle — identical to [[ivfPq]] by construction.
+    */
+  val ivfPqStored = Declared(
+    "sim_ivfpq_stored",
+    (s, dir) => {
+      val idx = ivfpqIndexDir(s, dir)
+      val cc = s.read.parquet(s"$idx/coarse")
+      val cb = s.read.parquet(s"$idx/codebook")
+      val e = embTable(s, dir)
+      val probed = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
+        .crossJoin(broadcast(cc))
+        .select(col("cell"), round(sqd("qemb", "ccent"), 6).as("d"))
+        .orderBy(col("d"), col("cell")).limit(2)
+        .collect().map(_.getLong(0))
+      val codes = s.read.parquet(s"$idx/codes")
+        .filter(col("cell").isin(probed.map(java.lang.Long.valueOf): _*))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("m"), col("code"))
+      ivfpqProbe(e, cc, cb, codes)
+    },
+    ivfPq.oracle)
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
-      ivfPq)
+      ivfPq, ivfPqStored)
 }

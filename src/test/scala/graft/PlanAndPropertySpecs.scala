@@ -373,7 +373,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q22_global_sales",  // 1-row broadcast average-balance scalar
     "sim_ivf_train",     // k-row broadcast centroid table (k=4)
     "sim_pq_adc",        // 1-row broadcast query vector over the 10 winners
-    "sim_ivfpq"          // kc-row broadcast coarse-centroid table (kc=4)
+    "sim_ivfpq",         // kc-row broadcast coarse-centroid table (kc=4)
+    "sim_ivfpq_stored"   // same probe shapes over the persisted index
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
