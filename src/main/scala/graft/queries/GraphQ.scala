@@ -45,6 +45,10 @@ object GraphQ {
       val edges = undirected.join(deg, "src").localCheckpoint()
       var rank = edges.select(col("src").as("node")).distinct()
         .withColumn("rank", lit(1000000000L))
+      // bounded 3-round loop: lineage stays 3 joins deep, so the rounds run
+      // as ONE Spark job over the checkpointed edge list — no per-round
+      // eager materialization. An unbounded/convergence-driven loop would
+      // checkpoint each round instead (DedupClusters' cadence).
       for (_ <- 1 to 3) {
         rank = edges.join(rank, edges("src") === rank("node"))
           .select(col("dst"), expr("rank div outdeg").as("contrib"))
@@ -52,7 +56,6 @@ object GraphQ {
           .agg(sum(col("contrib")).as("cb"))
           .select(col("dst").as("node"),
             expr("150000000L + (85L * cb) div 100L").as("rank"))
-          .localCheckpoint() // each round feeds the next; keep lineage flat
       }
       rank
         .select(col("node"), col("rank"),
