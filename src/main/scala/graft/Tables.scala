@@ -26,16 +26,32 @@ object Tables {
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-      // as a timestamp. Read it as raw nanos and truncate to a µs timestamp
-      // (event queries stay at ≥ms granularity for oracle parity).
+      // nanos-era fixtures store ts as parquet TIMESTAMP(NANOS), which
+      // Spark 4 refuses to read as a timestamp — the legacy conf surfaces it
+      // as a raw long instead; µs-era fixtures ignore the conf entirely.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          // NTZ to match the tz-naive convention of every fixture timestamp
-          // (and DuckDB's TIMESTAMP) — the session is pinned to UTC anyway
-          "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      // NTZ to match the tz-naive convention of every fixture timestamp
+      // (and DuckDB's TIMESTAMP) — the session is pinned to UTC anyway
+      raw.withColumn("ts", eventTsCol(raw.schema, "timestamp_ntz"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Normalization expression for the events `ts` column, adaptive to the
+    * fixture's on-disk representation: int64 NANOS (early-round testdata,
+    * surfaced as a long by the legacy conf — truncate to µs) vs a native µs
+    * TIMESTAMP (current testdata — a plain cast, a no-op when the type
+    * already matches). Event queries stay at ≥ms granularity either way.
+    */
+  def eventTsCol(
+      schema: org.apache.spark.sql.types.StructType,
+      target: String): org.apache.spark.sql.Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr(
+          s"CAST(timestamp_micros(ts DIV 1000) AS $target)")
+      case _ =>
+        org.apache.spark.sql.functions.col("ts").cast(target)
+    }
 
   /** Register every fixture table as a temp view (for spark.sql queries). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -647,7 +647,218 @@ object TpchQ {
         AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""))
 
+  // ——— the four partsupp queries (q2/q11/q16/q20), on a DERIVED partsupp ———
+  // The fixture has no partsupp table, but lineitem carries (l_partkey,
+  // l_suppkey): folding it yields the part-supplier relationship plus
+  // shipped-quantity/unit-price proxies for ps_availqty/ps_supplycost.
+  // One scan + one shuffle on the pair key builds the derived table inline;
+  // at 100 TB that fold is exactly the partial-aggregate shape that scales
+  // (and a production deployment would materialize it once, bucketed by
+  // partkey). Semantics adapted where a proxy stands in are documented per
+  // query; the JOIN/AGG/subquery plan shapes are the reference suite's.
+
+  /** TPC-H q2 (adapted): minimum-cost supplier — for each qualifying part,
+    * the European supplier(s) quoting the minimum cost. ps_supplycost is the
+    * derived min unit price (l_extendedprice / l_quantity) per (part,
+    * supplier); p_size ≤ 15 + p_type = 'LARGE' stand in for the original
+    * size/type predicates (the fixture p_type is a single word, no '%BRASS'
+    * suffix; no p_mfgr, so p_brand is projected instead). The correlated
+    * min-cost subquery is planned Spark-first as a window min over
+    * p_partkey on the eligible set — the eligible (part, supplier, cost)
+    * rows are computed ONCE and the per-part floor derived in place, where
+    * the SQL form re-evaluates the whole region join inside the subquery.
+    * nation/region broadcast; supplier and the filtered part side are left
+    * to AQE (broadcast at fixture scale, shuffle joins at 100 TB).
+    */
+  val q2 = Declared(
+    "q2_min_cost_supplier",
+    (s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val su = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      val p = t(s, dir, "part")
+        .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+      val elig = ps
+        .join(su, ps("ps_suppkey") === su("s_suppkey"))
+        .join(p, ps("ps_partkey") === p("p_partkey"))
+      val perPart = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+      elig
+        .withColumn("mn", min(col("ps_supplycost")).over(perPart))
+        .filter(col("ps_supplycost") === col("mn"))
+        .select(
+          col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          round(col("ps_supplycost"), 2).as("min_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+    Some("""WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost
+        FROM lineitem GROUP BY 1, 2),
+      elig AS (
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+        FROM part, supplier, ps, nation, region
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_size <= 15 AND p_type = 'LARGE'
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE')
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+             round(ps_supplycost, 2) AS min_cost
+      FROM elig
+      WHERE ps_supplycost = (SELECT min(e2.ps_supplycost) FROM elig e2
+                             WHERE e2.p_partkey = elig.p_partkey)
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""))
+
+  /** TPC-H q11 (adapted): important stock — parts whose value held by one
+    * nation's suppliers exceeds a fraction of that nation's total. Value is
+    * the derived cost × shipped-quantity proxy, computed in integer CENTS
+    * (floor of the unit price × 100) so every sum is exact long arithmetic —
+    * the original's double-sum HAVING threshold would be shuffle-order
+    * nondeterministic across engines at the boundary. The scalar national
+    * total broadcasts back over the per-part rollup (the q15 pattern), and
+    * the fraction is 1/700 (scaled to fixture selectivity; TPC-H's
+    * 0.0001/sf plays the same role).
+    */
+  val q11 = Declared(
+    "q11_important_stock",
+    (s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(
+          floor(min(col("l_extendedprice") / col("l_quantity")) * 100)
+            .cast("long").as("cost_cents"),
+          sum(col("l_quantity")).cast("long").as("availqty"))
+      val n = t(s, dir, "nation").filter(col("n_name") === "NATION_7")
+      val gsup = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === n("n_nationkey"))
+        .select(col("s_suppkey"))
+      val natps = ps
+        .join(gsup, ps("ps_suppkey") === gsup("s_suppkey"))
+        .select(col("ps_partkey"), (col("cost_cents") * col("availqty")).as("val_cents"))
+      val total = natps.agg(sum(col("val_cents")).as("total"))
+      natps
+        .groupBy(col("ps_partkey"))
+        .agg(sum(col("val_cents")).as("v"))
+        .crossJoin(broadcast(total))
+        .filter(col("v") * 700 > col("total"))
+        .select(col("ps_partkey"), round(col("v") / 100.0, 2).as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    },
+    Some("""WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+          CAST(floor(min(l_extendedprice / l_quantity) * 100) AS BIGINT) AS cost_cents,
+          CAST(sum(l_quantity) AS BIGINT) AS availqty
+        FROM lineitem GROUP BY 1, 2),
+      natps AS (
+        SELECT ps_partkey, cost_cents * availqty AS val_cents
+        FROM ps, supplier, nation
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_7')
+      SELECT ps_partkey, round(sum(val_cents) / 100.0, 2) AS value
+      FROM natps
+      GROUP BY ps_partkey
+      HAVING sum(val_cents) * 700 > (SELECT sum(val_cents) FROM natps)
+      ORDER BY value DESC, ps_partkey"""))
+
+  /** TPC-H q16 (adapted): parts/supplier relationship — how many distinct
+    * suppliers can furnish parts of each qualifying (brand, type, size),
+    * excluding flagged suppliers. The relationship IS the derived distinct
+    * (l_partkey, l_suppkey) pair set; "customer complaints" (an o_comment
+    * LIKE with no fixture column) becomes the equivalent exclusion
+    * predicate s_acctbal < 0, applied as a broadcast LEFT ANTI join BEFORE
+    * the part join so excluded suppliers never reach the wide side. The
+    * final count(DISTINCT ps_suppkey) groups by part attributes — the
+    * distinct-aggregate-after-anti-join shape nothing else in the suite
+    * exercises.
+    */
+  val q16 = Declared(
+    "q16_parts_suppliers",
+    (s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+      val flagged = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+      val p = t(s, dir, "part").filter(
+        col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      pairs
+        .join(broadcast(flagged), pairs("ps_suppkey") === flagged("s_suppkey"), "left_anti")
+        .join(p, col("ps_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    Some("""WITH ps AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem)
+      SELECT p_brand, p_type, p_size,
+             CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+      FROM ps, part
+      WHERE p_partkey = ps_partkey
+        AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
+  /** TPC-H q20 (adapted): potential part promotion — named-nation suppliers
+    * holding a concentrated recent position in selected parts. The original
+    * compares ps_availqty against half the quantity shipped in one year;
+    * with availqty itself derived from shipments, the equivalent
+    * concentration predicate is "1997 shipments exceed half the pair's
+    * all-time shipments". Both sums come from ONE grouped pass over
+    * lineitem (a conditional sum inside the same aggregate — never two fact
+    * scans), in exact long arithmetic. The part-name filter ('red%' — the
+    * fixture's color vocabulary has no 'green') and the supplier lift are
+    * LEFT SEMI joins, so nothing fans out.
+    */
+  val q20 = Declared(
+    "q20_promotion_suppliers",
+    (s, dir) => {
+      val y97 = col("l_shipdate") >= expr("timestamp'1997-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("timestamp'1998-01-01 00:00:00'")
+      val shipped = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("qty_all"),
+          sum(when(y97, col("l_quantity")).otherwise(0.0)).cast("long").as("qty_97"))
+      val red = t(s, dir, "part")
+        .filter(col("p_name").like("red%")).select(col("p_partkey"))
+      val cand = shipped
+        .filter(col("qty_97") * 2 > col("qty_all"))
+        .join(broadcast(red), col("l_partkey") === red("p_partkey"), "left_semi")
+        .select(col("l_suppkey")).distinct()
+      val n = t(s, dir, "nation").filter(col("n_name") === "NATION_5")
+      t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === n("n_nationkey"))
+        .join(cand, col("s_suppkey") === cand("l_suppkey"), "left_semi")
+        .select(col("s_name"))
+        .orderBy(col("s_name"))
+    },
+    Some("""WITH shipped AS (
+        SELECT l_partkey, l_suppkey,
+          CAST(sum(l_quantity) AS BIGINT) AS qty_all,
+          CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                         AND l_shipdate < TIMESTAMP '1998-01-01'
+                   THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_97
+        FROM lineitem GROUP BY 1, 2)
+      SELECT s_name FROM supplier, nation
+      WHERE s_nationkey = n_nationkey AND n_name = 'NATION_5'
+        AND s_suppkey IN (
+          SELECT l_suppkey FROM shipped
+          WHERE 2 * qty_97 > qty_all
+            AND l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%'))
+      ORDER BY s_name"""))
+
   val all: Seq[Declared] =
-    Seq(q3, q4, q5, q6, q7, q8, q9, q10, q12, q13, q14, q15, q17, q18, q19,
-      q21, q22)
+    Seq(q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
+      q17, q18, q19, q20, q21, q22)
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
 
 /** Structured Streaming operators over the events table.
   *
@@ -86,7 +87,7 @@ object StreamingOps {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      .withColumn("ts", Tables.eventTsCol(rawSchema, "timestamp_ntz"))
 
     val agg = stream
       .groupBy(window(col("ts"), "1 hour").getField("start").as("h"), col("event_type"))
@@ -119,7 +120,7 @@ object StreamingOps {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      .withColumn("ts", Tables.eventTsCol(rawSchema, "timestamp_ntz"))
 
     val agg = stream
       .groupBy(
@@ -159,7 +160,7 @@ object StreamingOps {
       .parquet(sfDir)
       // watermarks require TIMESTAMP (LTZ); session TZ is UTC so the window
       // starts cast to NTZ below carry identical values to the batch oracle
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", Tables.eventTsCol(rawSchema, "timestamp"))
       .withWatermark("ts", "10 minutes")
 
     // group on the window STRUCT itself — projecting/casting window.start
@@ -203,7 +204,7 @@ object StreamingOps {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", Tables.eventTsCol(rawSchema, "timestamp"))
       // dedup key: the payload identity (same user+type+props = duplicate)
       .withColumn("content_key",
         md5(concat_ws("|", col("user_id"), col("event_type"), col("props"))))
@@ -288,7 +289,7 @@ object StreamingOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       // watermarks need TIMESTAMP (LTZ); outputs are cast back to NTZ below
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", Tables.eventTsCol(rawSchema, "timestamp"))
       .filter(col("event_type") === tpe)
       .select(col("user_id").as(uid), col("ts").as(tsName))
       .withWatermark(tsName, "10 minutes")
@@ -433,7 +434,7 @@ object StreamingOps {
       .parquet(sfDir)
       .select(
         col("user_id"),
-        expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        Tables.eventTsCol(rawSchema, "timestamp").as("ts"),
         col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
     val name = "graft_stream_session_sink"
@@ -472,7 +473,7 @@ object StreamingOps {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      .withColumn("ts", Tables.eventTsCol(rawSchema, "timestamp_ntz"))
     val agg = stream
       .groupBy(window(col("ts"), "1 day").getField("start").as("d"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -562,7 +563,7 @@ object StreamingOps {
       .parquet(sfDir)
       .select(
         col("user_id"), col("event_id"), col("event_type"),
-        expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)").as("ts"))
+        Tables.eventTsCol(rawSchema, "timestamp_ntz").as("ts"))
     upsertReset()
     runTuned(spark, scanParts) {
       val q = stream.writeStream
