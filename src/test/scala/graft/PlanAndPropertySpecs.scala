@@ -162,6 +162,46 @@ class PlanSpec extends AnyFunSuite {
       "top-100 planned as a full sort")
   }
 
+  private def lineitemScanCount(name: String): Int = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+    df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.count(_.metadata.getOrElse("Location", "").contains("lineitem"))
+  }
+
+  test("derived-partsupp queries fold lineitem exactly once") {
+    // q2/q16/q20 derive the missing partsupp table from lineitem's
+    // (l_partkey, l_suppkey) pairs — each must do it in ONE grouped scan
+    // (q20's recent-vs-alltime comparison is a conditional sum INSIDE that
+    // one aggregate, never a second pass over the fact table)
+    for (q <- Seq("q2_min_cost_supplier", "q16_parts_suppliers",
+        "q20_promotion_suppliers")) {
+      val n = lineitemScanCount(q)
+      assert(n == 1, s"$q scans lineitem $n times; the derived fold needs ONE")
+    }
+  }
+
+  test("q2 top-100 is TakeOrderedAndProject; per-part min is a window, not a rejoin") {
+    val p = plan("q2_min_cost_supplier")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 planned as a full sort")
+    assert(p.contains("Window"), "per-part min-cost floor must be a window min")
+  }
+
+  test("q11 scalar national total reuses the fact fold's exchange") {
+    // the HAVING threshold needs the national total AND the per-part
+    // rollup, both over the same derived-partsupp fold; AQE must satisfy
+    // the scalar branch from the SAME shuffle (ReusedExchange), not a
+    // second lineitem scan
+    // sf0.01, not the usual sf0.001: at the smaller sf the threshold
+    // filter yields zero rows and AQE's empty-relation propagation elides
+    // the whole plan (nothing left to reuse)
+    val df = SparkEntry.queries("q11_important_stock")(spark, "/root/testdata/sf0.01")
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      s"no ReusedExchange — the scalar-total branch re-folds lineitem:\n$p")
+  }
+
   test("knn_join_brute per-query top-k plans WindowGroupLimit") {
     val p = plan("knn_join_brute")
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
