@@ -197,6 +197,59 @@ object Coverage {
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** Dynamic partition pruning: the partition filter is not known until a
+    * DIMENSION is filtered at runtime — the classic star-schema shape where
+    * the fact table is partitioned on the join key. The dim (5 rows here;
+    * thousands at scale) filters to the heavy event classes, broadcasts,
+    * and the fact scan prunes to exactly those partition directories via a
+    * dynamicpruningexpression reusing the broadcast — a static WHERE can't
+    * express this because the surviving keys are data, not literals. At
+    * 100 TB this is the difference between scanning 2 and 5000 partitions
+    * of a date/type-partitioned fact. DppSpec pins the pruning expression
+    * in the scan's PartitionFilters.
+    */
+  /** The event-class dim must be a SCANNED table, not a LocalRelation: the
+    * optimizer folds a filter over an in-memory relation into the relation
+    * itself, leaving no selective predicate for the pruning rule to find —
+    * exactly mirroring production, where the dim lives on disk. Written
+    * once per JVM (5 rows).
+    */
+  private val dimWritten = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def eventClassDim(s: org.apache.spark.sql.SparkSession): String = {
+    import s.implicits._
+    val out = Tables.scratch("event_class_dim")
+    Tables.cachedFixture(dimWritten, "static")(
+      new java.io.File(out, "_SUCCESS").isFile) {
+      Seq(("click", 1), ("error", 4), ("purchase", 10), ("signup", 2),
+        ("view", 1)).toDF("event_type", "weight")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  val dppPrune = Declared(
+    "q_dpp_prune",
+    (s, dir) => {
+      val fact = s.read.parquet(partitionedEvents(s, dir))
+      val dim = s.read.parquet(eventClassDim(s))
+        .filter(col("weight") >= 4)
+      fact.join(broadcast(dim), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value") * col("weight")), 2).as("weighted"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH dim(event_type, weight) AS (
+        VALUES ('click', 1), ('error', 4), ('purchase', 10), ('signup', 2),
+               ('view', 1))
+      SELECT e.event_type, count(*) AS n,
+             round(sum(value * weight), 2) AS weighted
+      FROM events e JOIN dim d ON e.event_type = d.event_type
+      WHERE weight >= 4
+      GROUP BY e.event_type ORDER BY e.event_type"""))
+
   /** Schema evolution on read: two parquet partitions written with
     * DIFFERENT (overlapping) schemas — an old batch missing columns a newer
     * batch added — unified by `mergeSchema`; old rows surface nulls for the
@@ -292,6 +345,6 @@ object Coverage {
 
   val all: Seq[Declared] = Seq(
     offset, nullsOrder, nullHandling, tryCast, predicates, unpivot,
-    nullSafeJoin, partitionedScan, schemaEvolution, queryRunnerQ, saltedAgg,
-    metadataCols)
+    nullSafeJoin, partitionedScan, dppPrune, schemaEvolution, queryRunnerQ,
+    saltedAgg, metadataCols)
 }

@@ -481,6 +481,11 @@ object TpchQ {
       // fold, and raw double sums can differ in the last bit across plan
       // branches (shuffle-merge order) — rounding first makes the equality
       // stable, and it is the precision the output contract states anyway
+      // localCheckpoint: rev feeds BOTH the scalar max and the winner join,
+      // and the two consumers' exchanges don't canonicalize equal (the max
+      // branch normalizes the float key), so without it the quarter's
+      // lineitem scan + fold runs twice — measured in the executed plan.
+      // The materialized set is one row per supplier, negligible at any sf.
       val rev = t(s, dir, "lineitem")
         .filter(
           col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
@@ -488,6 +493,7 @@ object TpchQ {
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("total_revenue"))
+        .localCheckpoint()
       val mx = rev.agg(max(col("total_revenue")).as("mx"))
       val top = rev.join(broadcast(mx), rev("total_revenue") === mx("mx"))
       val su = t(s, dir, "supplier")

@@ -202,6 +202,22 @@ class PlanSpec extends AnyFunSuite {
       s"no ReusedExchange — the scalar-total branch re-folds lineitem:\n$p")
   }
 
+  test("q15 folds the quarter's lineitem once — the final plan re-reads the rollup") {
+    // rev feeds both the scalar max and the winner join; the checkpointed
+    // per-supplier rollup means the fact scan ran exactly once, in the
+    // checkpoint job — the final plan must contain NO lineitem scan at all
+    val n = lineitemScanCount("q15_top_supplier")
+    assert(n == 0, s"q15 final plan scans lineitem $n times; rollup not reused")
+  }
+
+  test("q_dpp_prune: fact partitions pruned by a dynamic pruning subquery") {
+    // the surviving event classes are DATA (a filtered dim), not literals —
+    // the partitioned fact scan must carry a dynamicpruning expression that
+    // reuses the dim broadcast, or the scan reads all partitions at 100 TB
+    val p = plan("q_dpp_prune")
+    assert(p.contains("dynamicpruning"), s"no dynamic partition pruning in:\n$p")
+  }
+
   test("knn_join_brute per-query top-k plans WindowGroupLimit") {
     val p = plan("knn_join_brute")
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
