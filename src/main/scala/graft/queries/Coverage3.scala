@@ -138,6 +138,53 @@ object Coverage3 {
     * on top, the dataflow is identical. Changeset here: +10% price on every
     * 100th order, plus brand-new synthetic orders for every 1000th key.
     */
+  /** SCD type-2 dimension build — the warehouse-history primitive
+    * [[mergeUpsert]]'s current-state merge doesn't cover: instead of
+    * overwriting, every attribute CHANGE opens a new version row with a
+    * validity interval, so any past state remains queryable ("what was this
+    * customer's priority tier on date X"). Source: each customer's order
+    * stream, tracked attribute = o_orderpriority. Change points are rows
+    * whose attribute differs from the previous order (lag); each gets
+    * valid_from = its order date, valid_to = the NEXT change's valid_from
+    * (lead), open interval ⇒ current version. Two windows over ONE
+    * o_custkey shuffle — state per partition is one customer's history, so
+    * the build scales by customer count, not history length × customers.
+    * Deterministic: same-date ties order by o_orderkey on both engines.
+    */
+  val scd2Build = Declared(
+    "q_scd2_build",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority").as("tier"))
+        .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+        .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+        .withColumn("valid_from", col("o_orderdate"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .select(
+          col("o_custkey"), col("tier"),
+          col("valid_from").cast("timestamp_ntz").as("valid_from"),
+          col("valid_to").cast("timestamp_ntz").as("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("tier"))
+    },
+    Some("""WITH src AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority AS tier,
+          lag(o_orderpriority) OVER w AS prev_tier
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      changes AS (
+        SELECT o_custkey, o_orderkey, tier, o_orderdate AS valid_from
+        FROM src WHERE prev_tier IS NULL OR tier <> prev_tier)
+      SELECT o_custkey, tier, valid_from,
+        lead(valid_from) OVER w AS valid_to,
+        (lead(valid_from) OVER w IS NULL) AS is_current
+      FROM changes
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)
+      ORDER BY o_custkey, valid_from, tier"""))
+
   val mergeUpsert = Declared(
     "q_merge_upsert",
     (s, dir) => {
@@ -321,6 +368,6 @@ object Coverage3 {
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Declared] = Seq(
-    notInNulls, embedQuantize, simMips, zorderLayout, mergeUpsert,
+    notInNulls, embedQuantize, simMips, zorderLayout, scd2Build, mergeUpsert,
     compactFiles, describeOp, eventsFunnel, dynamicOverwrite)
 }

@@ -742,8 +742,112 @@ object DedupQ {
         CAST(cnt - 1 AS BIGINT) AS n_dups
       FROM ranked WHERE rn = 1 ORDER BY canonical"""))
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * k-means blocking — cluster the embeddings, then call two vectors in
+    * the SAME cluster duplicates when their cosine exceeds a threshold,
+    * keeping one representative per duplicate neighborhood. The cluster is
+    * the candidate-blocking key (the paper's own scaling argument: pairwise
+    * work is C(cluster,2), never C(n,2)), which is what separates this from
+    * [[embedCosine]]'s sign-LSH blocking: k-means cells adapt to the data's
+    * density instead of random hyperplanes.
+    *
+    * Shapes at 100 TB: centroids are seeded deterministically (vec_id mod
+    * k, averaged — the replayable seeding sim_ivf_train uses) and
+    * broadcast; assignment is a map-side argmin folded in one hash
+    * aggregate; the within-cluster pair join routes through the shared
+    * skew-salted [[graft.operators.BucketJoin]] so a hot cell cannot
+    * single-task the stage; k grows with n to hold cluster sizes constant.
+    * Deviations, both documented: the keeper is the LOWEST vec_id of a
+    * duplicate neighborhood (the paper keeps the member farthest from the
+    * centroid — id order is engine-replayable, the tie-broken float order
+    * is not), and the threshold is 0.40 because the synthetic fixture's
+    * cosine mass tops out at 0.51 (the paper's ~0.95 presumes real encoder
+    * embeddings; the threshold plays the same role against this
+    * distribution). Distances round to 6dp before the argmin so the
+    * assignment never hinges on 1e-15 float-order noise.
+    */
+  val semantic = Declared(
+    "dedup_semantic",
+    (s, dir) => {
+      val k = 8
+      val tau = 0.40
+      val e = t(s, dir, "embeddings")
+        .select(
+          col("vec_id"), col("embedding"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      // seed centroids: mean of each (vec_id mod k) cell, elementwise
+      val c0 = e.withColumn("cluster", col("vec_id") % k)
+        .select(col("cluster"), posexplode(col("emb")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cluster").as("c_id"), expr("transform(pv, x -> x.v)").as("centroid"))
+      val assigned = e.crossJoin(broadcast(c0))
+        .select(
+          col("vec_id"), col("embedding"), col("c_id"),
+          round(expr(
+            "aggregate(zip_with(emb, centroid, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
+          ), 6).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(
+          min(struct(col("d"), col("c_id"))).getField("c_id").as("cluster"),
+          first(col("embedding")).as("embedding"))
+        // feeds the pair join twice (both sides) plus the cluster summary —
+        // materialize once, like every multi-consumer assignment here
+        .localCheckpoint()
+      val cand = graft.operators.BucketJoin.saltedCandidatePairs(
+        assigned.select(col("vec_id"), col("cluster")), "vec_id", Seq("cluster"))
+      val dropped = cand
+        .join(assigned.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+        .join(assigned.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
+        .filter(round(Similarity.cosine(col("e1"), col("e2")), 6) >= tau)
+        .select(col("id2")).distinct() // greedy: a smaller-id neighbor exists
+      val drops = dropped
+        .join(assigned, dropped("id2") === assigned("vec_id"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_dropped"), sum(col("id2")).as("drop_id_sum"))
+      assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .join(drops, Seq("cluster"), "left")
+        .select(
+          col("cluster"), col("n"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          coalesce(col("drop_id_sum"), lit(0L)).as("drop_id_sum"))
+        .orderBy(col("cluster"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings),
+      init AS (
+        SELECT vec_id % 8 AS cluster, CAST(i AS INTEGER) AS i,
+               avg(emb[CAST(i AS INTEGER)]) AS v
+        FROM ev CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+      c0 AS (SELECT cluster, list(v ORDER BY i) AS centroid FROM init GROUP BY cluster),
+      scored AS (
+        SELECT ev.vec_id, ev.emb, c0.cluster,
+          round(list_distance(ev.emb, c0.centroid) ^ 2, 6) AS d
+        FROM ev CROSS JOIN c0),
+      assign AS (
+        SELECT vec_id, emb, cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+          FROM scored) WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id AS id2
+        FROM assign a JOIN assign b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.40),
+      drops AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_dropped,
+               CAST(sum(id2) AS BIGINT) AS drop_id_sum
+        FROM dropped JOIN assign ON id2 = vec_id GROUP BY cluster)
+      SELECT a.cluster, CAST(count(*) AS BIGINT) AS n,
+        coalesce(any_value(d.n_dropped), 0) AS n_dropped,
+        coalesce(any_value(d.drop_id_sum), 0) AS drop_id_sum
+      FROM assign a LEFT JOIN drops d ON a.cluster = d.cluster
+      GROUP BY a.cluster ORDER BY a.cluster"""))
+
   val all: Seq[Declared] = Seq(
     exact, exactRows, ngramJaccard, containment, containmentAsym, clusters,
     incremental, minhash, simhash, simhashBuckets, embedCosine, temporal,
-    winnow, minhashAccuracy, urlDedup)
+    winnow, minhashAccuracy, urlDedup, semantic)
 }

@@ -87,5 +87,88 @@ object GraphQ {
         CASE WHEN node >= 100000 THEN 'supplier' ELSE 'customer' END AS kind
       FROM r3 ORDER BY rank DESC, node LIMIT 20"""))
 
-  val all: Seq[Declared] = Seq(pagerank)
+  /** Triangle counting over the part co-purchase graph (parts are linked
+    * when ≥2 distinct orders contain both — the HAVING both sparsifies the
+    * graph and de-noises one-off baskets). Degree-oriented compact-forward
+    * counting: every undirected edge is oriented from its lower-(degree,id)
+    * endpoint to the higher one, wedges are built only among a node's
+    * out-neighbors, and a wedge closes iff its (higher, highest) endpoints
+    * are themselves an oriented edge. Orienting by DEGREE bounds total
+    * wedge work at O(m^1.5) regardless of hubs — orienting by id alone
+    * would let one popular part generate deg² wedges — and every triangle
+    * is counted exactly once (its endpoints appear in one canonical order).
+    *
+    * Shapes: distinct-items fold, within-order pair fan-out keyed by
+    * orderkey (bounded by basket size, not corpus), one degree join, wedge
+    * self-join on src, closing equi-join on the wedge endpoints — all
+    * shuffles on keys. The (degree, id) order is packed into one long
+    * (deg·1e7 + id; id < 1e7 by fixture construction) so both engines
+    * compare a single integer. The edge list is checkpointed once and
+    * consumed three times (two wedge sides + the closing probe).
+    */
+  val triangles = Declared(
+    "graph_triangles",
+    (s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e0 = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("p1"), col("p2"))
+        .localCheckpoint() // feeds the degree fold AND the keyed orientation
+      val deg = e0.select(col("p1").as("v"))
+        .union(e0.select(col("p2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val ed = e0
+        .join(deg.select(col("v").as("p1"), col("d").as("d1")), "p1")
+        .join(deg.select(col("v").as("p2"), col("d").as("d2")), "p2")
+        .select(
+          (col("d1") * 10000000L + col("p1")).as("k1"),
+          (col("d2") * 10000000L + col("p2")).as("k2"),
+          col("p1"), col("p2"))
+        .select(
+          when(col("k1") < col("k2"), col("p1")).otherwise(col("p2")).as("src"),
+          greatest(col("k1"), col("k2")).as("dstkey"))
+        .withColumn("dst", col("dstkey") % 10000000L)
+        .localCheckpoint() // consumed three times below
+      val wedges = ed.select(col("src"), col("dstkey").as("ka"), col("dst").as("a"))
+        .join(ed.select(col("src"), col("dstkey").as("kb"), col("dst").as("b")), "src")
+        .filter(col("ka") < col("kb"))
+        .select(col("a"), col("b"))
+      val nTri = wedges
+        .join(ed.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(nTri)
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT p1 AS v FROM e0 UNION ALL SELECT p2 FROM e0) GROUP BY v),
+      ed AS (
+        SELECT CASE WHEN d1.d * 10000000 + p1 < d2.d * 10000000 + p2
+                    THEN p1 ELSE p2 END AS src,
+               greatest(d1.d * 10000000 + p1, d2.d * 10000000 + p2) AS dstkey
+        FROM e0 JOIN deg d1 ON p1 = d1.v JOIN deg d2 ON p2 = d2.v),
+      ed2 AS (SELECT src, dstkey, dstkey % 10000000 AS dst FROM ed),
+      wedges AS (
+        SELECT x.dst AS a, y.dst AS b
+        FROM ed2 x JOIN ed2 y ON x.src = y.src AND x.dstkey < y.dstkey),
+      tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM wedges w
+        WHERE EXISTS (SELECT 1 FROM ed2 e WHERE w.a = e.src AND w.b = e.dst))
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+             (SELECT n_triangles FROM tri) AS n_triangles"""))
+
+  val all: Seq[Declared] = Seq(pagerank, triangles)
 }

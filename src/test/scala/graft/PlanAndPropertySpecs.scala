@@ -430,7 +430,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_train",     // k-row broadcast centroid table (k=4)
     "sim_pq_adc",        // 1-row broadcast query vector over the 10 winners
     "sim_ivfpq",         // kc-row broadcast coarse-centroid table (kc=4)
-    "sim_ivfpq_stored"   // same probe shapes over the persisted index
+    "sim_ivfpq_stored",  // same probe shapes over the persisted index
+    "q11_important_stock", // 1-row broadcast national-total scalar
+    "graph_triangles"    // three 1-row count scalars assembled into one row
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
