@@ -401,8 +401,64 @@ object PipelineQ {
         round(pow(n_docs, 0.5) / z.z * 10000.0, 2) AS n_expected
       FROM c CROSS JOIN z ORDER BY source, lang"""))
 
+  /** Heavy hitters by SKETCH ([[graft.functions.HeavyHittersAgg]], the
+    * Misra–Gries mergeable summary) — [[corpusTerms]]' exact wordcount
+    * shuffles one row per distinct term; the sketch answers the same "what
+    * dominates the stream" question with ≤ k counters per partition and an
+    * O(k) merge, the only shape that works when the term universe itself
+    * doesn't fit anywhere (URLs, user-ids, n-grams at 100 TB).
+    *
+    * The output is the sketch's CONTRACT, not its raw state (Misra–Gries
+    * counters are partition-order dependent; the guarantees are not): for
+    * every top-10 exact term with freq > n/(k+1), `captured` says the
+    * sketch held it (guaranteed by the undercount bound) and
+    * `no_overcount` says its counter never exceeded the true frequency.
+    * The oracle recomputes the exact side and pins both flags true — the
+    * q_hll_sketch pattern: a false (or null) flag from a broken sketch
+    * hash-mismatches the row. HeavyHittersSpec additionally pins both
+    * bounds under adversarial partitioning.
+    */
+  val heavyHitters = Declared(
+    "corpus_heavy_hitters",
+    (s, dir) => {
+      val k = 32
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFns.words(col("text"))).as("w0"))
+        .select(lower(col("w0")).as("w"))
+        .filter(col("w").rlike("^[a-z]{4,}$"))
+      val sketch = toks
+        .agg(graft.functions.HeavyHittersAgg.heavy_hitters(col("w"), k).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.term").as("term"), col("e.cnt").as("sketch_cnt"))
+      // exact side: fold once, checkpoint the (small) per-term counts, then
+      // derive both the total and the top-10 from the materialized fold
+      val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+        .localCheckpoint()
+      val total = counts.agg(sum(col("exact_cnt")).as("total"))
+      counts.orderBy(col("exact_cnt").desc, col("w")).limit(10)
+        .crossJoin(broadcast(total))
+        .filter(col("exact_cnt") * (k + 1) > col("total"))
+        .join(sketch, col("w") === col("term"), "left")
+        .select(
+          col("w").as("term"), col("exact_cnt"),
+          col("sketch_cnt").isNotNull.as("captured"),
+          (col("sketch_cnt") <= col("exact_cnt")).as("no_overcount"))
+        .orderBy(col("exact_cnt").desc, col("term"))
+    },
+    Some("""WITH w AS (
+        SELECT lower(unnest(string_split_regex(trim(text), '\s+'))) AS w
+        FROM documents),
+      f AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt FROM w
+        WHERE regexp_matches(w, '^[a-z]{4,}$') GROUP BY w),
+      tot AS (SELECT CAST(sum(exact_cnt) AS BIGINT) AS total FROM f),
+      top AS (SELECT w, exact_cnt FROM f ORDER BY exact_cnt DESC, w LIMIT 10)
+      SELECT w AS term, exact_cnt, true AS captured, true AS no_overcount
+      FROM top, tot WHERE exact_cnt * 33 > total
+      ORDER BY exact_cnt DESC, term"""))
+
   val all: Seq[Declared] = Seq(
     decontaminate, packSequences, embedOutliers, corpusTerms, textRepetition,
     mixSample, chunkDocuments, sampleStratified, curriculumOrder,
-    mixTemperature)
+    mixTemperature, heavyHitters)
 }
