@@ -454,6 +454,78 @@ object DedupQ {
         FROM fresh)
       WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** Incremental dedup with a BLOOM pre-filter — the shuffle-avoidance
+    * pattern for the growing-corpus shape at 100 TB: the fingerprint index
+    * is folded once into a broadcast bloom filter, every batch row probes
+    * it map-side, and only the `might_contain` survivors (true dups + the
+    * filter's false positives) pay the exact anti-join shuffle against the
+    * index; definitely-new rows never shuffle at all. On a steady-state
+    * corpus where most arrivals are new, that turns the per-batch cost from
+    * "shuffle the whole batch against a petabyte index" into "shuffle the
+    * few percent that might collide". Results are EXACTLY
+    * [[incremental]]'s — the bloom can only divert rows the anti-join
+    * would pass anyway — so the oracle is the same SQL, and
+    * IncrementalBloomSpec pins result equality plus the might_contain
+    * probe in the plan.
+    */
+  val incrementalBloom = Declared(
+    "dedup_incremental_bloom",
+    (s, dir) => {
+      val fp = md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp")
+      val idxPath = Tables.scratch("fp_index_bloom")
+      t(s, dir, "documents").filter(col("doc_id") % 10 < 8)
+        .select(fp).distinct()
+        .write.mode("overwrite").parquet(idxPath)
+      val index = s.read.parquet(idxPath)
+      // bloom_filter_agg / might_contain are internal (the optimizer's
+      // runtime-filter machinery, not registered SQL) — built directly, the
+      // same classes q_runtime_bloom's rewrite injects. might_contain
+      // requires a CONSTANT filter, so the ~25 KB bloom is folded on the
+      // driver and embedded as a literal — which is precisely how Spark's
+      // own runtime filter ships it (driver collects the build side's
+      // bloom, re-broadcasts it into the probe scan); the driver holds
+      // index METADATA, never index rows
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+      val bf = index.agg(column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          expression(xxhash64(col("fp"))),
+          org.apache.spark.sql.catalyst.expressions.Literal(20000L),
+          org.apache.spark.sql.catalyst.expressions.Literal(200000L))
+          .toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val batch = t(s, dir, "documents").filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), fp)
+        .withColumn("maybe_dup", column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              bf, org.apache.spark.sql.types.BinaryType),
+            expression(xxhash64(col("fp"))))))
+        .select(col("doc_id"), col("fp"), col("maybe_dup"))
+      val sureNew = batch.filter(!col("maybe_dup")).select(col("doc_id"), col("fp"))
+      val confirmedNew = batch.filter(col("maybe_dup"))
+        .select(col("doc_id"), col("fp"))
+        .join(index, Seq("fp"), "left_anti") // false positives come back here
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      sureNew.unionByName(confirmedNew)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1) // keep-one within the batch itself
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH fps AS (
+        SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+      idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8),
+      batch AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 >= 8),
+      fresh AS (
+        SELECT b.doc_id, b.fp FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = b.fp))
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fresh)
+      WHERE rn = 1 ORDER BY doc_id"""))
+
   /** MinHash+LSH candidate pairs (signature-estimated Jaccard ≥ 0.35).
     * Base hashes are the portable md5 pair, so since round 2 the full
     * pipeline (signatures → banding → est-Jaccard) is DuckDB-oracle-checked
@@ -848,6 +920,6 @@ object DedupQ {
 
   val all: Seq[Declared] = Seq(
     exact, exactRows, ngramJaccard, containment, containmentAsym, clusters,
-    incremental, minhash, simhash, simhashBuckets, embedCosine, temporal,
-    winnow, minhashAccuracy, urlDedup, semantic)
+    incremental, incrementalBloom, minhash, simhash, simhashBuckets,
+    embedCosine, temporal, winnow, minhashAccuracy, urlDedup, semantic)
 }
