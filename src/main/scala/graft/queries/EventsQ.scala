@@ -423,7 +423,48 @@ object EventsQ {
             / (s.cnt - 1))) > 2
       ORDER BY h.event_type, h.h"""))
 
+  /** Event-type transition matrix (first-order Markov counts): for each
+    * user's time-ordered stream, count (this type → next type) steps and
+    * each transition's share of its source type — the "what happens after
+    * a click" behavioral readout. One lead() window over a user_id shuffle
+    * (state per partition = one user's ordered events), then a hash
+    * aggregate of O(types²) rows; the share is a second window over the
+    * already-aggregated 25-row matrix, partitioned by from_type so no
+    * single-reducer sort exists. Share = n/total computed as one double
+    * division of two exact longs — identical IEEE result in both engines.
+    */
+  val transitions = Declared(
+    "events_transitions",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val byFrom = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("from_type"))
+      t(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(
+          col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          round(col("n").cast("double") / sum(col("n")).over(byFrom), 6))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""WITH steps AS (
+        SELECT event_type AS from_type,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS to_type
+        FROM events),
+      m AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM steps WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      SELECT from_type, to_type, n,
+        round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6)
+          AS share
+      FROM m ORDER BY from_type, to_type"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
-    rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly)
+    rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
+    transitions)
 }

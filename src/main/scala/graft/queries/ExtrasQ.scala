@@ -245,6 +245,34 @@ object ExtrasQ {
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       ORDER BY user_id, click_ts, purchase_ts"""))
 
+  /** Stream-stream LEFT OUTER interval join — null rows for expired
+    * unmatched clicks, emitted only when the watermark proves no future
+    * match can arrive ([[StreamingOps.clickPurchaseJoinOuter]]). The oracle
+    * is the batch left join with the SAME expiry cutoff: unmatched clicks
+    * qualify only below min(max click ts, max purchase ts) − 10 min −
+    * 30 min (per-side watermark tracks each side's own max; the global
+    * watermark is their minimum).
+    */
+  val streamStreamOuter = Declared(
+    "stream_stream_outer",
+    (s, dir) => StreamingOps.clickPurchaseJoinOuter(s, dir),
+    Some("""WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                    - INTERVAL 10 MINUTE AS w),
+      matched AS (
+        SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+        FROM c JOIN p ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+      unmatched AS (
+        SELECT c.user_id, c.ts AS click_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+        FROM c CROSS JOIN wm
+        WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+          AND c.ts + INTERVAL 30 MINUTE < wm.w)
+      SELECT * FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+      ORDER BY user_id, click_ts, purchase_ts NULLS FIRST"""))
+
   /** Custom-state streaming: flatMapGroupsWithState sessionization driven as
     * a real streaming query; oracle is the batch gaps-and-islands SQL (same
     * 30-min gap as q_sessionize, without the per-user seq column).
@@ -332,6 +360,6 @@ object ExtrasQ {
   val all: Seq[Declared] = Seq(
     mmCatalog, mmFrames, mmBlob, mmDecode, mmResize, rollingHashQ, streamWindow,
     streamWindowSliding, streamWindowAppend, streamDedup, streamStaticJoin,
-    streamStreamJoin, streamSessionize, streamIncrementalDedup, streamTopk,
-    streamUpsert)
+    streamStreamJoin, streamStreamOuter, streamSessionize,
+    streamIncrementalDedup, streamTopk, streamUpsert)
 }

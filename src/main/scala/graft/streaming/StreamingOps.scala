@@ -316,6 +316,54 @@ object StreamingOps {
     spark.table(name).orderBy(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the semantics the inner join
+    * can't show: a click with no purchase within its 30-minute horizon
+    * must still be emitted (with nulls), but only once the engine can
+    * PROVE no future purchase can match — i.e. when the watermark passes
+    * ct + 30 min and the click's buffered state is evicted. That makes
+    * null emission watermark-DRIVEN: it requires the no-data finalization
+    * batch (kept ON here, like append-mode windows), and on a finite
+    * replay exactly the unmatched clicks older than
+    * min(max click ts, max purchase ts) − 10 min − 30 min are emitted;
+    * younger unmatched clicks are still buffered, exactly as an unbounded
+    * run would hold them. The oracle reproduces that cutoff.
+    */
+  def clickPurchaseJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
+    def side(tpe: String, uid: String, tsName: String) = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", Tables.eventTsCol(rawSchema, "timestamp"))
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(uid), col("ts").as(tsName))
+      .withWatermark(tsName, "10 minutes")
+    val joined = side("click", "c_uid", "ct")
+      .join(
+        side("purchase", "p_uid", "pt"),
+        col("c_uid") === col("p_uid") &&
+          col("pt") >= col("ct") &&
+          col("pt") <= col("ct") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(
+        col("c_uid").as("user_id"),
+        col("ct").cast("timestamp_ntz").as("click_ts"),
+        col("pt").cast("timestamp_ntz").as("purchase_ts"))
+    val name = "graft_stream_outer_sink"
+    runTuned(spark, scanParts, noDataBatches = true) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name).orderBy(
+      col("user_id"), col("click_ts"), col("purchase_ts").asc_nulls_first)
+  }
+
   /** Streaming incremental dedup: a document stream LEFT-ANTI joined against
     * a STATIC fingerprint index — the streaming form of dedup_incremental
     * (new docs flow in continuously; anything whose content fingerprint is
