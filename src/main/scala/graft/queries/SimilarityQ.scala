@@ -817,8 +817,136 @@ object SimilarityQ {
     },
     ivfPq.oracle)
 
+  /** Recall evaluation for the IVF-PQ probe — [[recallReport]]'s readout
+    * applied to the flagship index: recall@10 of the 2-cell ADC probe
+    * against the exact squared-L2 top-10, plus how many encoded vectors
+    * the probe actually scanned (the candidate bound the cell pruning
+    * buys). Both top-10 lists and the index come from the same build, so
+    * the row is THE accuracy-vs-cost summary an index deployment monitors:
+    * at 100 TB this query is the nightly index-health check — exact
+    * top-10 over a sampled probe set, ADC top-10 from the live index,
+    * recall joined in one tiny aggregate. `recall_cell_bound` (share of
+    * the exact top-10 the probed cells even admit) separates the two
+    * failure modes: a low bound says probe more cells, a big bound-vs-
+    * achieved gap says refine the codebook. On this fixture's random
+    * vectors it honestly reads bound 0.6 / achieved 0.0 — 4 seeded cells
+    * and a 4×8 residual codebook carry no signal for near-uniform data,
+    * exactly what the readout exists to expose.
+    */
+  val ivfPqRecall = Declared(
+    "sim_ivfpq_recall",
+    (s, dir) => {
+      val (cc, cb, enc) = ivfpqBuild(s, dir)
+      val e = embTable(s, dir)
+      val probed = ivfpqProbe(e, cc, cb, enc).select(col("vec_id"))
+      val qv = e.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+      val exact = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), round(sqd("emb", "qv"), 6).as("d"))
+        .orderBy(col("d"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"))
+      val qcells = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
+        .crossJoin(broadcast(cc))
+        .select(col("cell"), round(sqd("qemb", "ccent"), 6).as("d"))
+        .orderBy(col("d"), col("cell"))
+        .limit(2)
+        .select(col("cell"))
+      val nCand = enc.filter(col("vec_id") =!= 0)
+        .join(broadcast(qcells), "cell")
+        .agg(countDistinct(col("vec_id")).as("n_candidates"))
+      val hits = probed.join(exact, "vec_id")
+        .agg(count(lit(1)).as("h"))
+      // the diagnosis column: how much of the exact top-10 the CELL probe
+      // even admits (the pruning's recall ceiling) vs what ADC ranking
+      // then achieves within it — separates "probe more cells" from
+      // "refine the codebook" as the fix
+      val assignCells = enc.select(col("vec_id"), col("cell")).distinct()
+      val bound = exact.join(assignCells, "vec_id")
+        .join(broadcast(qcells), "cell")
+        .agg(count(lit(1)).as("b"))
+      hits.crossJoin(broadcast(nCand)).crossJoin(broadcast(bound))
+        .select(
+          lit(2).as("n_probed_cells"),
+          col("n_candidates"),
+          round(col("b").cast("double") / 10.0, 2).as("recall_cell_bound"),
+          round(col("h").cast("double") / 10.0, 2).as("recall_at_10"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      cci AS (
+        SELECT vec_id % 4 AS cell, CAST(i AS INTEGER) AS i,
+          avg(emb[CAST(i AS INTEGER)]) AS v
+        FROM ev CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+      cc AS (SELECT cell, list(v ORDER BY i) AS ccent FROM cci GROUP BY cell),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT ev.vec_id, cc.cell,
+            row_number() OVER (PARTITION BY ev.vec_id
+              ORDER BY round(list_distance(ev.emb, cc.ccent) ^ 2, 6), cc.cell) AS rn
+          FROM ev CROSS JOIN cc) WHERE rn = 1),
+      res AS (
+        SELECT a.vec_id, a.cell,
+          list_transform(range(1, 65),
+            i -> ev.emb[CAST(i AS INTEGER)] - c.ccent[CAST(i AS INTEGER)]) AS res
+        FROM assign a JOIN ev ON ev.vec_id = a.vec_id JOIN cc c ON c.cell = a.cell),
+      sv AS (
+        SELECT vec_id, cell, CAST(m AS INTEGER) AS m,
+          res[CAST(m AS INTEGER)*16+1 : CAST(m AS INTEGER)*16+16] AS sv
+        FROM res CROSS JOIN generate_series(0, 3) t(m)),
+      cbp AS (
+        SELECT m, vec_id % 8 AS code, CAST(i AS INTEGER) AS i,
+          avg(sv[CAST(i AS INTEGER)]) AS cv
+        FROM sv CROSS JOIN generate_series(1, 16) t(i) GROUP BY 1, 2, 3),
+      cb AS (SELECT m, code, list(cv ORDER BY i) AS centroid FROM cbp GROUP BY m, code),
+      enc AS (
+        SELECT vec_id, cell, m, code FROM (
+          SELECT s.vec_id, s.cell, s.m, c.code,
+            row_number() OVER (PARTITION BY s.vec_id, s.m
+              ORDER BY round(list_distance(s.sv, c.centroid) ^ 2, 6), c.code) AS rn
+          FROM sv s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+      qcell AS (
+        SELECT cell, ccent FROM (
+          SELECT cc.cell, cc.ccent,
+            row_number() OVER (
+              ORDER BY round(list_distance(q.emb, cc.ccent) ^ 2, 6), cc.cell) AS rk
+          FROM cc CROSS JOIN (SELECT emb FROM ev WHERE vec_id = 0) q) WHERE rk <= 2),
+      qres AS (
+        SELECT qc.cell,
+          list_transform(range(1, 65),
+            i -> q.emb[CAST(i AS INTEGER)] - qc.ccent[CAST(i AS INTEGER)]) AS res
+        FROM qcell qc CROSS JOIN (SELECT emb FROM ev WHERE vec_id = 0) q),
+      qsv AS (
+        SELECT cell, CAST(m AS INTEGER) AS m,
+          res[CAST(m AS INTEGER)*16+1 : CAST(m AS INTEGER)*16+16] AS sv
+        FROM qres CROSS JOIN generate_series(0, 3) t(m)),
+      lut AS (
+        SELECT s.cell, s.m, c.code,
+          CAST(floor(round(list_distance(s.sv, c.centroid) ^ 2, 6) * 1e6 + 0.5)
+            AS BIGINT) AS qd
+        FROM qsv s JOIN cb c ON s.m = c.m),
+      adc AS (
+        SELECT e.vec_id FROM enc e
+        JOIN lut l ON e.cell = l.cell AND e.m = l.m AND e.code = l.code
+        WHERE e.vec_id <> 0 GROUP BY e.vec_id
+        ORDER BY round(sum(l.qd) / 1e6, 6), e.vec_id LIMIT 10),
+      exact10 AS (
+        SELECT ev.vec_id FROM ev
+        CROSS JOIN (SELECT emb FROM ev WHERE vec_id = 0) q
+        WHERE ev.vec_id <> 0
+        ORDER BY round(list_distance(ev.emb, q.emb) ^ 2, 6), ev.vec_id LIMIT 10)
+      SELECT 2 AS n_probed_cells,
+        (SELECT CAST(count(DISTINCT e.vec_id) AS BIGINT) FROM enc e
+         WHERE e.vec_id <> 0 AND e.cell IN (SELECT cell FROM qcell))
+          AS n_candidates,
+        round((SELECT count(*) FROM exact10 JOIN assign USING (vec_id)
+               WHERE assign.cell IN (SELECT cell FROM qcell)) / 10.0, 2)
+          AS recall_cell_bound,
+        round((SELECT count(*) FROM adc JOIN exact10 USING (vec_id)) / 10.0, 2)
+          AS recall_at_10"""))
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
-      ivfPq, ivfPqStored)
+      ivfPq, ivfPqStored, ivfPqRecall)
 }

@@ -433,7 +433,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivfpq_stored",  // same probe shapes over the persisted index
     "q11_important_stock", // 1-row broadcast national-total scalar
     "graph_triangles",   // three 1-row count scalars assembled into one row
-    "corpus_heavy_hitters" // 1-row broadcast token-total scalar
+    "corpus_heavy_hitters", // 1-row broadcast token-total scalar
+    "sim_ivfpq_recall"   // same probe shapes + 1-row hit/candidate scalars
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
