@@ -352,9 +352,37 @@ object Ops {
     Some("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_nation
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
+  /** Order-independent table digest — the O(1)-output cousin of `compare`:
+    * one scan folds every row's portable 32-bit md5 hash into a sum, so two
+    * tables can be checked for content equality across engines/clusters by
+    * comparing two numbers instead of shipping either table (the positional
+    * compare family answers WHERE they differ; this answers WHETHER, at
+    * minimum cost — the standard migration-validation handshake). Sum is
+    * commutative, so row order, partitioning and parallelism can't affect
+    * the digest, and 600 k × 2³² stays far under the long range. Keyed to
+    * the integer/string columns only: float→string canonicalization differs
+    * across engines (1e7 prints "1.0E7" in Java, "10000000.0" in DuckDB),
+    * so a production digest would hash a binary canonical form; the
+    * reference's own compare ducks the same problem with its epsilon.
+    */
+  val tableDigest = Declared(
+    "op_table_digest",
+    (s, dir) => {
+      val rowStr = concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_returnflag"), col("l_linestatus"))
+      t(s, dir, "lineitem")
+        .select(graft.functions.Hashing.md5Hash32(rowStr).as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("digest"))
+    },
+    Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(${graft.functions.Hashing.md5Hash32DuckSql(
+      "concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber, l_returnflag, l_linestatus)")}) AS BIGINT) AS digest
+      FROM lineitem"""))
+
   val all: Seq[Declared] = Seq(
     view, schemaQ, countQ, convertRoundtrip, csvRoundtrip, jsonRoundtrip,
     orcRoundtrip, avroRoundtrip,
     compareEqual, compareDiff, compareEpsilon, compareKeyed, compareFirstDiff,
-    infoSchema, parquetMeta)
+    tableDigest, infoSchema, parquetMeta)
 }

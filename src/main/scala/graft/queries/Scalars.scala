@@ -261,6 +261,43 @@ object Scalars {
       FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
       WHERE vec_id < 10 ORDER BY vec_id, pos"""))
 
+  /** OUTER explode — the null-preservation semantics [[unnestQ]] can't
+    * show: a row whose array is EMPTY must survive as one (null, null)
+    * row instead of vanishing (the LEFT-JOIN-shaped flatten an
+    * enrichment pipeline needs when "no attachments" must not drop the
+    * parent record). Spark: posexplode_outer; the oracle rebuilds the
+    * same shape as explode-rows UNION the empty-array parents.
+    */
+  val explodeOuter = Declared(
+    "q_explode_outer",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 40)
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, array().cast("array<string>"))
+            .otherwise(array(col("o_orderstatus"), col("o_orderpriority")))
+            .as("arr"))
+        .select(col("o_orderkey"), posexplode_outer(col("arr")))
+        .select(col("o_orderkey"), col("pos"), col("col").as("val"))
+        .orderBy(col("o_orderkey"), col("pos")),
+    Some("""WITH o AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN []
+               ELSE [o_orderstatus, o_orderpriority] END AS arr
+        FROM orders WHERE o_orderkey <= 40),
+      exploded AS (
+        SELECT o_orderkey, CAST(i - 1 AS INTEGER) AS pos,
+          arr[CAST(i AS INTEGER)] AS val
+        FROM o CROSS JOIN generate_series(1, 2) t(i)
+        WHERE len(arr) >= CAST(i AS INTEGER)),
+      empties AS (
+        SELECT o_orderkey, CAST(NULL AS INTEGER) AS pos,
+          CAST(NULL AS VARCHAR) AS val
+        FROM o WHERE len(arr) = 0)
+      SELECT * FROM (SELECT * FROM exploded UNION ALL SELECT * FROM empties)
+      ORDER BY o_orderkey, pos"""))
+
   /** Inverse + hyperbolic trig, cube root (same names both engines). */
   val mathFuncs3 = Declared(
     "q_math_funcs3",
@@ -443,6 +480,6 @@ object Scalars {
 
   val all: Seq[Declared] = Seq(
     stringFuncs, mathFuncs, dateFuncs, regexFuncs, conditionalFuncs,
-    castTypes, arrayFuncs, unnestQ, mathFuncs3, bitFuncs, dateFuncs2, mapFuncs,
-    hofFuncs, sqlKernels)
+    castTypes, arrayFuncs, unnestQ, explodeOuter, mathFuncs3, bitFuncs,
+    dateFuncs2, mapFuncs, hofFuncs, sqlKernels)
 }
