@@ -457,8 +457,57 @@ object PipelineQ {
       FROM top, tot WHERE exact_cnt * 33 > total
       ORDER BY exact_cnt DESC, term"""))
 
+  /** Vocabulary coverage / OOV rate — the tokenizer-sizing readout: train a
+    * top-k vocab on ONE language's tokens (the common monolingual-
+    * tokenizer setup; size 20 — the synthetic corpus has only 31
+    * distinct alphabetic terms, so the cap plays the role a 32k-entry
+    * vocab plays on real text), then measure what fraction of every
+    * language's
+    * token stream falls outside it. High OOV for a language says the vocab
+    * (or the sampling mix feeding it) underserves that language — the
+    * number a multilingual pipeline checks before committing a tokenizer.
+    * Shapes: token fold for the vocab (TakeOrderedAndProject top-k),
+    * broadcast vocab LEFT join marks membership map-side, one hash
+    * aggregate per language; the OOV division is two exact longs.
+    */
+  val vocabCoverage = Declared(
+    "corpus_vocab_coverage",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(TextFns.words(col("text"))).as("w0"))
+        .select(col("lang"), lower(col("w0")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+      val vocab = toks.filter(col("lang") === "en")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(20)
+        .select(col("w"), lit(1L).as("in_v"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("in_v"), lit(0L))).as("n_in_vocab"))
+        .withColumn("oov_rate",
+          round(lit(1.0) - col("n_in_vocab").cast("double") / col("n_tokens"), 6))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH w AS (
+        SELECT lang, lower(unnest(string_split_regex(trim(text), '\s+'))) AS w
+        FROM documents),
+      toks AS (SELECT lang, w FROM w WHERE regexp_matches(w, '^[a-z]+$')),
+      vocab AS (
+        SELECT w, 1 AS in_v FROM (
+          SELECT w, count(*) AS n FROM toks WHERE lang = 'en' GROUP BY w
+          ORDER BY n DESC, w LIMIT 20)),
+      marked AS (
+        SELECT t.lang, coalesce(v.in_v, 0) AS in_v
+        FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(in_v) AS BIGINT) AS n_in_vocab,
+        round(1.0 - CAST(sum(in_v) AS DOUBLE) / count(*), 6) AS oov_rate
+      FROM marked GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Declared] = Seq(
     decontaminate, packSequences, embedOutliers, corpusTerms, textRepetition,
     mixSample, chunkDocuments, sampleStratified, curriculumOrder,
-    mixTemperature, heavyHitters)
+    mixTemperature, heavyHitters, vocabCoverage)
 }
