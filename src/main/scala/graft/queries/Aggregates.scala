@@ -462,8 +462,108 @@ object Aggregates {
       FROM dev d JOIN madt t ON d.event_type = t.event_type
       GROUP BY d.event_type ORDER BY d.event_type"""))
 
+  /** Count-Min Sketch surface (`count_min_sketch` aggregate, spark-sketch):
+    * the mergeable point-frequency sketch that complements [[hllSketch]]
+    * (distinct counts) and corpus_heavy_hitters (top-k): a KB-sized summary
+    * answering "how often does item x occur?" with a one-sided guarantee —
+    * estimate ≥ exact always, and estimate ≤ exact + eps·N with probability
+    * `confidence`. Unlike HLL, CMS MERGE IS EXACT: same (eps, confidence,
+    * seed) means identical counter arrays, and merging sums them element-
+    * wise, so per-day partial sketches merged together equal the one-shot
+    * sketch COUNTER FOR COUNTER — pinned here as `merged_equals_direct`.
+    *
+    * The heavy lifting (building per-day partials and the one-shot sketch)
+    * is distributed map-side combine; only the finished ~50 KB sketch
+    * binaries reach the driver, which is the sketch's PURPOSE at 100 TB —
+    * ship a bounded summary of the table to the coordinator instead of the
+    * table. The estimate readback happens there because Spark exposes no
+    * `cms_estimate` SQL function (estimates need the query item at read
+    * time, not aggregate time).
+    *
+    * Oracle: exact per-type counts are recomputed by DuckDB; the three
+    * sketch-contract columns are stated as expected literals (DuckDB has no
+    * CMS), same contract style as q_hll_sketch's merge_agrees.
+    */
+  val cmsSketch = Declared(
+    "q_cms_sketch",
+    (s, dir) => {
+      import org.apache.spark.util.sketch.CountMinSketch
+      val e = t(s, dir, "events")
+      val (eps, conf, seed) = (0.001, 0.99, 42)
+      val cms = count_min_sketch(col("event_type"), lit(eps), lit(conf), lit(seed))
+      // per-day partials and the one-shot sketch: distributed folds; only
+      // the finished sketch binaries (~50 KB each) leave the executors
+      val partials = e.groupBy(to_date(col("ts")).as("d")).agg(cms.as("sk"))
+        .collect().map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+      val merged = partials.reduce { (a, b) => a.mergeInPlace(b); a }
+      val direct = CountMinSketch.readFrom(
+        e.agg(cms.as("sk")).head().getAs[Array[Byte]]("sk"))
+      val sameCounters = java.util.Arrays.equals(
+        merged.toByteArray, direct.toByteArray)
+      val bound = (eps * direct.totalCount()).toLong
+      // exact counts: distributed; the readback joins estimates onto the
+      // handful of distinct types driver-side (the coordinator already
+      // holds the sketch — estimate needs the query item at read time)
+      val report = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .collect()
+        .map { r =>
+          val (et, exact) = (r.getString(0), r.getLong(1))
+          val est = direct.estimateCount(et)
+          (et, exact, est >= exact, est - exact <= bound, sameCounters)
+        }.toSeq
+      import s.implicits._
+      report.toDF(
+        "event_type", "exact_cnt", "never_undercounts", "within_eps",
+        "merged_equals_direct")
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS exact_cnt,
+      true AS never_undercounts, true AS within_eps, true AS merged_equals_direct
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Incremental aggregate maintenance — the materialized-view pattern that
+    * replaces full-history rescans at 100 TB: per-day PARTIAL aggregates
+    * (count + sum are algebraic, so partials compose by summation) are kept
+    * as the stored state; when the newest day arrives, only ITS rows are
+    * folded and merged with the stored partials. Here the history partials
+    * are localCheckpoint-materialized to stand in for the persisted MV (the
+    * delta path genuinely never re-reads history rows), and the merge is a
+    * union + re-aggregation — one tiny shuffle over (day × type) partial
+    * rows, never over events. The history/delta cutoff (the max event day)
+    * is itself carried as a broadcast scalar, not a driver collect.
+    *
+    * The oracle RECOMPUTES the full aggregate directly — a genuine equality
+    * check that the merged-from-partials numbers match a from-scratch fold.
+    */
+  val incrementalAgg = Declared(
+    "q_incremental_agg",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(
+        to_date(col("ts")).as("d"), col("event_type"), col("value"))
+      val maxd = e.agg(max(col("d")).as("maxd"))
+      val tagged = e.crossJoin(broadcast(maxd))
+      val partialOf = (df: org.apache.spark.sql.DataFrame) =>
+        df.groupBy(col("d"), col("event_type"))
+          .agg(count(lit(1)).as("pc"), sum(col("value")).as("pv"))
+      // stored MV state: one partial row per (day, type) for all closed days
+      val history = partialOf(tagged.filter(col("d") < col("maxd"))).localCheckpoint()
+      val delta = partialOf(tagged.filter(col("d") === col("maxd")))
+      history.unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("pc")).as("n_events"),
+          round(sum(col("pv")), 2).as("total_value"),
+          countDistinct(col("d")).as("n_days"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      round(sum(value), 2) AS total_value,
+      CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Declared] = Seq(
     stats, percentiles, collects, minmax, boolBit, countDistinctQ, modeMedian,
-    approxBound, hllSketch, rollupQ, cubeQ, groupingSets, multiDistinct,
-    listAgg, histogram, moments, mad)
+    approxBound, hllSketch, cmsSketch, incrementalAgg, rollupQ, cubeQ,
+    groupingSets, multiDistinct, listAgg, histogram, moments, mad)
 }

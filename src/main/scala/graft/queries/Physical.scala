@@ -182,5 +182,32 @@ object Physical {
         UNION ALL SELECT 'l_quantity', false)
       ORDER BY path_in_schema"""))
 
-  val all: Seq[Declared] = Seq(bucketedJoin, runtimeBloom, parquetBloom)
+  /** Aggregation on the bucket key — the OTHER free ride a bucketed layout
+    * buys besides [[bucketedJoin]]: grouping by the column the table is
+    * bucketed on needs NO exchange, because the scan already reports
+    * HashPartitioning(o_custkey, 8) and that satisfies the aggregate's
+    * clustered-distribution requirement. At 100 TB this is every nightly
+    * per-customer rollup reading the fact table shuffle-free. The first
+    * (per-customer) aggregate runs exchange-free on bucket layout; only the
+    * second, tiny aggregate (customers-per-order-count histogram — at most
+    * a few dozen distinct counts) shuffles. ZeroExchangeAggSpec pins the
+    * plan property: no Exchange between the scan and the first aggregate.
+    */
+  val bucketedAgg = Declared(
+    "q_bucketed_agg",
+    (s, dir) => {
+      bucketedTables(s, dir)
+      s.table("graft_bucketed_orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))   // exchange-free: bucket layout
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers")) // tiny: one row per count value
+        .orderBy(col("n_orders"))
+    },
+    Some("""SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers FROM (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey)
+      GROUP BY n_orders ORDER BY n_orders"""))
+
+  val all: Seq[Declared] = Seq(bucketedJoin, runtimeBloom, parquetBloom, bucketedAgg)
 }

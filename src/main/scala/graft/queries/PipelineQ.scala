@@ -506,8 +506,55 @@ object PipelineQ {
         round(1.0 - CAST(sum(in_v) AS DOUBLE) / count(*), 6) AS oov_rate
       FROM marked GROUP BY lang ORDER BY lang"""))
 
+  /** Per-domain document cap — the anti-monoculture quota every large crawl
+    * pipeline applies (a handful of template-heavy domains would otherwise
+    * dominate the token budget): within each source domain, RANK documents
+    * best-first (longer docs first here; any quality score slots into the
+    * same ORDER BY) and keep at most K. The per-domain window prunes as a
+    * WindowGroupLimit — each domain's partition stops ranking after K rows
+    * instead of sorting its whole slice, so a 10M-page domain costs the
+    * same as a 200-page one. The keep/drop LEDGER (docs seen, kept, chars
+    * kept/dropped) deliberately comes from TWO branches — per-domain totals
+    * are a plain hash aggregate needing no ranking at all, and only the
+    * kept branch carries the `rn <= K` filter that lets Catalyst insert
+    * WindowGroupLimit — because folding both into one window would force
+    * ranking every row and forfeit the pruning. Both branches share the
+    * same (source)-keyed shuffle; the ledger join is per-domain rows only.
+    */
+  val domainCap = Declared(
+    "curate_domain_cap",
+    (s, dir) => {
+      val k = 30
+      val docs = t(s, dir, "documents").select(
+        col("source"), col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val kept = docs
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k) // ← WindowGroupLimit: per-domain top-k heap
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      val totals = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      totals.join(kept, Seq("source"))
+        .select(
+          col("source"), col("n_docs"), col("n_kept"), col("kept_chars"),
+          (col("total_chars") - col("kept_chars")).as("dropped_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH ranked AS (
+        SELECT source, n_chars,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN rn <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN rn <= 30 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        CAST(sum(CASE WHEN rn <= 30 THEN 0 ELSE n_chars END) AS BIGINT) AS dropped_chars
+      FROM ranked GROUP BY source ORDER BY source"""))
+
   val all: Seq[Declared] = Seq(
     decontaminate, packSequences, embedOutliers, corpusTerms, textRepetition,
     mixSample, chunkDocuments, sampleStratified, curriculumOrder,
-    mixTemperature, heavyHitters, vocabCoverage)
+    mixTemperature, heavyHitters, vocabCoverage, domainCap)
 }

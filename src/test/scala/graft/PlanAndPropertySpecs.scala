@@ -231,6 +231,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
+  test("curate_domain_cap keeps WindowGroupLimit on its kept branch") {
+    // the ledger splits totals (plain hash agg) from the capped branch
+    // precisely so the rn<=k filter stays eligible for WindowGroupLimit —
+    // folding both into one window would rank every row of every domain
+    val p = plan("curate_domain_cap")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
   test("events_funnel: all three step windows share ONE exchange") {
     // AQE wraps the tree in AdaptiveSparkPlanExec whose stages are opaque to
     // collect(); disable it here so the structural audit sees the real plan
@@ -574,6 +582,22 @@ class BucketedJoinSpec extends AnyFunSuite {
       s"bucketed join still shuffles:\n${below.take(800)}")
     // result sanity: every market segment present
     assert(df.collect().length == 5)
+  }
+
+  test("bucket-key aggregation runs with no exchange below the per-key agg") {
+    val df = SparkEntry.queries("q_bucketed_agg")(spark, TestSpark.sf)
+    df.collect() // materialize so AQE's final plan text is complete
+    val plan = df.queryExecution.executedPlan.toString
+    // top-down text: the LAST HashAggregate line is the per-custkey fold
+    // directly over the bucketed scan — nothing between it and the scan may
+    // shuffle (the scan's HashPartitioning(o_custkey, 8) already satisfies
+    // the aggregate's distribution requirement)
+    val at = plan.lastIndexOf("HashAggregate")
+    assert(at >= 0, s"expected a HashAggregate:\n${plan.take(800)}")
+    val below = plan.substring(at)
+    assert(!below.contains("Exchange"),
+      s"bucket-key aggregate still shuffles its input:\n${below.take(800)}")
+    assert(below.contains("Scan"), s"per-key agg should sit on the scan:\n$below")
   }
 }
 
