@@ -463,8 +463,104 @@ object EventsQ {
           AS share
       FROM m ORDER BY from_type, to_type"""))
 
+  /** Event-type co-occurrence (the market-basket/association readout): which
+    * pairs of event types the same user performs, with support and lift.
+    * The scale discipline is the PER-USER pair fan-out: distinct types per
+    * user first (one hash aggregate — at most |type catalog| rows per user,
+    * a constant), then the pair self-join runs co-partitioned on user_id
+    * with `a < b` halving the pairs, so total work is Σ C(k_u, 2) with k_u
+    * bounded by the catalog — never a cross join over users or events. Lift
+    * divides by per-type user shares, which is a broadcast-sized dimension
+    * (one row per event type).
+    */
+  val cooccurrence = Declared(
+    "events_cooccurrence",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val userTypes = e.select(col("user_id"), col("event_type")).distinct()
+      val nUsers = e.agg(countDistinct(col("user_id")).as("n_users"))
+      val typeUsers = userTypes.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("t_users"))
+      val a = userTypes.select(col("user_id"), col("event_type").as("a"))
+      val b = userTypes.select(col("user_id"), col("event_type").as("b"))
+      a.join(b, Seq("user_id")).filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("pair_users"))
+        .join(broadcast(typeUsers.select(
+          col("event_type").as("a"), col("t_users").as("a_users"))), Seq("a"))
+        .join(broadcast(typeUsers.select(
+          col("event_type").as("b"), col("t_users").as("b_users"))), Seq("b"))
+        .crossJoin(broadcast(nUsers))
+        .select(
+          col("a"), col("b"), col("pair_users"),
+          round(col("pair_users").cast("double") / col("n_users"), 6).as("support"),
+          round(
+            col("pair_users").cast("double") * col("n_users") /
+              (col("a_users") * col("b_users")), 6).as("lift"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      n AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users FROM events),
+      tu AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS t_users
+             FROM ut GROUP BY event_type),
+      pairs AS (
+        SELECT x.event_type AS a, y.event_type AS b,
+          CAST(count(*) AS BIGINT) AS pair_users
+        FROM ut x JOIN ut y ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2)
+      SELECT a, b, pair_users,
+        round(pair_users / n.n_users, 6) AS support,
+        round(pair_users * n.n_users / (ta.t_users * tb.t_users), 6) AS lift
+      FROM pairs CROSS JOIN n
+      JOIN tu ta ON ta.event_type = pairs.a
+      JOIN tu tb ON tb.event_type = pairs.b
+      ORDER BY a, b"""))
+
+  /** Last-touch conversion attribution: each purchase is credited to the
+    * most recent PRECEDING event of any other type by the same user — the
+    * classic marketing-funnel readout. One per-user window pass computes the
+    * carry-forward last non-purchase touch (`last(..., ignoreNulls)` over an
+    * unbounded-preceding-to-previous-row frame — no self-join, no per-user
+    * explode), then a tiny aggregate turns credited purchases into per-touch
+    * counts and shares. Purchases with no prior touch credit 'direct'.
+    */
+  val attribution = Declared(
+    "events_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val credited = t(s, dir, "events")
+        .withColumn("touch",
+          last(
+            when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("touch"), lit("direct")).as("touch"))
+      val perTouch = credited.groupBy(col("touch"))
+        .agg(count(lit(1)).as("n_purchases"))
+      // total as a broadcast scalar, not a global window (one-reducer shape)
+      perTouch
+        .crossJoin(broadcast(credited.agg(count(lit(1)).as("total"))))
+        .select(
+          col("touch"), col("n_purchases"),
+          round(col("n_purchases").cast("double") / col("total"), 6).as("share"))
+        .orderBy(col("touch"))
+    },
+    Some("""WITH credited AS (
+        SELECT coalesce(
+            last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+              IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            'direct') AS touch, event_type
+        FROM events)
+      SELECT touch, CAST(count(*) AS BIGINT) AS n_purchases,
+        round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share
+      FROM credited WHERE event_type = 'purchase'
+      GROUP BY touch ORDER BY touch"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
-    transitions)
+    transitions, cooccurrence, attribution)
 }

@@ -231,6 +231,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
+  test("events_cooccurrence self-join reuses one user-distinct exchange") {
+    // both pair sides are the SAME distinct (user_id, type) relation keyed
+    // on user_id — the plan must shuffle it once and reuse the exchange,
+    // not recompute the distinct per side
+    val df = SparkEntry.queries("events_cooccurrence")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedSubquery"),
+      s"pair self-join recomputes the distinct side:\n$p")
+  }
+
   test("curate_domain_cap keeps WindowGroupLimit on its kept branch") {
     // the ledger splits totals (plain hash agg) from the capped branch
     // precisely so the rn<=k filter stays eligible for WindowGroupLimit —
