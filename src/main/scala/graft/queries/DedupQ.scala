@@ -918,8 +918,92 @@ object DedupQ {
       FROM assign a LEFT JOIN drops d ON a.cluster = d.cluster
       GROUP BY a.cluster ORDER BY a.cluster"""))
 
+  /** Blocked fuzzy record linkage (entity resolution) — match a DIRTY feed
+    * of records against a clean master by edit distance, the
+    * name-and-address cousin of document dedup. The scale discipline is the
+    * classic ER pipeline: (1) a BLOCKING key (here a stable name substring;
+    * in production phonetic codes / sorted-neighborhood keys) so candidate
+    * pairs form only inside blocks — an equi-join, never a cross join, with
+    * block size as the user's fan-out lever; (2) `levenshtein` verification
+    * inside each block (Spark's built-in takes a threshold arg that
+    * early-exits the DP — cheap at any width); (3) best-match-per-record as
+    * min(struct(distance, id)) INSIDE the hash aggregate — no window pass.
+    * The dirty feed is derived in-query (every third customer's name gets a
+    * deterministic trailing typo) so the readout — exact vs fuzzy vs missed
+    * match counts per nation — is a self-contained recovery benchmark the
+    * oracle fully recomputes.
+    */
+  val fuzzyLink = Declared(
+    "er_fuzzy_link",
+    (s, dir) => {
+      val clean = t(s, dir, "customer").select(
+        col("c_custkey").as("master_id"),
+        col("c_name").as("master_name"),
+        col("c_nationkey").as("nation"))
+      // dirty feed: customers whose key is divisible by 3 arrive with a
+      // trailing-character typo ('X' replaces the last digit)
+      val dirty = t(s, dir, "customer").select(
+        col("c_custkey").as("rec_id"),
+        when(col("c_custkey") % 3 === 0,
+          concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")))
+          .otherwise(col("c_name")).as("rec_name"),
+        col("c_nationkey").as("nation"))
+      // blocking key: chars 10..16 of 'Customer#%09d' (the high digits) —
+      // stable under the trailing typo, caps block size at 100 master rows
+      val bk = (c: org.apache.spark.sql.Column) => substring(c, 10, 7)
+      val candidates = dirty.withColumn("bk", bk(col("rec_name")))
+        .join(clean.withColumn("bk", bk(col("master_name"))), Seq("bk", "nation"))
+        .withColumn("dist", levenshtein(col("rec_name"), col("master_name"), 1))
+        .filter(col("dist") >= 0) // threshold form: -1 marks distance > 1
+      val best = candidates.groupBy(col("rec_id"))
+        .agg(min(struct(col("dist"), col("master_id"))).as("m"))
+        .select(col("rec_id"), col("m.dist").as("dist"), col("m.master_id").as("master_id"))
+      dirty.join(best, Seq("rec_id"), "left")
+        .groupBy(col("nation"))
+        .agg(
+          count(lit(1)).as("n_records"),
+          sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("dist") > 0, 1L).otherwise(0L)).as("n_fuzzy"),
+          sum(when(col("master_id").isNull, 1L).otherwise(0L)).as("n_missed"),
+          sum(when(col("master_id") === col("rec_id"), 1L).otherwise(0L)).as("n_correct"))
+        .orderBy(col("nation"))
+    },
+    Some("""WITH dirty AS (
+        SELECT c_custkey AS rec_id,
+          CASE WHEN c_custkey % 3 = 0
+            THEN substring(c_name, 1, length(c_name) - 1) || 'X'
+            ELSE c_name END AS rec_name,
+          c_nationkey AS nation
+        FROM customer),
+      clean AS (
+        SELECT c_custkey AS master_id, c_name AS master_name,
+          c_nationkey AS nation
+        FROM customer),
+      cand AS (
+        SELECT d.rec_id, c.master_id,
+          levenshtein(d.rec_name, c.master_name) AS dist
+        FROM dirty d JOIN clean c
+          ON substring(d.rec_name, 10, 7) = substring(c.master_name, 10, 7)
+          AND d.nation = c.nation
+        WHERE levenshtein(d.rec_name, c.master_name) <= 1),
+      best AS (
+        SELECT rec_id, dist, master_id FROM (
+          SELECT rec_id, dist, master_id,
+            row_number() OVER (PARTITION BY rec_id
+              ORDER BY dist, master_id) AS rn
+          FROM cand)
+        WHERE rn = 1)
+      SELECT d.nation, CAST(count(*) AS BIGINT) AS n_records,
+        CAST(sum(CASE WHEN b.dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        CAST(sum(CASE WHEN b.dist > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy,
+        CAST(sum(CASE WHEN b.master_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+        CAST(sum(CASE WHEN b.master_id = d.rec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM dirty d LEFT JOIN best b ON d.rec_id = b.rec_id
+      GROUP BY d.nation ORDER BY d.nation"""))
+
   val all: Seq[Declared] = Seq(
     exact, exactRows, ngramJaccard, containment, containmentAsym, clusters,
     incremental, incrementalBloom, minhash, simhash, simhashBuckets,
-    embedCosine, temporal, winnow, minhashAccuracy, urlDedup, semantic)
+    embedCosine, temporal, winnow, minhashAccuracy, urlDedup, semantic,
+    fuzzyLink)
 }

@@ -661,8 +661,76 @@ object TextQ {
       FROM segs s JOIN df d USING (seg)
       GROUP BY s.doc_id ORDER BY s.doc_id"""))
 
+  /** Bigram-LM surprisal — the next step up from [[unigramNll]]'s
+    * frequency prior: score each document by the average conditional
+    * negative log-likelihood -ln(c(w1,w2)/c(w1·)) of its word bigrams under
+    * the corpus's own bigram counts (c(w1·) counts w1 as a bigram HEAD so
+    * the conditional sums to 1). High scores mark incoherent/shuffled text
+    * that unigram frequency cannot see. Scale shape: the bigram dictionary
+    * is NOT broadcast (vocab² worst case) — occurrences join their counts
+    * on the bigram key itself, one hash-partitioned shuffle that reuses the
+    * count aggregate's exchange; only the vocab-bounded head-count table
+    * rides a broadcast. Docs with <2 words surface with n_bigrams=0.
+    */
+  val bigramNll = Declared(
+    "text_bigram_nll",
+    (s, dir) => {
+      val ws = t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      val bigrams = ws.select(
+        col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(ws) < 2 THEN array()
+             ELSE transform(sequence(1, size(ws) - 1),
+               i -> struct(element_at(ws, i) AS w1,
+                 concat(element_at(ws, i), ' ', element_at(ws, i + 1)) AS bg))
+             END""")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg"))
+      val c2 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val scored = bigrams
+        .join(c2, "bg")                // shuffle on bg, exchange reused
+        .join(broadcast(c1), "w1")     // vocab-bounded head counts
+        .select(col("doc_id"),
+          -log(col("c2").cast("double") / col("c1").cast("double")) as "nll")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          round(avg(col("nll")), 6).as("avg_nll"),
+          round(max(col("nll")), 6).as("max_nll"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("avg_nll"), col("max_nll"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+      b AS (
+        SELECT doc_id, u.w1 AS w1, u.bg AS bg FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+            i -> {'w1': ws[CAST(i AS INTEGER)],
+                  'bg': ws[CAST(i AS INTEGER)] || ' ' ||
+                        ws[CAST(i + 1 AS INTEGER)]})) AS u
+          FROM w)),
+      c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+      c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+      scored AS (
+        SELECT b.doc_id, -ln(CAST(c2.c2 AS DOUBLE) / c1.c1) AS nll
+        FROM b JOIN c2 USING (bg) JOIN c1 USING (w1)),
+      per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          round(avg(nll), 6) AS avg_nll, round(max(nll), 6) AS max_nll
+        FROM scored GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+        p.avg_nll, p.max_nll
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
-    boilerplate, bpePairs, lineDedup)
+    boilerplate, bpePairs, lineDedup, bigramNll)
 }

@@ -453,7 +453,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q11_important_stock", // 1-row broadcast national-total scalar
     "graph_triangles",   // three 1-row count scalars assembled into one row
     "corpus_heavy_hitters", // 1-row broadcast token-total scalar
-    "sim_ivfpq_recall"   // same probe shapes + 1-row hit/candidate scalars
+    "sim_ivfpq_recall",  // same probe shapes + 1-row hit/candidate scalars
+    "q_incremental_agg", // 1-row broadcast max-day cutoff scalar
+    "events_cooccurrence", // 1-row broadcast distinct-user total
+    "events_attribution" // 1-row broadcast purchase-total scalar
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
