@@ -35,7 +35,8 @@ object SparkEntry {
       _root_.graft.queries.Coverage3.all ++
       _root_.graft.queries.Physical.all ++
       _root_.graft.queries.PipelineQ.all ++
-      _root_.graft.queries.GraphQ.all
+      _root_.graft.queries.GraphQ.all ++
+      _root_.graft.queries.QualityQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -456,7 +456,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivfpq_recall",  // same probe shapes + 1-row hit/candidate scalars
     "q_incremental_agg", // 1-row broadcast max-day cutoff scalar
     "events_cooccurrence", // 1-row broadcast distinct-user total
-    "events_attribution" // 1-row broadcast purchase-total scalar
+    "events_attribution", // 1-row broadcast purchase-total scalar
+    "dq_expectations",   // three 1-row rule aggregates stacked into a ledger
+    "dq_drift_psi"       // 1-row broadcast window-cutoff scalar
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
