@@ -67,6 +67,7 @@ object Bench {
     if (wanted("q_bucketed_join")) queries.Physical.warmFixtures(spark, sfDir)
     if (wanted("op_compact_files")) queries.Coverage3.warmFixtures(spark, sfDir)
     if (wanted("q_partitioned_scan")) queries.Coverage.warmFixtures(spark, sfDir)
+    if (wanted("op_schema_diff")) queries.Ops.warmFixtures(spark, sfDir)
     if (wanted("sim_ivfpq_stored")) queries.SimilarityQ.warmFixtures(spark, sfDir)
     // warmup (page-cache pass + streaming init + fixture-layout prep) is
     // reported separately so cross-round totals stay comparable as fixture

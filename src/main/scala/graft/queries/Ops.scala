@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Declared, Tables}
-import graft.operators.{Compare, Convert, ParquetMeta, SchemaOp}
+import graft.operators.{Compare, Convert, ParquetMeta, SchemaDiff, SchemaOp}
 import org.apache.spark.sql.functions._
 
 /** The reference's native operators (SURVEY §2.A), each declared as a judged
@@ -380,9 +380,60 @@ object Ops {
       "concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber, l_returnflag, l_linestatus)")}) AS BIGINT) AS digest
       FROM lineitem"""))
 
+  /** The evolved-snapshot side of [[schemaDiffQ]] is FIXTURE (a v2 of the
+    * events table: props dropped, session_id added, value narrowed to
+    * float), written once per (session, dir) — the diff itself reads only
+    * footers.
+    */
+  private val diffRightFor = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def schemaDiffRight(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = Tables.scratch("schema_diff_right.parquet")
+    Tables.cachedFixture(diffRightFor, dir)(
+      new java.io.File(out, "_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .drop("props")
+        .withColumn("value", col("value").cast("float"))
+        .withColumn("session_id", concat(lit("s"), col("user_id")))
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** Bench warmup hook: pre-write the evolved-snapshot fixture. */
+  private[graft] def warmFixtures(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    schemaDiffRight(s, dir); ()
+  }
+
+  /** Schema drift report between two snapshots of the events table
+    * ([[graft.operators.SchemaDiff]]): added / removed / type_changed /
+    * same per column, from footers only. The oracle rebuilds both sides
+    * with DuckDB's DESCRIBE over the same files — engine-internal type
+    * spellings agree because [[SchemaOp.ansiTypeName]] uses the ANSI names.
+    */
+  val schemaDiffQ = Declared(
+    "op_schema_diff",
+    (s, dir) => SchemaDiff.diff(
+      s, t(s, dir, "events"), s.read.parquet(schemaDiffRight(s, dir))),
+    Some(s"""WITH l AS (
+        SELECT column_name, column_type AS left_type
+        FROM (DESCRIBE SELECT * FROM events)),
+      r AS (
+        SELECT column_name, column_type AS right_type
+        FROM (DESCRIBE SELECT * FROM read_parquet(
+          '${Tables.scratch("schema_diff_right.parquet")}/*.parquet')))
+      SELECT column_name, left_type, right_type,
+        CASE WHEN left_type IS NULL THEN 'added'
+             WHEN right_type IS NULL THEN 'removed'
+             WHEN left_type <> right_type THEN 'type_changed'
+             ELSE 'same' END AS status
+      FROM l FULL OUTER JOIN r USING (column_name)
+      ORDER BY column_name"""))
+
   val all: Seq[Declared] = Seq(
     view, schemaQ, countQ, convertRoundtrip, csvRoundtrip, jsonRoundtrip,
     orcRoundtrip, avroRoundtrip,
     compareEqual, compareDiff, compareEpsilon, compareKeyed, compareFirstDiff,
-    tableDigest, infoSchema, parquetMeta)
+    tableDigest, infoSchema, parquetMeta, schemaDiffQ)
 }

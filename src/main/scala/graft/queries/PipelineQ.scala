@@ -553,8 +553,54 @@ object PipelineQ {
         CAST(sum(CASE WHEN rn <= 30 THEN 0 ELSE n_chars END) AS BIGINT) AS dropped_chars
       FROM ranked GROUP BY source ORDER BY source"""))
 
+  /** Token-budget epoch schedule — [[mixTemperature]] answers "what share
+    * of the mixture is each stratum"; this answers the follow-up a real
+    * pretraining run asks: "given a TOTAL token budget, how many times will
+    * each stratum's data be repeated?" epochs = budget·weight / tokens_have.
+    * Small low-resource strata get up-weighted by the temperature rule and
+    * therefore repeat more — the readout flags strata pushed past 4 epochs,
+    * the point where repetition stops helping (the data-constrained-scaling
+    * rule of thumb). Everything folds to one row per (source, lang) before
+    * any arithmetic; tokens are approximated as chars/4 (the fixture has no
+    * tokenizer), stated here because the oracle reproduces it exactly.
+    */
+  val mixEpochs = Declared(
+    "mix_epochs",
+    (s, dir) => {
+      val strata = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(floor(sum(col("n_chars")) / 4.0).cast("long").as("tokens_have"))
+      val z = strata.agg(
+        sum(pow(col("tokens_have"), 0.5)).as("z"),
+        // budget: 2x the corpus — forces some strata over the repeat cap
+        (sum(col("tokens_have")) * 2).as("budget"))
+      strata.crossJoin(broadcast(z))
+        .withColumn("weight", pow(col("tokens_have"), 0.5) / col("z"))
+        .select(
+          col("source"), col("lang"), col("tokens_have"),
+          round(col("weight"), 6).as("weight"),
+          floor(col("budget") * col("weight")).cast("long").as("tokens_target"),
+          round(col("budget") * col("weight") / col("tokens_have"), 4).as("epochs"),
+          (col("budget") * col("weight") / col("tokens_have") > 4.0).as("over_repeat_cap"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""WITH strata AS (
+        SELECT source, lang,
+          CAST(floor(sum(n_chars) / 4.0) AS BIGINT) AS tokens_have
+        FROM documents GROUP BY source, lang),
+      z AS (
+        SELECT sum(pow(tokens_have, 0.5)) AS z,
+          CAST(sum(tokens_have) * 2 AS BIGINT) AS budget
+        FROM strata)
+      SELECT source, lang, tokens_have,
+        round(pow(tokens_have, 0.5) / z.z, 6) AS weight,
+        CAST(floor(budget * (pow(tokens_have, 0.5) / z.z)) AS BIGINT) AS tokens_target,
+        round(budget * (pow(tokens_have, 0.5) / z.z) / tokens_have, 4) AS epochs,
+        budget * (pow(tokens_have, 0.5) / z.z) / tokens_have > 4.0 AS over_repeat_cap
+      FROM strata CROSS JOIN z ORDER BY source, lang"""))
+
   val all: Seq[Declared] = Seq(
     decontaminate, packSequences, embedOutliers, corpusTerms, textRepetition,
     mixSample, chunkDocuments, sampleStratified, curriculumOrder,
-    mixTemperature, heavyHitters, vocabCoverage, domainCap)
+    mixTemperature, heavyHitters, vocabCoverage, domainCap, mixEpochs)
 }

@@ -458,7 +458,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_cooccurrence", // 1-row broadcast distinct-user total
     "events_attribution", // 1-row broadcast purchase-total scalar
     "dq_expectations",   // three 1-row rule aggregates stacked into a ledger
-    "dq_drift_psi"       // 1-row broadcast window-cutoff scalar
+    "dq_drift_psi",      // 1-row broadcast window-cutoff scalar
+    "mix_epochs"         // 1-row global normalizer + budget broadcast
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
