@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   *   compare <f1> <f2> [--epsilon e] [--no-header-row] [--key c1,c2]
   *   describe <file> [--columns c1,c2]          (extension: per-column stats)
   *   compact <inDir> <outDir> [--target-mb N]   (extension: small-file rewrite)
+  *   schema-diff <left> <right>                 (extension: evolution report, exit -1 on drift)
   *
   * `compare --key` routes to the order-free keyed compare
   * ([[Compare.summarizeByKey]]) — one full-outer equi-join, no global sort or
@@ -187,10 +188,19 @@ object Main {
       println(s"files: $before -> $after")
       0
 
+    case "schema-diff" :: rest =>
+      // extension: schema evolution report between two snapshots — exit -1
+      // when schemas differ (gate semantics mirroring compare's)
+      val ps = required(positional(rest), 2, "schema-diff <left> <right>")
+      val d = SchemaDiff.diff(spark, Formats.read(spark, ps(0)), Formats.read(spark, ps(1)))
+      d.show(1000, truncate = false)
+      if (d.filter(org.apache.spark.sql.functions.col("status") =!=
+        "same").isEmpty) 0 else -1
+
     case other =>
       System.err.println(s"unknown command: ${other.headOption.getOrElse("")}")
       System.err.println(
-        "commands: view schema count convert query view-parquet-meta compare describe compact")
+        "commands: view schema count convert query view-parquet-meta compare describe compact schema-diff")
       1
   }
 }

@@ -150,6 +150,17 @@ class CliExtensionSpec extends AnyFunSuite {
       List("compact", in, out, "--target-mb", "512")) == 0)
     assert(spark.read.parquet(out).count() == 1000L)
   }
+
+  test("schema-diff CLI verb: exit 0 on same schema, -1 on drift") {
+    val a = Tables.scratch("cli_sdiff_a")
+    val b = Tables.scratch("cli_sdiff_b")
+    spark.range(10).toDF("v").write.mode("overwrite").parquet(a)
+    spark.range(10).toDF("v")
+      .withColumn("extra", org.apache.spark.sql.functions.lit("x"))
+      .write.mode("overwrite").parquet(b)
+    assert(graft.cli.Main.dispatch(spark, List("schema-diff", a, a)) == 0)
+    assert(graft.cli.Main.dispatch(spark, List("schema-diff", a, b)) == -1)
+  }
 }
 
 /** Exactly-once across a RESTART: the property that makes Structured
