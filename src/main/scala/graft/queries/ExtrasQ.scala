@@ -344,6 +344,33 @@ object ExtrasQ {
     * "latest event per user" table ([[StreamingOps.foreachBatchUpsert]]).
     * Oracle is the batch argmax per user over the same events.
     */
+  /** Streaming data-quality gate ([[StreamingOps.qualityGate]]): per-batch
+    * rule scoring merged into a running violation ledger; row-local rules
+    * make sum-over-batches ≡ whole-table evaluation, which is what the
+    * oracle recomputes.
+    */
+  val streamQualityGate = Declared(
+    "stream_quality_gate",
+    (s, dir) => StreamingOps.qualityGate(s, dir),
+    Some("""WITH scan AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN event_type NOT IN
+            ('click','error','purchase','signup','view') THEN 1 ELSE 0 END)
+            AS BIGINT) AS v_type,
+          CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ts,
+          CAST(sum(CASE WHEN user_id <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_uid,
+          CAST(sum(CASE WHEN value < 0 OR value > 100 THEN 1 ELSE 0 END)
+            AS BIGINT) AS v_range
+        FROM events),
+      ledger AS (
+        SELECT 'event_type_known' AS check_name, n AS n_checked, v_type AS n_violations FROM scan
+        UNION ALL SELECT 'ts_not_null', n, v_ts FROM scan
+        UNION ALL SELECT 'user_id_positive', n, v_uid FROM scan
+        UNION ALL SELECT 'value_in_0_100', n, v_range FROM scan)
+      SELECT check_name, n_checked, n_violations,
+        n_violations = 0 AS passed
+      FROM ledger ORDER BY check_name"""))
+
   val streamUpsert = Declared(
     "stream_upsert",
     (s, dir) => StreamingOps.foreachBatchUpsert(s, dir),
@@ -361,5 +388,5 @@ object ExtrasQ {
     mmCatalog, mmFrames, mmBlob, mmDecode, mmResize, rollingHashQ, streamWindow,
     streamWindowSliding, streamWindowAppend, streamDedup, streamStaticJoin,
     streamStreamJoin, streamStreamOuter, streamSessionize,
-    streamIncrementalDedup, streamTopk, streamUpsert)
+    streamIncrementalDedup, streamTopk, streamUpsert, streamQualityGate)
 }

@@ -632,4 +632,88 @@ object StreamingOps {
         .orderBy(col("user_id")))
       .getOrElse(spark.emptyDataFrame)
   }
+
+  // running per-rule violation ledger maintained by qualityGate's
+  // foreachBatch: (last merged batchId, rule -> counters). Same replay
+  // discipline as the upsert sink — additive counters double-count on a
+  // crash-replayed batch unless gated.
+  @volatile private var gateState: Option[(Long, DataFrame)] = None
+  private[graft] def gateReset(): Unit = gateState = None
+  private[graft] def gateSnapshot: Option[DataFrame] = gateState.map(_._2)
+
+  /** Per-batch rule evaluation: each row-LOCAL rule folds to one
+    * conditional-sum counter inside the batch's single aggregate, stacks to
+    * a (check_name, n_checked, n_violations) ledger and merges additively
+    * into the running ledger. Row-local rules are what keeps the gate
+    * streaming-safe: counters are associative, so sum-over-batches equals
+    * the whole-table evaluation no matter how the stream is chopped —
+    * exactly the property the declared oracle checks.
+    */
+  private[graft] def gateStep(batchId: Long, batch: DataFrame): Unit =
+    gateState match {
+      case Some((last, _)) if batchId <= last => // replayed batch: skip
+      case cur =>
+        val ledger = batch
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("event_type").isin(
+              "click", "error", "purchase", "signup", "view"), 0L)
+              .otherwise(1L)).as("v_type"),
+            sum(when(col("ts").isNull, 1L).otherwise(0L)).as("v_ts"),
+            sum(when(col("user_id") <= 0, 1L).otherwise(0L)).as("v_uid"),
+            sum(when(col("value") < 0 || col("value") > 100, 1L)
+              .otherwise(0L)).as("v_range"))
+          .selectExpr("n", """stack(4,
+              'event_type_known', v_type,
+              'ts_not_null', v_ts,
+              'user_id_positive', v_uid,
+              'value_in_0_100', v_range) AS (check_name, n_violations)""")
+          .select(col("check_name"), col("n").as("n_checked"), col("n_violations"))
+        val merged = cur.map(_._2) match {
+          case Some(t) => t.unionByName(ledger)
+            .groupBy(col("check_name"))
+            .agg(
+              sum(col("n_checked")).as("n_checked"),
+              sum(col("n_violations")).as("n_violations"))
+          case None => ledger
+        }
+        gateState = Some((batchId, merged.localCheckpoint(true)))
+    }
+
+  /** Streaming data-quality gate — the foreachBatch twin of the batch
+    * dq_expectations: every micro-batch is scored against the rule battery
+    * ON ARRIVAL (one conditional-sum aggregate per batch — no state store,
+    * no shuffle beyond the 1-row fold) and merged into a running violation
+    * ledger a deployment would alert on. Because every rule is row-local,
+    * the ledger after the replay equals the batch evaluation of the whole
+    * table — the oracle recomputes exactly that. The batchId gate keeps the
+    * additive counters replay-idempotent; QualityGateReplaySpec pins both
+    * the multi-batch sum and the replay skip.
+    */
+  def qualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(
+        col("event_type"), col("user_id"), col("value"),
+        Tables.eventTsCol(rawSchema, "timestamp_ntz").as("ts"))
+    gateReset()
+    runTuned(spark, scanParts) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          gateStep(batchId, batch.toDF())
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    gateSnapshot
+      .map(_.withColumn("passed", col("n_violations") === 0L)
+        .orderBy(col("check_name")))
+      .getOrElse(spark.emptyDataFrame)
+  }
 }

@@ -527,6 +527,52 @@ class UpsertReplaySpec extends AnyFunSuite {
   }
 }
 
+/** Streaming DQ gate: additive counters must sum correctly across batches
+  * and stay replay-idempotent — the two properties that make the running
+  * ledger equal the batch evaluation after any chop of the stream.
+  */
+class QualityGateReplaySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import graft.streaming.StreamingOps
+
+  private def batch(rows: Seq[(String, Long, Double, String)]) = {
+    import spark.implicits._
+    rows.toDF("event_type", "user_id", "value", "ts_str")
+      .withColumn("ts", col("ts_str").cast("timestamp_ntz")).drop("ts_str")
+  }
+
+  test("ledger sums across batches and skips replayed batchIds") {
+    StreamingOps.gateReset()
+    // batch 0: one bad type + one range violation; batch 1: one bad uid
+    StreamingOps.gateStep(0L, batch(Seq(
+      ("view", 1L, 10.0, "2024-01-01 10:00:00"),
+      ("BOGUS", 2L, 20.0, "2024-01-01 10:01:00"),
+      ("click", 3L, 500.0, "2024-01-01 10:02:00"))))
+    StreamingOps.gateStep(1L, batch(Seq(
+      ("purchase", -7L, 30.0, "2024-01-01 11:00:00"))))
+    def readout = StreamingOps.gateSnapshot.get
+      .orderBy(col("check_name"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = Seq(
+      ("event_type_known", 4L, 1L),
+      ("ts_not_null", 4L, 0L),
+      ("user_id_positive", 4L, 1L),
+      ("value_in_0_100", 4L, 1L))
+    assert(readout == expected, s"cross-batch ledger diverged: $readout")
+
+    // crash-replay of batch 1 must not double-count
+    StreamingOps.gateStep(1L, batch(Seq(
+      ("purchase", -7L, 30.0, "2024-01-01 11:00:00"))))
+    assert(readout == expected, "replayed batch was counted twice")
+
+    // a fresh batch still lands
+    StreamingOps.gateStep(2L, batch(Seq(
+      ("view", 9L, 1.0, "2024-01-01 12:00:00"))))
+    assert(readout.head == ("event_type_known", 5L, 1L))
+  }
+}
+
 /** The persisted IVF-PQ index is partitioned by coarse cell so a probe is a
   * partition-pruned scan: this pins that the codes scan carries a static
   * cell PartitionFilter and lists only the 2 probed directories of 4 —
