@@ -371,6 +371,19 @@ object ExtrasQ {
         n_violations = 0 AS passed
       FROM ledger ORDER BY check_name"""))
 
+  /** Streaming distinct-user HLL ([[StreamingOps.distinctUsersStream]]):
+    * per-batch sketch partials unioned into O(types × 2^lgK) state; the
+    * oracle recomputes the exact counts and pins the 5% estimate contract
+    * (DuckDB has no Datasketches HLL — q_hll_sketch's convention).
+    */
+  val streamHllUsers = Declared(
+    "stream_hll_users",
+    (s, dir) => StreamingOps.distinctUsersStream(s, dir),
+    Some("""SELECT event_type,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      true AS est_within_5pct
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val streamUpsert = Declared(
     "stream_upsert",
     (s, dir) => StreamingOps.foreachBatchUpsert(s, dir),
@@ -388,5 +401,6 @@ object ExtrasQ {
     mmCatalog, mmFrames, mmBlob, mmDecode, mmResize, rollingHashQ, streamWindow,
     streamWindowSliding, streamWindowAppend, streamDedup, streamStaticJoin,
     streamStreamJoin, streamStreamOuter, streamSessionize,
-    streamIncrementalDedup, streamTopk, streamUpsert, streamQualityGate)
+    streamIncrementalDedup, streamTopk, streamUpsert, streamQualityGate,
+    streamHllUsers)
 }

@@ -716,4 +716,75 @@ object StreamingOps {
         .orderBy(col("check_name")))
       .getOrElse(spark.emptyDataFrame)
   }
+
+  // running per-type HLL user sketch maintained by distinctUsersStream.
+  // NO batchId gate here, deliberately: HLL union is a per-register max, so
+  // re-merging a replayed batch's sketch is a no-op by construction — the
+  // sketch family's replay story is idempotence, not gating (contrast the
+  // additive counters in gateStep, where the gate is load-bearing).
+  @volatile private var hllState: Option[DataFrame] = None
+  private[graft] def hllReset(): Unit = hllState = None
+  private[graft] def hllSnapshot: Option[DataFrame] = hllState
+
+  private val hllLgK = 12
+
+  /** Fold one micro-batch's per-type user sketch into the running state:
+    * batch → per-type hll_sketch_agg partial (distributed), then union with
+    * the stored sketch column via hll_union_agg. The state is O(types ×
+    * 2^lgK bytes) FOREVER — a running exact countDistinct would hold every
+    * user id ever seen; this is the sketch trade that makes unbounded
+    * streams trackable.
+    */
+  private[graft] def hllStep(batch: DataFrame): Unit = {
+    val delta = batch.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(hllLgK)).as("sk"))
+    val merged = hllState match {
+      case Some(t) => t.unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(hll_union_agg(col("sk")).as("sk"))
+      case None => delta
+    }
+    hllState = Some(merged.localCheckpoint(true))
+  }
+
+  /** Streaming distinct-user tracking — q_hll_sketch's mergeable-partials
+    * pattern applied to an unbounded stream: each micro-batch contributes a
+    * per-type HLL partial, the running state is the union, and the readout
+    * is the estimate next to the batch-computed exact count with the same
+    * 5% contract the batch query pins. Replay-safe WITHOUT a batchId gate
+    * because HLL union is idempotent (per-register max).
+    */
+  def distinctUsersStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("event_type"), col("user_id"))
+    hllReset()
+    runTuned(spark, scanParts) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          hllStep(batch.toDF())
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val exact = Tables.t(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    hllSnapshot
+      .map(_.select(
+        col("event_type"), hll_sketch_estimate(col("sk")).as("est"))
+        .join(exact, "event_type")
+        .select(
+          col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")).cast("double") /
+            col("exact_users").cast("double") <= 0.05).as("est_within_5pct"))
+        .orderBy(col("event_type")))
+      .getOrElse(spark.emptyDataFrame)
+  }
 }

@@ -571,6 +571,28 @@ class QualityGateReplaySpec extends AnyFunSuite {
       ("view", 9L, 1.0, "2024-01-01 12:00:00"))))
     assert(readout.head == ("event_type_known", 5L, 1L))
   }
+
+  test("HLL stream state is replay-idempotent without a batchId gate") {
+    import spark.implicits._
+    StreamingOps.hllReset()
+    val b = Seq(("view", 1L), ("view", 2L), ("click", 3L))
+      .toDF("event_type", "user_id")
+    StreamingOps.hllStep(b)
+    def est = StreamingOps.hllSnapshot.get
+      .select(col("event_type"),
+        hll_sketch_estimate(col("sk")).as("e"))
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val first = est
+    assert(first == Seq(("click", 1L), ("view", 2L)))
+    // re-merging the identical batch's sketch must not move any estimate:
+    // HLL union is a per-register max, so replay is a no-op by construction
+    StreamingOps.hllStep(b)
+    assert(est == first, "replayed sketch merge changed the estimates")
+    // new users still register
+    StreamingOps.hllStep(Seq(("click", 4L)).toDF("event_type", "user_id"))
+    assert(est == Seq(("click", 2L), ("view", 2L)))
+  }
 }
 
 /** The persisted IVF-PQ index is partitioned by coarse cell so a probe is a
