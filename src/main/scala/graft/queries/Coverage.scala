@@ -343,8 +343,43 @@ object Coverage {
       FROM read_parquet('${Tables.verifySfDir}/documents.parquet', filename = true)
       GROUP BY file, has_size ORDER BY file"""))
 
+  /** Partition-health report — the layout observability a partitioned
+    * warehouse runs nightly: per partition, how many files, how many rows,
+    * and the rows-per-file density that tells you which partitions need
+    * [[graft.operators.Compact]]. Built on the hidden `_metadata` columns
+    * (q_metadata_cols' provenance surface) so it stays a DISTRIBUTED scan —
+    * one (partition, file) fold, then a per-partition rollup; no driver
+    * directory walk at any partition count. The oracle reproduces it with
+    * DuckDB's filename-attributed read over the same directory.
+    */
+  val partitionReport = Declared(
+    "op_partition_report",
+    (s, dir) => {
+      val out = partitionedEvents(s, dir)
+      s.read.parquet(out)
+        .select(col("event_type"), col("_metadata.file_name").as("f"))
+        .groupBy(col("event_type"), col("f"))
+        .agg(count(lit(1)).as("rows_in_file"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(col("rows_in_file")).as("n_rows"),
+          floor(sum(col("rows_in_file")) / count(lit(1))).cast("long")
+            .as("avg_rows_per_file"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH per_file AS (
+        SELECT event_type, filename AS f, CAST(count(*) AS BIGINT) AS rows_in_file
+        FROM read_parquet('${Tables.scratch("partitioned_events")}/*/*.parquet',
+          filename = true, hive_partitioning = true)
+        GROUP BY event_type, filename)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_files,
+        CAST(sum(rows_in_file) AS BIGINT) AS n_rows,
+        CAST(floor(sum(rows_in_file) / count(*)) AS BIGINT) AS avg_rows_per_file
+      FROM per_file GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Declared] = Seq(
     offset, nullsOrder, nullHandling, tryCast, predicates, unpivot,
     nullSafeJoin, partitionedScan, dppPrune, schemaEvolution, queryRunnerQ,
-    saltedAgg, metadataCols)
+    saltedAgg, metadataCols, partitionReport)
 }
