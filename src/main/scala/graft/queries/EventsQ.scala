@@ -559,8 +559,60 @@ object EventsQ {
       FROM credited WHERE event_type = 'purchase'
       GROUP BY touch ORDER BY touch"""))
 
+  /** A/B readout: two-proportion z-test between the experiment arms (variant
+    * = user_id % 2, the standard deterministic assignment hash) on the
+    * power-user conversion "≥14 purchase events". Two stacked hash aggregates
+    * — per-(variant, user) purchase counts shuffle once on the user key, then
+    * the four arm totals fold with map-side partial combine into ONE row —
+    * and the z statistic is plain arithmetic over four exact longs, so the
+    * whole significance test costs one shuffle of user-cardinality rows at
+    * any event volume. Rates are exact ratios of longs; only the final
+    * sqrt-bearing z is rounded (4 dp).
+    */
+  val abTest = Declared(
+    "events_ab_test",
+    (s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14, 1L)
+          .otherwise(0L).as("conv"))
+      val wide = perUser.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("x_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("x_b"))
+      val pa = col("x_a").cast("double") / col("n_a")
+      val pb = col("x_b").cast("double") / col("n_b")
+      val pp = (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b"))
+      wide.select(
+        col("n_a"), col("x_a"), round(pa, 6).as("rate_a"),
+        col("n_b"), col("x_b"), round(pb, 6).as("rate_b"),
+        round((pa - pb) /
+          sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))),
+          4).as("z_score"))
+    },
+    Some("""WITH per_user AS (
+        SELECT user_id % 2 AS variant, user_id,
+          CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+               THEN 1 ELSE 0 END AS conv
+        FROM events GROUP BY 1, 2),
+      wide AS (
+        SELECT
+          CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+          CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        FROM per_user)
+      SELECT n_a, x_a, round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+        n_b, x_b, round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+        round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
+          sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+            * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+            * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
+      FROM wide"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
-    transitions, cooccurrence, attribution)
+    transitions, cooccurrence, attribution, abTest)
 }

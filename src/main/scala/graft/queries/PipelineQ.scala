@@ -599,8 +599,43 @@ object PipelineQ {
         budget * (pow(tokens_have, 0.5) / z.z) / tokens_have > 4.0 AS over_repeat_cap
       FROM strata CROSS JOIN z ORDER BY source, lang"""))
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res): each
+    * row draws priority u^(1/w) from a deterministic uniform u ∈ (0,1] (salted
+    * portable hash of its identity, same determinism discipline as
+    * split_train_val) with weight w = n_chars, and the sample IS the global
+    * top-k by priority — longer documents proportionally likelier, any k
+    * without a pre-pass over the weights. Spark-first this is a
+    * TakeOrderedAndProject: per-partition top-k folds map-side and only
+    * k rows per partition reach the driver-side merge, so the operator never
+    * shuffles the corpus — the at-scale shape for "sample 10k docs from 10B
+    * weighted by length". Priorities are rounded to 9 decimals before the
+    * order (doc_id tiebreak) so a last-ulp pow() difference between engines
+    * cannot flip the selection.
+    */
+  val sampleWeighted = Declared(
+    "sample_weighted",
+    (s, dir) => {
+      val u = (graft.functions.Hashing
+        .md5Hash32(concat(col("doc_id").cast("string"), lit("|wsample")))
+        .cast("double") + 1.0) / 4294967296.0
+      val priority = round(pow(u, lit(1.0) / col("n_chars").cast("double")), 9)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), priority.as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""SELECT doc_id, lang, n_chars, priority FROM (
+        SELECT doc_id, lang, n_chars,
+          round(pow(
+            (CAST(${graft.functions.Hashing.md5Hash32DuckSql("CAST(doc_id AS VARCHAR) || '|wsample'")} AS DOUBLE) + 1.0)
+              / 4294967296.0,
+            1.0 / CAST(n_chars AS DOUBLE)), 9) AS priority
+        FROM documents) p
+      ORDER BY priority DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Declared] = Seq(
     decontaminate, packSequences, embedOutliers, corpusTerms, textRepetition,
     mixSample, chunkDocuments, sampleStratified, curriculumOrder,
-    mixTemperature, heavyHitters, vocabCoverage, domainCap, mixEpochs)
+    mixTemperature, heavyHitters, vocabCoverage, domainCap, mixEpochs,
+    sampleWeighted)
 }

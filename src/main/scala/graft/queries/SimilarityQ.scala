@@ -945,8 +945,54 @@ object SimilarityQ {
         round((SELECT count(*) FROM adc JOIN exact10 USING (vec_id)) / 10.0, 2)
           AS recall_at_10"""))
 
+  /** Fixed ±1 sign for Rademacher random-projection cell (i, j): derived from
+    * md5 of the cell coordinates at PLAN BUILD time (driver-side, once), so
+    * both engines receive the identical literal matrix and neither hashes
+    * per row.
+    */
+  private def rpSign(i: Int, j: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp|$i|$j".getBytes("UTF-8"))
+    if ((d(0) & 1) == 0) 1 else -1
+  }
+
+  /** Johnson–Lindenstrauss random projection 64 → 4 dims with a Rademacher
+    * (±1/√64) matrix (Achlioptas 2003 — database-friendly random
+    * projections): out_j = Σ_i ±emb_i / 8. The projection is an unrolled
+    * literal expression — 64 sign-flips and adds per output dim, fully
+    * inside whole-stage codegen, no shuffle, no per-row hashing — which is
+    * the map-side shape that shrinks a 100 TB float corpus 16× before any
+    * downstream ANN/clustering pass. Every term is a float widened exactly
+    * to double and the add order is fixed left-to-right in both engines, so
+    * the projection is bit-identical cross-engine (rounded 6 dp anyway).
+    */
+  val embedProjectRp = Declared(
+    "embed_project_rp",
+    (sess, dir) => {
+      def dim(j: Int) = {
+        val terms = (0 until 64).map { i =>
+          val e = s"CAST(element_at(embedding, ${i + 1}) AS DOUBLE)"
+          if (rpSign(i, j) == 1) s"($e)" else s"(-$e)"
+        }.mkString(" + ")
+        round(expr(s"($terms) / 8.0"), 6).as(s"p$j")
+      }
+      t(sess, dir, "embeddings")
+        .select(col("vec_id") +: (0 until 4).map(dim): _*)
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val dims = (0 until 4).map { j =>
+        val terms = (0 until 64).map { i =>
+          val e = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+          if (rpSign(i, j) == 1) s"($e)" else s"(-$e)"
+        }.mkString(" + ")
+        s"round(($terms) / 8.0, 6) AS p$j"
+      }
+      s"SELECT vec_id, ${dims.mkString(", ")} FROM embeddings ORDER BY vec_id"
+    })
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
-      ivfPq, ivfPqStored, ivfPqRecall)
+      ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp)
 }

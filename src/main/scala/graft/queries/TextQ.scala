@@ -729,8 +729,85 @@ object TextQ {
       FROM documents d LEFT JOIN per_doc p USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** Zipf-law fit of the corpus term distribution: log-log regression of
+    * frequency against rank over the top-100 alphabetic terms — the one-row
+    * corpus-health readout that flags a crawl whose vocabulary curve has
+    * collapsed (boilerplate flood) or flattened (random noise). Term counts
+    * are one hash aggregate over the exploded words (map-side combined); the
+    * global rank window then runs over the VOCABULARY, not the corpus —
+    * Heaps'-law bounded, millions of rows at 100 TB where the corpus is
+    * trillions — and the regression folds the ≤100 surviving rows. Counts
+    * are exact longs; only the ln/regr readout is floating (rounded 4 dp).
+    */
+  val zipf = Declared(
+    "corpus_zipf",
+    (s, dir) => {
+      val wr = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occ").desc, col("w"))
+      t(s, dir, "documents")
+        .select(explode(TextFns.words(col("text"))).as("w0"))
+        .select(lower(col("w0")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_occ"))
+        .withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= 100)
+        .agg(
+          count(lit(1)).as("n_terms"),
+          round(expr("regr_slope(ln(CAST(n_occ AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"), 4)
+            .as("zipf_slope"),
+          round(expr("regr_r2(ln(CAST(n_occ AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"), 4)
+            .as("zipf_r2"))
+    },
+    Some("""WITH w AS (
+        SELECT lower(unnest(string_split_regex(trim(text), '\s+'))) AS w FROM documents),
+      cnt AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_occ FROM w
+        WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+      ranked AS (
+        SELECT n_occ, row_number() OVER (ORDER BY n_occ DESC, w) AS rnk FROM cnt)
+      SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        round(regr_slope(ln(CAST(n_occ AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS zipf_slope,
+        round(regr_r2(ln(CAST(n_occ AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS zipf_r2
+      FROM ranked WHERE rnk <= 100"""))
+
+  /** Sentence segmentation stats: per-document sentence count and mean/max
+    * sentence length from a regex split on terminal punctuation, with empty
+    * segments (trailing terminators, punctuation runs) dropped on both
+    * engines. Pure per-row higher-order-function work — split, filter,
+    * transform, fold all inside whole-stage codegen, zero shuffle — the
+    * sentence-shape feature a quality classifier consumes next to
+    * text_quality's token ratios. nullif guards the no-sentence edge so an
+    * all-punctuation document yields null, not a NaN that hash-splits the
+    * engines.
+    */
+  val sentenceStats = Declared(
+    "text_sentence_stats",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("lens",
+          expr("transform(filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)," +
+            " x -> length(trim(x)))"))
+        .select(
+          col("doc_id"),
+          size(col("lens")).as("n_sentences"),
+          round(expr("aggregate(lens, 0, (a, x) -> a + x)").cast("double") /
+            nullif(size(col("lens")), lit(0)), 4).as("avg_sent_chars"),
+          expr("array_max(lens)").as("max_sent_chars"))
+        .orderBy(col("doc_id")),
+    Some("""WITH s AS (
+        SELECT doc_id,
+          list_transform(
+            list_filter(string_split_regex(text, '[.!?]+'), x -> length(trim(x)) > 0),
+            x -> length(trim(x))) AS lens
+        FROM documents)
+      SELECT doc_id, CAST(len(lens) AS INTEGER) AS n_sentences,
+        round(CAST(list_sum(lens) AS DOUBLE) / nullif(len(lens), 0), 4) AS avg_sent_chars,
+        CAST(list_max(lens) AS INTEGER) AS max_sent_chars
+      FROM s ORDER BY doc_id"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
-    boilerplate, bpePairs, lineDedup, bigramNll)
+    boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats)
 }
