@@ -611,8 +611,52 @@ object EventsQ {
             * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
       FROM wide"""))
 
+  /** Winsorization: clamp the value column to its per-type [P1, P99] band and
+    * report the mean shift — the outlier-robust normalization a feature
+    * pipeline applies before any scale-sensitive model. Two passes by
+    * necessity (the cutoffs must exist before anything can clamp): pass one
+    * folds exact percentiles per type, pass two re-scans with the ≤|types|
+    * cutoff table BROADCAST back — so at 100 TB the operator costs one
+    * percentile shuffle plus one map-side scan, never a sort of the fact
+    * table. percentile ↔ quantile_cont is the established cross-engine pair
+    * (q_agg_percentile); the clamp itself is exact double min/max.
+    */
+  val winsorize = Declared(
+    "events_winsorize",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val cuts = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.01)").as("p01"),
+        expr("percentile(value, 0.99)").as("p99"))
+      val wv = least(greatest(col("value"), col("p01")), col("p99"))
+      ev.join(broadcast(cuts), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          round(min(col("p01")), 6).as("p01"),
+          round(min(col("p99")), 6).as("p99"),
+          sum(when(col("value") < col("p01") || col("value") > col("p99"), 1L)
+            .otherwise(0L)).as("n_clipped"),
+          round(avg(col("value")), 6).as("mean_raw"),
+          round(avg(wv), 6).as("mean_wins"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH cuts AS (
+        SELECT event_type,
+          quantile_cont(value, 0.01) AS p01,
+          quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY 1)
+      SELECT event_type,
+        round(min(p01), 6) AS p01,
+        round(min(p99), 6) AS p99,
+        CAST(sum(CASE WHEN value < p01 OR value > p99 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clipped,
+        round(avg(value), 6) AS mean_raw,
+        round(avg(least(greatest(value, p01), p99)), 6) AS mean_wins
+      FROM events JOIN cuts USING (event_type)
+      GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
-    transitions, cooccurrence, attribution, abTest)
+    transitions, cooccurrence, attribution, abTest, winsorize)
 }

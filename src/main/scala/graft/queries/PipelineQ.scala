@@ -633,9 +633,49 @@ object PipelineQ {
         FROM documents) p
       ORDER BY priority DESC, doc_id LIMIT 20"""))
 
+  /** Leakage-aware temporal split: cut the event stream at a date (train
+    * before, validation after) and report, alongside the per-split event and
+    * user counts, how many USERS appear on both sides — the entity-overlap
+    * readout that tells you whether a per-user model can trust this split or
+    * needs entity-disjoint splitting instead. One hash aggregate folds each
+    * user's side-of-cut event counts (shuffles user-cardinality rows once),
+    * and the five readout sums fold those with map-side partial combine —
+    * the whole audit is two exact-integer aggregates at any event volume.
+    */
+  val splitTemporal = Declared(
+    "split_temporal",
+    (s, dir) => {
+      val cut = expr("timestamp_ntz'2024-01-25 00:00:00'")
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n_train_ev"),
+          sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n_val_ev"))
+      perUser.agg(
+        sum(col("n_train_ev")).as("train_events"),
+        sum(col("n_val_ev")).as("val_events"),
+        sum(when(col("n_train_ev") > 0, 1L).otherwise(0L)).as("train_users"),
+        sum(when(col("n_val_ev") > 0, 1L).otherwise(0L)).as("val_users"),
+        sum(when(col("n_train_ev") > 0 && col("n_val_ev") > 0, 1L).otherwise(0L))
+          .as("leaked_users"))
+    },
+    Some("""WITH per_user AS (
+        SELECT user_id,
+          sum(CASE WHEN ts < TIMESTAMP '2024-01-25' THEN 1 ELSE 0 END) AS n_train_ev,
+          sum(CASE WHEN ts >= TIMESTAMP '2024-01-25' THEN 1 ELSE 0 END) AS n_val_ev
+        FROM events GROUP BY 1)
+      SELECT
+        CAST(sum(n_train_ev) AS BIGINT) AS train_events,
+        CAST(sum(n_val_ev) AS BIGINT) AS val_events,
+        CAST(sum(CASE WHEN n_train_ev > 0 THEN 1 ELSE 0 END) AS BIGINT) AS train_users,
+        CAST(sum(CASE WHEN n_val_ev > 0 THEN 1 ELSE 0 END) AS BIGINT) AS val_users,
+        CAST(sum(CASE WHEN n_train_ev > 0 AND n_val_ev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS leaked_users
+      FROM per_user"""))
+
   val all: Seq[Declared] = Seq(
     decontaminate, packSequences, embedOutliers, corpusTerms, textRepetition,
     mixSample, chunkDocuments, sampleStratified, curriculumOrder,
     mixTemperature, heavyHitters, vocabCoverage, domainCap, mixEpochs,
-    sampleWeighted)
+    sampleWeighted, splitTemporal)
 }

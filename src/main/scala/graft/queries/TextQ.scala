@@ -806,8 +806,131 @@ object TextQ {
         CAST(list_max(lens) AS INTEGER) AS max_sent_chars
       FROM s ORDER BY doc_id"""))
 
+  /** Shared (true lang, predicted lang) confusion CELLS for the classifier
+    * evals: one map-side scoring pass over the corpus folded to ≤ |langs|²
+    * rows — the only full scan either eval pays; everything downstream
+    * (per-class metrics, kappa) is arithmetic over the tiny cell table.
+    */
+  private def confusionCells(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val withScores = t(s, dir, "documents")
+      .withColumn("ws", TextFns.words(col("text")))
+      .select(
+        Seq(col("lang")) ++
+          stopwords.map { case (l, ws) => scoreCol(col("ws"), ws).as(s"s_$l") }: _*)
+    val pred = predictedLang(l => col(s"s_$l"))
+    withScores.select(col("lang"), pred.as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB mirror of [[confusionCells]] as a CTE body. */
+  private def confusionCellsSql: String = {
+    val scores = stopwords.map { case (l, ws) => s"${scoreSql(ws)} AS s_$l" }
+      .mkString(",\n          ")
+    val pred = predictedLangSql(l => s"s_$l")
+    s"""scored AS (
+        SELECT lang,
+          $scores
+        FROM (SELECT lang, string_split_regex(trim(text), '\\s+') AS ws FROM documents)),
+      cells AS (
+        SELECT lang, $pred AS pred, CAST(count(*) AS BIGINT) AS n
+        FROM scored GROUP BY 1, 2)"""
+  }
+
+  /** Classifier evaluation report: per-class precision/recall/F1 of the
+    * language-ID heuristic against the gold `lang` label — the readout a
+    * pipeline runs before trusting any filter model to gate 100 TB of data.
+    * Spark-first the corpus collapses to confusion cells in ONE pass
+    * ([[confusionCells]]); tp/fn fold per TRUE class and fp per PREDICTED
+    * class over those ≤36 rows, so the metric arithmetic costs nothing at
+    * any corpus size. A class never predicted gets null precision (nullif),
+    * and 'und' predictions count as false negatives of their true class
+    * without materializing a row of their own.
+    */
+  val langidReport = Declared(
+    "eval_langid_report",
+    (s, dir) => {
+      val cells = confusionCells(s, dir)
+      val perTrue = cells.groupBy(col("lang").as("cls"))
+        .agg(
+          sum(when(col("pred") === col("lang"), col("n")).otherwise(0L)).as("tp"),
+          sum(when(col("pred") =!= col("lang"), col("n")).otherwise(0L)).as("fn"))
+      val perPred = cells.groupBy(col("pred").as("cls2"))
+        .agg(sum(when(col("pred") =!= col("lang"), col("n")).otherwise(0L)).as("fp"))
+      val p = col("tp").cast("double") / nullif(col("tp") + col("fp"), lit(0L))
+      val r = col("tp").cast("double") / nullif(col("tp") + col("fn"), lit(0L))
+      perTrue.join(perPred, col("cls") === col("cls2"), "left")
+        .select(
+          col("cls"), col("tp"), coalesce(col("fp"), lit(0L)).as("fp"), col("fn"),
+          round(p, 4).as("precision"),
+          round(r, 4).as("recall"),
+          round(lit(2.0) * p * r / nullif(p + r, lit(0.0)), 4).as("f1"))
+        .orderBy(col("cls"))
+    },
+    Some(s"""WITH ${confusionCellsSql},
+      per_true AS (
+        SELECT lang AS cls,
+          CAST(sum(CASE WHEN pred = lang THEN n ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN pred <> lang THEN n ELSE 0 END) AS BIGINT) AS fn
+        FROM cells GROUP BY 1),
+      per_pred AS (
+        SELECT pred AS cls,
+          CAST(sum(CASE WHEN pred <> lang THEN n ELSE 0 END) AS BIGINT) AS fp
+        FROM cells GROUP BY 1)
+      SELECT cls, tp, coalesce(fp, 0) AS fp, fn,
+        round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 4) AS precision,
+        round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 4) AS recall,
+        round(2.0 * (CAST(tp AS DOUBLE) / nullif(tp + fp, 0))
+                  * (CAST(tp AS DOUBLE) / nullif(tp + fn, 0))
+          / nullif(CAST(tp AS DOUBLE) / nullif(tp + fp, 0)
+                 + CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 0.0), 4) AS f1
+      FROM per_true LEFT JOIN per_pred USING (cls)
+      ORDER BY cls"""))
+
+  /** Cohen's kappa of the language-ID heuristic vs the gold label — the
+    * chance-corrected agreement scalar next to eval_langid_report's
+    * per-class view. po (accuracy) and pe (expected agreement, Σ row×col
+    * marginal products / N²) come from the SAME one-pass confusion cells;
+    * every sum stays an exact long and only the final ratio is floating.
+    */
+  val langidKappa = Declared(
+    "eval_langid_kappa",
+    (s, dir) => {
+      val cells = confusionCells(s, dir).localCheckpoint()
+      val tot = cells.agg(
+        sum(col("n")).as("n_docs"),
+        sum(when(col("pred") === col("lang"), col("n")).otherwise(0L)).as("diag"))
+      val rowTot = cells.groupBy(col("lang").as("c")).agg(sum(col("n")).as("rt"))
+      val colTot = cells.groupBy(col("pred").as("c2")).agg(sum(col("n")).as("ct"))
+      val peNum = rowTot.join(colTot, col("c") === col("c2"))
+        .agg(sum(col("rt") * col("ct")).as("pe_num"))
+      val po = col("diag").cast("double") / col("n_docs")
+      val pe = col("pe_num").cast("double") / col("n_docs") / col("n_docs")
+      tot.crossJoin(broadcast(peNum))
+        .select(
+          col("n_docs"),
+          round(po, 6).as("accuracy"),
+          round((po - pe) / (lit(1.0) - pe), 4).as("kappa"))
+    },
+    Some(s"""WITH ${confusionCellsSql},
+      tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN pred = lang THEN n ELSE 0 END) AS BIGINT) AS diag
+        FROM cells),
+      pe AS (
+        SELECT CAST(sum(rt * ct) AS BIGINT) AS pe_num FROM
+          (SELECT lang AS c, CAST(sum(n) AS BIGINT) AS rt FROM cells GROUP BY 1) r
+          JOIN (SELECT pred AS c, CAST(sum(n) AS BIGINT) AS ct FROM cells GROUP BY 1) p
+            USING (c))
+      SELECT n_docs,
+        round(CAST(diag AS DOUBLE) / n_docs, 6) AS accuracy,
+        round((CAST(diag AS DOUBLE) / n_docs - CAST(pe_num AS DOUBLE) / n_docs / n_docs)
+          / (1.0 - CAST(pe_num AS DOUBLE) / n_docs / n_docs), 4) AS kappa
+      FROM tot CROSS JOIN pe"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
-    boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats)
+    boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats,
+    langidReport, langidKappa)
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the evaluation/sampling/projection operators added with the
+  * classifier-eval batch: invariants the oracle's hash compare can't state
+  * (plan shapes, algebraic identities, statistical sanity), checked at
+  * sf0.001.
+  */
+class EvalOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, TestSpark.sf)
+
+  test("sample_weighted plans as TakeOrderedAndProject (no full sort)") {
+    val p = run("sample_weighted").queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("embed_project_rp matches a driver-side recomputation of vector 0") {
+    // independent reimplementation of the plan-build sign matrix
+    def sign(i: Int, j: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp|$i|$j".getBytes("UTF-8"))
+      if ((d(0) & 1) == 0) 1 else -1
+    }
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+      .filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val expected = (0 until 4).map { j =>
+      val s = (0 until 64).map(i => emb(i).toDouble * sign(i, j)).sum / 8.0
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val row = run("embed_project_rp").filter(col("vec_id") === 0).head()
+    (0 until 4).foreach { j =>
+      assert(math.abs(row.getDouble(j + 1) - expected(j)) < 1e-6,
+        s"p$j: got ${row.getDouble(j + 1)}, expected ${expected(j)}")
+    }
+  }
+
+  test("events_ab_test arms partition the user population; z sign tracks rates") {
+    val r = run("events_ab_test").head()
+    val users = Tables.t(spark, TestSpark.sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(r.getLong(0) + r.getLong(3) == users)
+    val (rateA, rateB, z) = (r.getDouble(2), r.getDouble(5), r.getDouble(6))
+    assert((rateA - rateB) * z >= 0.0, "z must have the sign of the rate gap")
+  }
+
+  test("events_winsorize: clamped mean stays inside the band, ~2% clipped") {
+    val counts = Tables.t(spark, TestSpark.sf, "events")
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    run("events_winsorize").collect().foreach { r =>
+      val (et, p01, p99) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val (nClipped, meanW) = (r.getLong(3), r.getDouble(5))
+      assert(meanW >= p01 && meanW <= p99, s"$et: mean_wins outside band")
+      assert(nClipped <= math.ceil(counts(et) * 0.02) + 2, s"$et: clipped too many")
+    }
+  }
+
+  test("split_temporal events total; leakage bounded by the smaller side") {
+    val r = run("split_temporal").head()
+    val total = Tables.t(spark, TestSpark.sf, "events").count()
+    assert(r.getLong(0) + r.getLong(1) == total)
+    assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))
+  }
+
+  test("eval_langid_report marginals re-add to the corpus; recall consistent") {
+    val rows = run("eval_langid_report").collect()
+    val nDocs = Tables.t(spark, TestSpark.sf, "documents").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(3)).sum == nDocs,
+      "sum(tp + fn) over true classes must equal the corpus size")
+    rows.foreach { r =>
+      val (tp, fn, recall) = (r.getLong(1), r.getLong(3), r.getDouble(5))
+      val expect = BigDecimal(tp.toDouble / (tp + fn))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(recall - expect) < 1e-9, s"${r.getString(0)}: recall drifted")
+    }
+  }
+
+  test("eval_langid_kappa: chance correction can only lower the score") {
+    val r = run("eval_langid_kappa").head()
+    val (acc, kappa) = (r.getDouble(1), r.getDouble(2))
+    assert(acc >= 0.0 && acc <= 1.0)
+    assert(kappa <= acc + 1e-9, "kappa > accuracy is impossible for pe >= 0")
+  }
+
+  test("corpus_zipf: frequency falls with rank over a bounded vocab") {
+    val r = run("corpus_zipf").head()
+    assert(r.getLong(0) <= 100)
+    assert(r.getDouble(1) < 0.0, "zipf slope must be negative")
+  }
+
+  test("text_sentence_stats: avg <= max, every fixture doc has a sentence") {
+    val bad = run("text_sentence_stats")
+      .filter(col("n_sentences") < 1 || col("avg_sent_chars") > col("max_sent_chars"))
+      .count()
+    assert(bad == 0)
+  }
+}
