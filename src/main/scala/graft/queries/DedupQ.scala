@@ -1001,9 +1001,57 @@ object DedupQ {
       FROM dirty d LEFT JOIN best b ON d.rec_id = b.rec_id
       GROUP BY d.nation ORDER BY d.nation"""))
 
+  /** Fuzzy eval-set decontamination: corpus documents whose text is a NEAR
+    * duplicate (8-gram Jaccard ≥ 0.5) of any held-out eval document (the
+    * `source = 'src0'` slice, same convention as PipelineQ's exact
+    * decontaminate) — the companion that catches lightly-edited eval
+    * contamination the exact 5-gram match misses. Candidates come from the
+    * SAME shared banded-MinHash snapshot every dedup query consumes (zero
+    * extra corpus passes); orientation keeps pairs crossing the eval
+    * boundary, and a per-corpus-doc top-1 window names each document's
+    * worst offender. At 100 TB the eval side is a vanishing fraction of the
+    * pairs, so this is the banded pipeline's cost plus a broadcast-scale
+    * source join — never an extra all-pairs stage.
+    */
+  val decontaminateFuzzy = Declared(
+    "decontaminate_fuzzy",
+    (s, dir) => {
+      val pairs = ngramPairs(s, dir, None: Option[Long])
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val oriented = pairs
+        .join(src.select(col("doc_id").as("id1"), col("source").as("src1")), "id1")
+        .join(src.select(col("doc_id").as("id2"), col("source").as("src2")), "id2")
+        .filter((col("src1") === "src0") =!= (col("src2") === "src0"))
+        .select(
+          when(col("src1") === "src0", col("id2")).otherwise(col("id1")).as("corpus_doc"),
+          when(col("src1") === "src0", col("id1")).otherwise(col("id2")).as("eval_doc"),
+          col("jaccard"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("corpus_doc")).orderBy(col("jaccard").desc, col("eval_doc"))
+      oriented.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("corpus_doc"), col("eval_doc"), col("jaccard"))
+        .orderBy(col("corpus_doc"))
+    },
+    Some(s"""WITH ${ngramPairCtes("")},
+      src AS (SELECT doc_id, source FROM documents),
+      oriented AS (
+        SELECT
+          CASE WHEN s1.source = 'src0' THEN id2 ELSE id1 END AS corpus_doc,
+          CASE WHEN s1.source = 'src0' THEN id1 ELSE id2 END AS eval_doc,
+          jaccard
+        FROM pairs
+        JOIN src s1 ON s1.doc_id = id1
+        JOIN src s2 ON s2.doc_id = id2
+        WHERE (s1.source = 'src0') <> (s2.source = 'src0'))
+      SELECT corpus_doc, eval_doc, jaccard FROM (
+        SELECT *, row_number() OVER (PARTITION BY corpus_doc
+          ORDER BY jaccard DESC, eval_doc) AS rn
+        FROM oriented) ranked
+      WHERE rn = 1 ORDER BY corpus_doc"""))
+
   val all: Seq[Declared] = Seq(
     exact, exactRows, ngramJaccard, containment, containmentAsym, clusters,
     incremental, incrementalBloom, minhash, simhash, simhashBuckets,
     embedCosine, temporal, winnow, minhashAccuracy, urlDedup, semantic,
-    fuzzyLink)
+    fuzzyLink, decontaminateFuzzy)
 }

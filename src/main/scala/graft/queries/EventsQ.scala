@@ -655,8 +655,55 @@ object EventsQ {
       FROM events JOIN cuts USING (event_type)
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** Forecast backtest: one-step-ahead 3-hour moving-average prediction of
+    * hourly event volume, scored by MAE per type — the honest "how
+    * predictable is this stream" readout behind capacity planning and
+    * anomaly thresholds. The fact table folds to O(types × hours) FIRST
+    * (one hash aggregate with map-side combine); the trailing-frame window
+    * and the error fold then run over that tiny series, so the backtest
+    * costs one fact shuffle at any event volume. Rows lacking three prior
+    * hours are excluded by a frame-count guard, not silently predicted
+    * from a short window.
+    */
+  val forecastSma = Declared(
+    "events_forecast_sma",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val frame = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-3, -1)
+      hourly
+        .withColumn("pred", avg(col("n").cast("double")).over(frame))
+        .withColumn("nprev", count(lit(1)).over(frame))
+        .filter(col("nprev") === 3)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_hours"),
+          round(avg(abs(col("n") - col("pred"))), 4).as("mae"),
+          round(avg(col("pred")), 4).as("mean_pred"),
+          round(avg(col("n").cast("double")), 4).as("mean_actual"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      fc AS (
+        SELECT event_type, n,
+          avg(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pred,
+          count(*) OVER (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS nprev
+        FROM hourly)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        round(avg(abs(n - pred)), 4) AS mae,
+        round(avg(pred), 4) AS mean_pred,
+        round(avg(CAST(n AS DOUBLE)), 4) AS mean_actual
+      FROM fc WHERE nprev = 3
+      GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
-    transitions, cooccurrence, attribution, abTest, winsorize)
+    transitions, cooccurrence, attribution, abTest, winsorize, forecastSma)
 }

@@ -991,8 +991,51 @@ object SimilarityQ {
       s"SELECT vec_id, ${dims.mkString(", ")} FROM embeddings ORDER BY vec_id"
     })
 
+  /** One power-iteration step toward the corpus's top principal direction:
+    * w = Xᵀ(X v₀) from the deterministic unit start v₀ = (1/8, …, 1/8),
+    * reporting ‖w‖ (the Rayleigh-quotient eigenvalue estimate, since
+    * ‖v₀‖ = 1) and the first components of w/‖w‖ — the spectral-structure
+    * readout that tells you whether the embedding cloud has collapsed onto
+    * one axis. Spark-first the matrix never materializes: the per-row dot
+    * x·v₀ is a codegen'd fold (×0.125 is a power of two, so the scalar is
+    * bit-exact cross-engine), and the 64 component sums fold map-side into
+    * ONE row — a single aggregate over one scan, no shuffle of anything
+    * wider than 64 doubles, the shape that iterates to convergence on a
+    * billion-vector corpus at one pass per step.
+    */
+  val pcaPower = Declared(
+    "embed_pca_power",
+    (sess, dir) => {
+      val dot0 = expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * 0.125)")
+      val scored = t(sess, dir, "embeddings").select(col("embedding"), dot0.as("sc"))
+      val sums = (0 until 64).map(i =>
+        sum(element_at(col("embedding"), i + 1).cast("double") * col("sc")).as(s"w_$i"))
+      val w = scored.agg(sums.head, sums.tail: _*)
+      val norm = sqrt((0 until 64).map(i => col(s"w_$i") * col(s"w_$i")).reduce(_ + _))
+      w.select(
+        round(norm, 4).as("eig_est") +:
+          (0 until 4).map(i => round(col(s"w_$i") / norm, 6).as(s"v$i")): _*)
+    },
+    Some {
+      val wCols = (0 until 64)
+        .map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE) * sc) AS w_$i")
+        .mkString(",\n          ")
+      val normSql = s"sqrt(${(0 until 64).map(i => s"w_$i * w_$i").mkString(" + ")})"
+      val vCols = (0 until 4).map(i => s"round(w_$i / $normSql, 6) AS v$i").mkString(", ")
+      s"""WITH scored AS (
+        SELECT embedding,
+          list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.125)) AS sc
+        FROM embeddings),
+      w AS (
+        SELECT
+          $wCols
+        FROM scored)
+      SELECT round($normSql, 4) AS eig_est, $vCols FROM w"""
+    })
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
-      ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp)
+      ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower)
 }

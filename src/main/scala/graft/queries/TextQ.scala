@@ -750,8 +750,12 @@ object TextQ {
         .filter(col("w").rlike("^[a-z]+$"))
         .groupBy(col("w"))
         .agg(count(lit(1)).as("n_occ"))
+        // top-100 FIRST as a TakeOrderedAndProject (distributed top-k over
+        // the vocab), so the global rank window below touches ≤100 rows by
+        // construction — never the full vocabulary on one reducer
+        .orderBy(col("n_occ").desc, col("w"))
+        .limit(100)
         .withColumn("rnk", row_number().over(wr))
-        .filter(col("rnk") <= 100)
         .agg(
           count(lit(1)).as("n_terms"),
           round(expr("regr_slope(ln(CAST(n_occ AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"), 4)
@@ -764,12 +768,13 @@ object TextQ {
       cnt AS (
         SELECT w, CAST(count(*) AS BIGINT) AS n_occ FROM w
         WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+      top AS (SELECT w, n_occ FROM cnt ORDER BY n_occ DESC, w LIMIT 100),
       ranked AS (
-        SELECT n_occ, row_number() OVER (ORDER BY n_occ DESC, w) AS rnk FROM cnt)
+        SELECT n_occ, row_number() OVER (ORDER BY n_occ DESC, w) AS rnk FROM top)
       SELECT CAST(count(*) AS BIGINT) AS n_terms,
         round(regr_slope(ln(CAST(n_occ AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS zipf_slope,
         round(regr_r2(ln(CAST(n_occ AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS zipf_r2
-      FROM ranked WHERE rnk <= 100"""))
+      FROM ranked"""))
 
   /** Sentence segmentation stats: per-document sentence count and mean/max
     * sentence length from a regex split on terminal punctuation, with empty
@@ -928,9 +933,46 @@ object TextQ {
           / (1.0 - CAST(pe_num AS DOUBLE) / n_docs / n_docs), 4) AS kappa
       FROM tot CROSS JOIN pe"""))
 
+  /** Character-level Shannon entropy per document (bits) — the
+    * compressibility proxy a quality filter uses to catch low-entropy
+    * repetitive text (keyboard mash, template floods) and high-entropy noise
+    * (base64 blobs) in one signal. The char explosion folds map-side to
+    * (doc, char) counts — ≤ |alphabet| rows per doc survive the shuffle at
+    * any corpus size — and entropy comes from the single-aggregate identity
+    * H = ln T − (Σ n·ln n)/T, so no per-doc total needs joining back.
+    * The identical expression tree runs on both engines (only the Σ n·ln n
+    * float fold is order-sensitive, rounded 6 dp).
+    */
+  val charEntropy = Declared(
+    "text_char_entropy",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .filter(col("c") =!= "")
+        .groupBy(col("doc_id"), col("c"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_distinct"),
+          round(
+            (log(sum(col("n")).cast("double")) -
+              sum(col("n").cast("double") * log(col("n").cast("double"))) /
+                sum(col("n")).cast("double")) / log(lit(2.0)),
+            6).as("entropy_bits"))
+        .orderBy(col("doc_id")),
+    Some("""WITH hist AS (
+        SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents)
+        WHERE c <> '' GROUP BY 1, 2)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+        round((ln(CAST(sum(n) AS DOUBLE))
+            - sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE))
+          / ln(2.0), 6) AS entropy_bits
+      FROM hist GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
     boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats,
-    langidReport, langidKappa)
+    langidReport, langidKappa, charEntropy)
 }

@@ -99,4 +99,39 @@ class EvalOpsSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("decontaminate_fuzzy flags only non-eval docs, against eval docs") {
+    val rows = run("decontaminate_fuzzy").collect()
+    val srcOf = Tables.t(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      assert(srcOf(r.getLong(0)) != "src0", "corpus side must be outside the eval set")
+      assert(srcOf(r.getLong(1)) == "src0", "matched side must be an eval doc")
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+
+  test("text_char_entropy bounded by the uniform-distribution maximum") {
+    val bad = run("text_char_entropy")
+      .filter(col("entropy_bits") <= 0.0 ||
+        col("entropy_bits") > log2(col("n_distinct").cast("double")) + 1e-6)
+      .count()
+    assert(bad == 0, "entropy must lie in (0, log2(alphabet)]")
+  }
+
+  test("events_forecast_sma: non-negative error, unbiased-ish SMA") {
+    run("events_forecast_sma").collect().foreach { r =>
+      assert(r.getDouble(2) >= 0.0)
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 1.0,
+        s"${r.getString(0)}: SMA mean drifted far from actual mean")
+    }
+  }
+
+  test("embed_pca_power: reported direction components are unit-bounded") {
+    val r = run("embed_pca_power").head()
+    assert(r.getDouble(0) > 0.0, "eigenvalue estimate must be positive")
+    val sq = (1 to 4).map(r.getDouble).map(v => v * v).sum
+    assert(sq <= 1.0 + 1e-9, "first 4 components of a unit vector exceed norm 1")
+  }
 }

@@ -459,7 +459,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_attribution", // 1-row broadcast purchase-total scalar
     "dq_expectations",   // three 1-row rule aggregates stacked into a ledger
     "dq_drift_psi",      // 1-row broadcast window-cutoff scalar
-    "mix_epochs"         // 1-row global normalizer + budget broadcast
+    "mix_epochs",        // 1-row global normalizer + budget broadcast
+    "eval_langid_kappa"  // 1-row accuracy × 1-row expected-agreement scalar
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
@@ -482,9 +483,18 @@ class PlanAuditSpec extends AnyFunSuite {
     * window must be partitioned (global orderings belong to top-k /
     * sort-merge output, not window state).
     */
+  /** Global windows whose input is bounded BY CONSTRUCTION before the window
+    * runs (a LIMIT/top-k upstream), so the single task touches a fixed row
+    * count at any data size.
+    */
+  private val allowedGlobalWindow = Set(
+    "corpus_zipf" // rank over a TakeOrderedAndProject'd top-100 term list
+  )
+
   test("no unpartitioned (single-reducer) window operators anywhere") {
     val offenders = SparkEntry.declared
       .filterNot(d => d.name.startsWith("op_") || d.name.startsWith("stream_"))
+      .filterNot(d => allowedGlobalWindow.contains(d.name))
       .flatMap { d =>
         try {
           val bad = d.run(spark, TestSpark.sf).queryExecution.optimizedPlan.collect {
