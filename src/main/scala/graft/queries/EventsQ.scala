@@ -702,8 +702,90 @@ object EventsQ {
       FROM fc WHERE nprev = 3
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** RFM segmentation (recency / frequency / monetary): each purchasing user
+    * scored 1–5 on all three axes against the population's exact quintile
+    * cutoffs, rolled up to segment cells. The scalable shape deliberately
+    * avoids the textbook global ntile (a single-reducer sort of every user):
+    * users fold once on user_id, the twelve quintile cutoffs fold to ONE
+    * broadcast row, and scoring is then map-side arithmetic — the winsorize
+    * pattern applied to segmentation, two shuffles total at any event
+    * volume. Recency is scored inverted (recent = 5); per-user monetary is
+    * rounded before the cutoff fold so both engines quantile identical
+    * inputs.
+    */
+  val rfm = Declared(
+    "events_rfm",
+    (s, dir) => {
+      val perUser = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(
+          datediff(expr("date'2024-01-31'"), max(col("ts")).cast("date")).as("rec_days"),
+          count(lit(1)).as("freq"),
+          round(sum(col("value")), 2).as("mon"))
+      val q = (c: String, p: Double) => expr(s"percentile(CAST($c AS DOUBLE), $p)")
+      val cuts = perUser.agg(
+        q("rec_days", 0.2).as("r20"), q("rec_days", 0.4).as("r40"),
+        q("rec_days", 0.6).as("r60"), q("rec_days", 0.8).as("r80"),
+        q("freq", 0.2).as("f20"), q("freq", 0.4).as("f40"),
+        q("freq", 0.6).as("f60"), q("freq", 0.8).as("f80"),
+        q("mon", 0.2).as("m20"), q("mon", 0.4).as("m40"),
+        q("mon", 0.6).as("m60"), q("mon", 0.8).as("m80"))
+      def steps(c: String, cuts: Seq[String]): org.apache.spark.sql.Column =
+        cuts.map(ct => (col(c) >= col(ct)).cast("int")).reduce(_ + _)
+      perUser.crossJoin(broadcast(cuts))
+        .select(
+          col("rec_days"), col("freq"), col("mon"),
+          (lit(5) - steps("rec_days", Seq("r20", "r40", "r60", "r80"))).as("r_score"),
+          (lit(1) + steps("freq", Seq("f20", "f40", "f60", "f80"))).as("f_score"),
+          (lit(1) + steps("mon", Seq("m20", "m40", "m60", "m80"))).as("m_score"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          round(avg(col("rec_days").cast("double")), 4).as("avg_rec"),
+          round(avg(col("freq").cast("double")), 4).as("avg_freq"),
+          round(avg(col("mon")), 4).as("avg_mon"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+    Some("""WITH per_user AS (
+        SELECT user_id,
+          date_diff('day', CAST(max(ts) AS DATE), DATE '2024-01-31') AS rec_days,
+          CAST(count(*) AS BIGINT) AS freq,
+          round(sum(value), 2) AS mon
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      cuts AS (
+        SELECT
+          quantile_cont(CAST(rec_days AS DOUBLE), 0.2) AS r20,
+          quantile_cont(CAST(rec_days AS DOUBLE), 0.4) AS r40,
+          quantile_cont(CAST(rec_days AS DOUBLE), 0.6) AS r60,
+          quantile_cont(CAST(rec_days AS DOUBLE), 0.8) AS r80,
+          quantile_cont(CAST(freq AS DOUBLE), 0.2) AS f20,
+          quantile_cont(CAST(freq AS DOUBLE), 0.4) AS f40,
+          quantile_cont(CAST(freq AS DOUBLE), 0.6) AS f60,
+          quantile_cont(CAST(freq AS DOUBLE), 0.8) AS f80,
+          quantile_cont(CAST(mon AS DOUBLE), 0.2) AS m20,
+          quantile_cont(CAST(mon AS DOUBLE), 0.4) AS m40,
+          quantile_cont(CAST(mon AS DOUBLE), 0.6) AS m60,
+          quantile_cont(CAST(mon AS DOUBLE), 0.8) AS m80
+        FROM per_user),
+      scored AS (
+        SELECT rec_days, freq, mon,
+          5 - ((rec_days >= r20)::INT + (rec_days >= r40)::INT
+             + (rec_days >= r60)::INT + (rec_days >= r80)::INT) AS r_score,
+          1 + (freq >= f20)::INT + (freq >= f40)::INT
+            + (freq >= f60)::INT + (freq >= f80)::INT AS f_score,
+          1 + (mon >= m20)::INT + (mon >= m40)::INT
+            + (mon >= m60)::INT + (mon >= m80)::INT AS m_score
+        FROM per_user CROSS JOIN cuts)
+      SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_users,
+        round(avg(CAST(rec_days AS DOUBLE)), 4) AS avg_rec,
+        round(avg(CAST(freq AS DOUBLE)), 4) AS avg_freq,
+        round(avg(mon), 4) AS avg_mon
+      FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
-    transitions, cooccurrence, attribution, abTest, winsorize, forecastSma)
+    transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
+    rfm)
 }

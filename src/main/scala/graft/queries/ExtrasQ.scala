@@ -397,7 +397,51 @@ object ExtrasQ {
         CAST(n_events AS BIGINT) AS n_events
       FROM ranked WHERE rn = 1 ORDER BY user_id"""))
 
+  /** Perceptual-hash-style media fingerprinting (dHash shape): a 63-bit
+    * fingerprint from adjacent-byte brightness comparisons over the payload,
+    * grouped into duplicate-media clusters — the image-dedup stage that
+    * completes the catalog → decode → resize → frame pipeline. Bytes compare
+    * through their TWO-CHAR HEX pairs (uppercase hex is ordered exactly like
+    * unsigned bytes), so the whole fingerprint is portable string arithmetic
+    * inside whole-stage codegen — no UDF, no per-row JVM call — and one hash
+    * aggregate groups the corpus. With the deterministic md5-chain payload
+    * stub, adjacent-byte bits are avalanche-random, so only bit-identical
+    * payloads cluster (n_copies readout; every group emitted so the oracle
+    * pins all 500 fingerprints); a real image decoder would make the same
+    * 63 comparisons reflect brightness gradients and cluster VISUAL
+    * near-dups — the plumbing is what this query proves.
+    */
+  val mmPhash = Declared(
+    "mm_phash_dedup",
+    (s, dir) => {
+      val bits = (0 until 63).map { i =>
+        (substring(col("h"), 2 * i + 1, 2) < substring(col("h"), 2 * i + 3, 2))
+          .cast("long") * lit(1L << i)
+      }.reduce(_ + _)
+      Multimodal.catalog(t(s, dir, "documents"))
+        .select(col("doc_id"), upper(hex(col("blob"))).as("h"))
+        .select(col("doc_id"), bits.as("phash"))
+        .groupBy(col("phash"))
+        .agg(
+          count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("keeper"))
+        .orderBy(col("phash"))
+    },
+    Some {
+      val bits = (0 until 63)
+        .map(i => s"(substr(h, ${2 * i + 1}, 2) < substr(h, ${2 * i + 3}, 2))::BIGINT * ${1L << i}")
+        .mkString(" + ")
+      s"""WITH cat AS (
+        SELECT doc_id,
+          upper(md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')) AS h
+        FROM documents),
+      ph AS (SELECT doc_id, $bits AS phash FROM cat)
+      SELECT phash, CAST(count(*) AS BIGINT) AS n_copies, min(doc_id) AS keeper
+      FROM ph GROUP BY phash ORDER BY phash"""
+    })
+
   val all: Seq[Declared] = Seq(
+    mmPhash,
     mmCatalog, mmFrames, mmBlob, mmDecode, mmResize, rollingHashQ, streamWindow,
     streamWindowSliding, streamWindowAppend, streamDedup, streamStaticJoin,
     streamStreamJoin, streamStreamOuter, streamSessionize,

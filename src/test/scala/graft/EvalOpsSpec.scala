@@ -128,6 +128,19 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_rfm: segments partition the purchasing users, scores in 1..5") {
+    val rows = run("events_rfm").collect()
+    val purchasers = Tables.t(spark, TestSpark.sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(3)).sum == purchasers)
+    rows.foreach { r =>
+      (0 to 2).foreach { i =>
+        assert(r.getInt(i) >= 1 && r.getInt(i) <= 5, s"score out of range: $r")
+      }
+    }
+  }
+
   test("embed_pca_power: reported direction components are unit-bounded") {
     val r = run("embed_pca_power").head()
     assert(r.getDouble(0) > 0.0, "eigenvalue estimate must be positive")
