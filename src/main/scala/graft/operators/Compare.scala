@@ -203,6 +203,45 @@ object Compare {
           coalesce(col("differing"), lit(0L)) === 0L).as("is_equal"))
   }
 
+  /** Per-column drift attribution over a keyed snapshot pair: for rows
+    * present on BOTH sides, how many changed in EACH column — the CDC-audit
+    * readout that tells you WHICH fields drifted, where [[summarizeByKey]]
+    * only says how many rows did. One inner equi-join on the key (the same
+    * single shuffle as the keyed compare) folds to a 1-row aggregate of
+    * per-column null-safe inequality counts, unstacked to one report row
+    * per column — O(columns) output at any table size. epsilon follows the
+    * keyed compare's semantics (absolute, numeric columns only).
+    */
+  def columnDrift(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      epsilon: Double = 0.0): DataFrame = {
+
+    val valueCols = left.columns.filterNot(keys.contains).toSeq
+    require(right.columns.filterNot(keys.contains).toSeq == valueCols,
+      "column drift requires identical non-key column names")
+
+    val r = valueCols.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"__r_$c"))
+    val joined = left.join(r, keys, "inner")
+    val counts = joined.agg(
+      count(lit(1)).as("n_common"),
+      valueCols.map { c =>
+        sum(when(!colEqual(
+          col(c), left.schema(c).dataType,
+          col(s"__r_$c"), right.schema(c).dataType, epsilon), 1L).otherwise(0L))
+          .as(s"__chg_$c")
+      }: _*)
+    val stackArgs = valueCols
+      .map(c => s"'$c', __chg_$c")
+      .mkString(", ")
+    counts
+      .select(
+        expr(s"stack(${valueCols.length}, $stackArgs) AS (column_name, n_changed)"),
+        col("n_common"))
+      .orderBy(col("column_name"))
+  }
+
   /** File-level entry mirroring the reference CLI (CSV/Parquet only there;
     * we accept any supported format). `noHeaderRow` applies to CSV inputs.
     *

@@ -783,9 +783,94 @@ object EventsQ {
         round(avg(mon), 4) AS avg_mon
       FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  /** Gap interpolation: densify the per-type hourly series over the full
+    * calendar spine (the q_gap_fill shape) and LINEARLY interpolate the
+    * missing buckets between their nearest observed neighbors — the
+    * time-series repair step upstream of any model that assumes a regular
+    * grid. The neighbor search is two running windows (last/first with
+    * ignoreNulls), not a self-join: state per (type) partition is one value
+    * + one index in each direction, and the series the windows run over is
+    * the O(types × hours) FOLD of the fact table, never the events
+    * themselves. Edge gaps (before the first / after the last observation)
+    * fall back to nearest-value extension. The whole interpolation runs in
+    * exact integer MICRO-UNITS (the graph_pagerank discipline): a float
+    * formula rounds half-way values differently across engines at tie
+    * boundaries (one row of the first cut proved it), while
+    * (pm·(nh−hi) + nm·(hi−ph)) div (nh−ph) is a single integer everywhere.
+    */
+  val interpolate = Declared(
+    "events_interpolate",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(floor(avg(col("value")) * 1e6 + 0.5).cast("long").as("v"))
+      val bounds = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val types = ev.select(col("event_type")).distinct()
+      // cast to timestamp_ntz: sequence() resolves its bounds through the
+      // session tz, and a session-tz `h` in the result is the exact
+      // schema-drift class TimestampNtzAuditSpec pins (q_gap_fill, r4)
+      val spine = types.crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(expr("sequence(h0, h1, interval 1 hour)")).as("h_raw"))
+        .select(col("event_type"), col("h_raw").cast("timestamp_ntz").as("h"))
+      val joined = spine.join(hourly, Seq("event_type", "h"), "left")
+        .withColumn("hi",
+          expr("timestampdiff(HOUR, timestamp_ntz'2024-01-01 00:00:00', h)"))
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hi"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("event_type")).orderBy(col("hi"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      joined
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("ph", last(when(col("v").isNotNull, col("hi")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nh", first(when(col("v").isNotNull, col("hi")), ignoreNulls = true).over(wNext))
+        .select(
+          col("event_type"), col("h"), col("v").isNull.as("was_missing"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              expr("(pv * (nh - hi) + nv * (hi - ph)) div (nh - ph)"))
+            .when(col("pv").isNotNull, col("pv"))
+            .otherwise(col("nv")).as("v_micro"))
+        .orderBy(col("event_type"), col("h"))
+    },
+    Some("""WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+          CAST(floor(avg(value) * 1000000 + 0.5) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+      bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+      spine AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                    FROM bounds) g),
+      joined AS (
+        SELECT s.event_type, s.h,
+          date_diff('hour', TIMESTAMP '2024-01-01', s.h) AS hi, v
+        FROM spine s LEFT JOIN hourly USING (event_type, h)),
+      ctx AS (
+        SELECT event_type, h, hi, v,
+          last_value(v IGNORE NULLS) OVER w_prev AS pv,
+          last_value(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS) OVER w_prev AS ph,
+          first_value(v IGNORE NULLS) OVER w_next AS nv,
+          first_value(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS) OVER w_next AS nh
+        FROM joined
+        WINDOW
+          w_prev AS (PARTITION BY event_type ORDER BY hi
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_next AS (PARTITION BY event_type ORDER BY hi
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT event_type, h, (v IS NULL) AS was_missing,
+        CASE
+          WHEN v IS NOT NULL THEN v
+          WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN (pv * (nh - hi) + nv * (hi - ph)) // (nh - ph)
+          WHEN pv IS NOT NULL THEN pv ELSE nv END AS v_micro
+      FROM ctx ORDER BY event_type, h"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
-    rfm)
+    rfm, interpolate)
 }

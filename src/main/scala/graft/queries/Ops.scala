@@ -431,9 +431,46 @@ object Ops {
       FROM l FULL OUTER JOIN r USING (column_name)
       ORDER BY column_name"""))
 
+  /** Keyed compare, drift-attribution view: for rows on both sides of a
+    * snapshot pair, how many changed PER COLUMN — op_compare_keyed says how
+    * many rows drifted, this says which fields. Same single key-shuffle as
+    * the keyed compare, folded to one row of per-column null-safe
+    * inequality counts and unstacked to a column-per-row report (O(columns)
+    * output at any size). Right side = orders with two independent
+    * perturbations (+1.0 price on key%500, priority rewritten on key%300)
+    * and key%777 rows dropped, so the report is non-vacuous and each count
+    * isolates one column.
+    */
+  val columnDrift = Declared(
+    "op_column_drift",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val perturbed = o
+        .filter(col("o_orderkey") % 777 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 500 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 300 === 0, lit("DRIFTED"))
+            .otherwise(col("o_orderpriority")))
+      Compare.columnDrift(o, perturbed, Seq("o_orderkey"))
+    },
+    Some("""WITH tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_common,
+          CAST(sum(CASE WHEN o_orderkey % 500 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS chg_price,
+          CAST(sum(CASE WHEN o_orderkey % 300 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS chg_prio
+        FROM orders WHERE o_orderkey % 777 <> 0)
+      SELECT column_name, n_changed, n_common FROM (
+        SELECT 'o_custkey' AS column_name, CAST(0 AS BIGINT) AS n_changed, n_common FROM tot
+        UNION ALL SELECT 'o_orderdate', CAST(0 AS BIGINT), n_common FROM tot
+        UNION ALL SELECT 'o_orderpriority', chg_prio, n_common FROM tot
+        UNION ALL SELECT 'o_orderstatus', CAST(0 AS BIGINT), n_common FROM tot
+        UNION ALL SELECT 'o_totalprice', chg_price, n_common FROM tot) u
+      ORDER BY column_name"""))
+
   val all: Seq[Declared] = Seq(
     view, schemaQ, countQ, convertRoundtrip, csvRoundtrip, jsonRoundtrip,
     orcRoundtrip, avroRoundtrip,
     compareEqual, compareDiff, compareEpsilon, compareKeyed, compareFirstDiff,
-    tableDigest, infoSchema, parquetMeta, schemaDiffQ)
+    tableDigest, infoSchema, parquetMeta, schemaDiffQ, columnDrift)
 }

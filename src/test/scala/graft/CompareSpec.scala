@@ -135,4 +135,22 @@ class CompareSpec extends AnyFunSuite {
     assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getBoolean(4)) ==
       ((0L, 0L, 1L, 2L, false)))
   }
+
+  test("columnDrift attributes each change to its column, zero on identity") {
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0)).toDF("k", "s", "d")
+    val self = Compare.columnDrift(a, a, Seq("k")).collect()
+    assert(self.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("s" -> 0L, "d" -> 0L))
+    assert(self.forall(_.getLong(2) == 3L))
+
+    val b = Seq((1L, "x", 1.5), (2L, "Y", 2.0), (3L, "z", 3.0)).toDF("k", "s", "d")
+    val drift = Compare.columnDrift(a, b, Seq("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(drift == Map("s" -> 1L, "d" -> 1L))
+
+    // epsilon absorbs the numeric change but not the string one
+    val eps = Compare.columnDrift(a, b, Seq("k"), epsilon = 1.0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(eps == Map("s" -> 1L, "d" -> 0L))
+  }
 }

@@ -141,6 +141,25 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_interpolate: full spine, no holes left, observed rows intact") {
+    val out = run("events_interpolate")
+    assert(out.filter(col("v_micro").isNull).count() == 0, "no hole may survive")
+    val types = Tables.t(spark, TestSpark.sf, "events")
+      .select(col("event_type")).distinct().count()
+    val hoursPerType = out.groupBy(col("event_type")).count()
+      .select(col("count")).distinct().collect()
+    assert(hoursPerType.length == 1, "every type must cover the same spine")
+    assert(out.count() == types * hoursPerType.head.getLong(0))
+    // observed buckets must carry their exact hourly fold, untouched
+    val hourly = Tables.t(spark, TestSpark.sf, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(floor(avg(col("value")) * 1e6 + 0.5).cast("long").as("want"))
+    val drifted = out.filter(!col("was_missing"))
+      .join(hourly, Seq("event_type", "h"))
+      .filter(col("v_micro") =!= col("want")).count()
+    assert(drifted == 0)
+  }
+
   test("embed_pca_power: reported direction components are unit-bounded") {
     val r = run("embed_pca_power").head()
     assert(r.getDouble(0) > 0.0, "eigenvalue estimate must be positive")

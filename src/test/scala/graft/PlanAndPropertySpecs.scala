@@ -461,7 +461,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dq_drift_psi",      // 1-row broadcast window-cutoff scalar
     "mix_epochs",        // 1-row global normalizer + budget broadcast
     "eval_langid_kappa", // 1-row accuracy × 1-row expected-agreement scalar
-    "events_rfm"         // 1-row broadcast quintile-cutoff table
+    "events_rfm",        // 1-row broadcast quintile-cutoff table
+    "events_interpolate" // spine construction: 1-row bounds × tiny type dim
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
