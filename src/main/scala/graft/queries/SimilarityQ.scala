@@ -686,13 +686,11 @@ object SimilarityQ {
       .orderBy(col("adc_d"), col("vec_id"))
   }
 
-  val ivfPq = Declared(
-    "sim_ivfpq",
-    (s, dir) => {
-      val (cc, cb, enc) = ivfpqBuild(s, dir)
-      ivfpqProbe(embTable(s, dir), cc, cb, enc)
-    },
-    Some("""WITH ev AS (
+  /** DuckDB CTE block rebuilding the IVF-PQ index (ev → cc → enc + cb),
+    * shared verbatim by the inline, stored and STREAMING probe oracles so
+    * the three contracts can never drift apart.
+    */
+  private val ivfpqIndexCtes: String = """ev AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       cci AS (
         SELECT vec_id % 4 AS cell, CAST(i AS INTEGER) AS i,
@@ -724,7 +722,15 @@ object SimilarityQ {
           SELECT s.vec_id, s.cell, s.m, c.code,
             row_number() OVER (PARTITION BY s.vec_id, s.m
               ORDER BY round(list_distance(s.sv, c.centroid) ^ 2, 6), c.code) AS rn
-          FROM sv s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+          FROM sv s JOIN cb c ON s.m = c.m) WHERE rn = 1)"""
+
+  val ivfPq = Declared(
+    "sim_ivfpq",
+    (s, dir) => {
+      val (cc, cb, enc) = ivfpqBuild(s, dir)
+      ivfpqProbe(embTable(s, dir), cc, cb, enc)
+    },
+    Some(s"""WITH $ivfpqIndexCtes,
       qcell AS (
         SELECT cell, ccent FROM (
           SELECT cc.cell, cc.ccent,
@@ -945,6 +951,138 @@ object SimilarityQ {
         round((SELECT count(*) FROM adc JOIN exact10 USING (vec_id)) / 10.0, 2)
           AS recall_at_10"""))
 
+  // running sink of the streaming ANN probe: (last merged batchId, results).
+  // Per-probe results are independent of batching, so the union is naturally
+  // replay-idempotent in VALUE; the batchId gate still blocks the duplicate
+  // ROWS a crash-replayed batch would append (stream_upsert discipline).
+  @volatile private var annState: Option[(Long, org.apache.spark.sql.DataFrame)] = None
+  private[graft] def annReset(): Unit = annState = None
+
+  private[graft] def annStep(
+      batchId: Long, batch: org.apache.spark.sql.DataFrame,
+      cc: org.apache.spark.sql.DataFrame, cb: org.apache.spark.sql.DataFrame,
+      codes: org.apache.spark.sql.DataFrame): Unit =
+    annState match {
+      case Some((last, _)) if batchId <= last => // replayed batch: skip
+      case cur =>
+        val out = annProbeBatch(batch, cc, cb, codes).localCheckpoint(true)
+        annState = Some((batchId, cur.map(_._2.unionByName(out)).getOrElse(out)))
+    }
+
+  /** One micro-batch of probes against the static index: the per-probe
+    * generalization of [[ivfpqProbe]] — nearest-2-cell selection and the
+    * final top-3 become probe-partitioned windows (WindowGroupLimit-prunable,
+    * never global), the per-probe LUT stays broadcast-sized (probes × 2
+    * cells × 32 codes), and the codes side joins on (cell, m, code) so
+    * unprobed cells are pruned before any arithmetic. Identical scaled-long
+    * ADC arithmetic to the batch probe, so results are batching-invariant.
+    */
+  private def annProbeBatch(
+      batch: org.apache.spark.sql.DataFrame,
+      cc: org.apache.spark.sql.DataFrame, cb: org.apache.spark.sql.DataFrame,
+      codes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCell = Window.partitionBy(col("probe_id")).orderBy(col("d"), col("cell"))
+    val qcell = batch.crossJoin(broadcast(cc))
+      .select(col("probe_id"), col("qemb"), col("cell"), col("ccent"),
+        round(sqd("qemb", "ccent"), 6).as("d"))
+      .withColumn("rk", row_number().over(wCell))
+      .filter(col("rk") <= 2)
+    val lut = qcell
+      .select(col("probe_id"), col("cell"),
+        expr("zip_with(qemb, ccent, (x, y) -> x - y)").as("qres"))
+      .select(col("probe_id"), col("cell"), posexplode(array((0 until PqM).map(m =>
+        slice(col("qres"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "qsv")))
+      .join(broadcast(cb), "m")
+      .select(col("probe_id"), col("cell"), col("m"), col("code"),
+        floor(round(sqd("qsv", "centroid"), 6) * 1e6 + 0.5).cast("long").as("qd"))
+    val wTop = Window.partitionBy(col("probe_id")).orderBy(col("adc_d"), col("vec_id"))
+    codes.join(broadcast(lut), Seq("cell", "m", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(first(col("cell")).as("cell"), round(sum(col("qd")) / 1e6, 6).as("adc_d"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("cell"), col("adc_d"))
+  }
+
+  /** Streaming vector search: a stream of query vectors probed against the
+    * PERSISTED IVF-PQ index — the serving half of the index lifecycle
+    * (sim_ivfpq_stored builds and prunes it; this runs the online probe
+    * path). foreachBatch hands each micro-batch of probes to the exact
+    * batch ADC pipeline: coarse cells and codebook are index metadata
+    * (broadcast), the codes scan touches only the probed cells' partitions,
+    * and every probe answers with its top-3 by scaled-long ADC — at 100 TB
+    * this is "queries arrive on a bus, each batch reads 2 of kc index
+    * partitions", with state living in the index table, not the stream
+    * engine. Results are batching-invariant (probes are independent rows),
+    * so the oracle is simply the batch multi-probe recomputation.
+    */
+  def annProbeStream(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val idx = ivfpqIndexDir(s, dir)
+    val cc = s.read.parquet(s"$idx/coarse")
+    val cb = s.read.parquet(s"$idx/codebook")
+    val codes = s.read.parquet(s"$idx/codes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("m"), col("code"))
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val probes = s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qemb"))
+    annReset()
+    val q = probes.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          annStep(batchId, batch.toDF(), cc, cb, codes)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    annState.map(_._2).getOrElse(s.emptyDataFrame)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  val streamAnnProbe = Declared(
+    "stream_ann_probe",
+    (s, dir) => annProbeStream(s, dir),
+    Some(s"""WITH $ivfpqIndexCtes,
+      probes AS (SELECT vec_id AS probe_id, emb AS qemb FROM ev WHERE vec_id < 3),
+      qcell AS (
+        SELECT probe_id, cell, ccent, qemb FROM (
+          SELECT p.probe_id, cc.cell, cc.ccent, p.qemb,
+            row_number() OVER (PARTITION BY p.probe_id
+              ORDER BY round(list_distance(p.qemb, cc.ccent) ^ 2, 6), cc.cell) AS rk
+          FROM cc CROSS JOIN probes p) WHERE rk <= 2),
+      qres AS (
+        SELECT probe_id, cell,
+          list_transform(range(1, 65),
+            i -> qemb[CAST(i AS INTEGER)] - ccent[CAST(i AS INTEGER)]) AS res
+        FROM qcell),
+      qsv AS (
+        SELECT probe_id, cell, CAST(m AS INTEGER) AS m,
+          res[CAST(m AS INTEGER)*16+1 : CAST(m AS INTEGER)*16+16] AS sv
+        FROM qres CROSS JOIN generate_series(0, 3) t(m)),
+      lut AS (
+        SELECT probe_id, s.cell, s.m, c.code,
+          CAST(floor(round(list_distance(s.sv, c.centroid) ^ 2, 6) * 1e6 + 0.5)
+            AS BIGINT) AS qd
+        FROM qsv s JOIN cb c ON s.m = c.m),
+      adc AS (
+        SELECT probe_id, vec_id, cell, adc_d,
+          row_number() OVER (PARTITION BY probe_id ORDER BY adc_d, vec_id) AS rnk
+        FROM (
+          SELECT l.probe_id, e.vec_id, any_value(e.cell) AS cell,
+            round(sum(l.qd) / 1e6, 6) AS adc_d
+          FROM enc e JOIN lut l ON e.cell = l.cell AND e.m = l.m AND e.code = l.code
+          WHERE e.vec_id <> l.probe_id
+          GROUP BY l.probe_id, e.vec_id))
+      SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cell, adc_d
+      FROM adc WHERE rnk <= 3
+      ORDER BY probe_id, rnk"""))
+
   /** Fixed ±1 sign for Rademacher random-projection cell (i, j): derived from
     * md5 of the cell coordinates at PLAN BUILD time (driver-side, once), so
     * both engines receive the identical literal matrix and neither hashes
@@ -1037,5 +1175,6 @@ object SimilarityQ {
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
-      ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower)
+      ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower,
+      streamAnnProbe)
 }

@@ -160,6 +160,21 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(drifted == 0)
   }
 
+  test("stream_ann_probe: top-3 per probe, ranked by ADC, rerun-stable") {
+    val first = run("stream_ann_probe").collect()
+    assert(first.length == 9, "3 probes x top-3")
+    first.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+      assert(byRank.map(_.getDouble(4)).toSeq.sliding(2).forall(p => p.head <= p.last),
+        "ADC distance must be non-decreasing in rank")
+      assert(rows.forall(r => r.getLong(2) != r.getLong(0)), "probe must not match itself")
+    }
+    val second = run("stream_ann_probe").collect()
+    assert(first.map(_.toString).toSeq == second.map(_.toString).toSeq,
+      "stream rerun must reproduce identical results")
+  }
+
   test("embed_pca_power: reported direction components are unit-bounded") {
     val r = run("embed_pca_power").head()
     assert(r.getDouble(0) > 0.0, "eigenvalue estimate must be positive")
