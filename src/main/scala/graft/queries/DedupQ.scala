@@ -1049,9 +1049,35 @@ object DedupQ {
         FROM oriented) ranked
       WHERE rn = 1 ORDER BY corpus_doc"""))
 
+  /** Threshold tuning curve: the banded candidate pairs bucketed by exact
+    * Jaccard decile — the histogram that answers "what does moving the
+    * dedup threshold from 0.8 to 0.5 actually flag?" before anyone reruns
+    * the pipeline at a new cutoff. Consumes the SAME shared candidate
+    * snapshot as the rest of the dedup family with the verify floor
+    * dropped to 0 (every banded candidate scored once), so the curve costs
+    * one extra verify pass and no corpus scan; buckets are a ≤11-row hash
+    * aggregate. Scores are pre-rounded (6 dp) before the decile floor, so
+    * both engines bucket identical values.
+    */
+  val dedupCurve = Declared(
+    "corpus_dedup_curve",
+    (s, dir) =>
+      ngramPairs(s, dir, None: Option[Long], minScore = 0.0)
+        .select((floor(col("jaccard") * 10) / 10).as("bucket"), col("jaccard"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          round(avg(col("jaccard")), 4).as("avg_jaccard"))
+        .orderBy(col("bucket")),
+    Some(s"""WITH ${ngramPairCtes("", minScore = 0.0)}
+      SELECT floor(jaccard * 10) / 10 AS bucket,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        round(avg(jaccard), 4) AS avg_jaccard
+      FROM pairs GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[Declared] = Seq(
     exact, exactRows, ngramJaccard, containment, containmentAsym, clusters,
     incremental, incrementalBloom, minhash, simhash, simhashBuckets,
     embedCosine, temporal, winnow, minhashAccuracy, urlDedup, semantic,
-    fuzzyLink, decontaminateFuzzy)
+    fuzzyLink, decontaminateFuzzy, dedupCurve)
 }

@@ -605,11 +605,19 @@ object SimilarityQ {
   /** Build the IVF-PQ index: (coarse centroids, PQ codebook, codes).
     * Shared by [[ivfPq]] (inline) and [[ivfPqStored]] (persisted fixture).
     */
-  private def ivfpqBuild(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** `train` restricts which vectors TRAIN the two quantizers (coarse
+    * centroids + PQ codebook); assignment and encoding always run over the
+    * whole corpus. Default = train on everything (the original build);
+    * sim_ivfpq_append trains on the base corpus only and encodes the new
+    * arrivals against the frozen quantizers.
+    */
+  private def ivfpqBuild(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      train: org.apache.spark.sql.Column = lit(true)) = {
     val e = embTable(s, dir)
     // coarse centroids, seeded cell = vec_id % kc (ivfTrain's replayable
     // seeding) — kc rows, the coarse quantizer; broadcast to every stage
-    val cc = e.withColumn("cell", col("vec_id") % IvfKc)
+    val cc = e.filter(train).withColumn("cell", col("vec_id") % IvfKc)
       .select(col("cell"), posexplode(col("emb")))
       .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
       .groupBy(col("cell"))
@@ -631,7 +639,7 @@ object SimilarityQ {
       posexplode(array((0 until PqM).map(m =>
         slice(col("res"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "sv")))
     // PQ codebook over residual subvectors, seeded code = vec_id % kpq
-    val cb = sv.withColumn("code", col("vec_id") % PqK)
+    val cb = sv.filter(train).withColumn("code", col("vec_id") % PqK)
       .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
       .groupBy(col("m"), col("code"), col("pos")).agg(avg(col("v")).as("cv"))
       .groupBy(col("m"), col("code"))
@@ -687,15 +695,19 @@ object SimilarityQ {
   }
 
   /** DuckDB CTE block rebuilding the IVF-PQ index (ev → cc → enc + cb),
-    * shared verbatim by the inline, stored and STREAMING probe oracles so
-    * the three contracts can never drift apart.
+    * shared verbatim by the inline, stored, STREAMING and APPEND oracles so
+    * the contracts can never drift apart. `trainWhere` (e.g.
+    * "WHERE vec_id < 450") restricts quantizer TRAINING exactly like
+    * [[ivfpqBuild]]'s `train` column; assignment/encoding always cover the
+    * whole corpus.
     */
-  private val ivfpqIndexCtes: String = """ev AS (
+  private def ivfpqIndexCtes(trainWhere: String = ""): String = s"""ev AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       cci AS (
         SELECT vec_id % 4 AS cell, CAST(i AS INTEGER) AS i,
           avg(emb[CAST(i AS INTEGER)]) AS v
-        FROM ev CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+        FROM (SELECT * FROM ev $trainWhere) tev
+        CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
       cc AS (SELECT cell, list(v ORDER BY i) AS ccent FROM cci GROUP BY cell),
       assign AS (
         SELECT vec_id, cell FROM (
@@ -715,7 +727,8 @@ object SimilarityQ {
       cbp AS (
         SELECT m, vec_id % 8 AS code, CAST(i AS INTEGER) AS i,
           avg(sv[CAST(i AS INTEGER)]) AS cv
-        FROM sv CROSS JOIN generate_series(1, 16) t(i) GROUP BY 1, 2, 3),
+        FROM (SELECT * FROM sv $trainWhere) tsv
+        CROSS JOIN generate_series(1, 16) t(i) GROUP BY 1, 2, 3),
       cb AS (SELECT m, code, list(cv ORDER BY i) AS centroid FROM cbp GROUP BY m, code),
       enc AS (
         SELECT vec_id, cell, m, code FROM (
@@ -730,7 +743,7 @@ object SimilarityQ {
       val (cc, cb, enc) = ivfpqBuild(s, dir)
       ivfpqProbe(embTable(s, dir), cc, cb, enc)
     },
-    Some(s"""WITH $ivfpqIndexCtes,
+    Some(s"""WITH ${ivfpqIndexCtes()},
       qcell AS (
         SELECT cell, ccent FROM (
           SELECT cc.cell, cc.ccent,
@@ -1048,7 +1061,7 @@ object SimilarityQ {
   val streamAnnProbe = Declared(
     "stream_ann_probe",
     (s, dir) => annProbeStream(s, dir),
-    Some(s"""WITH $ivfpqIndexCtes,
+    Some(s"""WITH ${ivfpqIndexCtes()},
       probes AS (SELECT vec_id AS probe_id, emb AS qemb FROM ev WHERE vec_id < 3),
       qcell AS (
         SELECT probe_id, cell, ccent, qemb FROM (
@@ -1172,9 +1185,43 @@ object SimilarityQ {
       SELECT round($normSql, 4) AS eig_est, $vCols FROM w"""
     })
 
+  /** Incremental index maintenance: the day's new arrivals (vec_id ≥ 450)
+    * are encoded against the FROZEN quantizers trained on the base corpus —
+    * the production append path, where a nightly build would be a full
+    * re-shuffle of the corpus but appending is one map-side
+    * assign-and-encode pass over only the new rows (coarse cells and
+    * codebook are broadcast metadata; nothing existing moves). The readout
+    * is the per-cell growth ledger an index operator watches: base vs
+    * appended counts and the new-fraction per cell — a skewed landing cell
+    * is the signal to split or retrain. The oracle retrains nothing either:
+    * the shared index CTEs take the same base-only training filter.
+    */
+  val ivfPqAppend = Declared(
+    "sim_ivfpq_append",
+    (s, dir) => {
+      val (_, _, enc) = ivfpqBuild(s, dir, col("vec_id") < 450)
+      enc.select(col("vec_id"), col("cell")).distinct()
+        .groupBy(col("cell"))
+        .agg(
+          sum(when(col("vec_id") < 450, 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("vec_id") >= 450, 1L).otherwise(0L)).as("n_new"))
+        .select(
+          col("cell"), col("n_base"), col("n_new"),
+          round(col("n_new").cast("double") / (col("n_base") + col("n_new")), 4)
+            .as("frac_new"))
+        .orderBy(col("cell"))
+    },
+    Some(s"""WITH ${ivfpqIndexCtes("WHERE vec_id < 450")}
+      SELECT cell,
+        CAST(sum(CASE WHEN vec_id < 450 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        CAST(sum(CASE WHEN vec_id >= 450 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        round(CAST(sum(CASE WHEN vec_id >= 450 THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 4) AS frac_new
+      FROM assign GROUP BY cell ORDER BY cell"""))
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
       ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower,
-      streamAnnProbe)
+      streamAnnProbe, ivfPqAppend)
 }
