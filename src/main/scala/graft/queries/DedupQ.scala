@@ -1075,9 +1075,77 @@ object DedupQ {
         round(avg(jaccard), 4) AS avg_jaccard
       FROM pairs GROUP BY bucket ORDER BY bucket"""))
 
+  /** Bitext mining (parallel-corpus candidates): for each English document,
+    * its best cross-lingual match by embedding cosine — the
+    * translation-pair discovery step of a multilingual pretraining
+    * pipeline. Candidates come from [[embedCosine]]'s sign-LSH buckets
+    * (cross-language pairs sharing an 8-bit sign pattern), so mining is
+    * bucket-blocked like every dedup op here — never an all-pairs
+    * cross-language scan — and the skew-salted BucketJoin bounds hot
+    * buckets; the per-en-doc best is a partitioned top-1 window over the
+    * candidates, and only the global top-20 readout leaves the executors
+    * (TakeOrderedAndProject). Scope stated plainly: recall is
+    * candidate-limited (a true translation hashing to a different bucket
+    * is unseen) — the production dial is more/probed buckets, exactly the
+    * ANN recall trade the sim_* family measures.
+    */
+  val bitext = Declared(
+    "mine_bitext",
+    (s, dir) => {
+      val lang = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val e = t(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding"),
+        Similarity.lshBucket(col("embedding"), dedupPlanes).as("bucket"))
+      val cand = graft.operators.BucketJoin.saltedCandidatePairs(
+        e.select(col("vec_id"), col("bucket")), "vec_id", Seq("bucket"))
+      val scored = cand
+        .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+        .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
+        .join(lang.select(col("doc_id").as("id1"), col("lang").as("lang1")), "id1")
+        .join(lang.select(col("doc_id").as("id2"), col("lang").as("lang2")), "id2")
+        .filter((col("lang1") === "en") =!= (col("lang2") === "en"))
+        .select(
+          when(col("lang1") === "en", col("id1")).otherwise(col("id2")).as("en_doc"),
+          when(col("lang1") === "en", col("id2")).otherwise(col("id1")).as("other_doc"),
+          when(col("lang1") === "en", col("lang2")).otherwise(col("lang1")).as("other_lang"),
+          round(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("en_doc")).orderBy(col("cos").desc, col("other_doc"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("en_doc"), col("other_doc"), col("other_lang"), col("cos"))
+        .orderBy(col("cos").desc, col("en_doc"))
+        .limit(20)
+    },
+    Some(s"""WITH b AS (
+        SELECT vec_id, embedding,
+          ${Similarity.lshBucketSql("embedding", dedupPlanes)} AS bucket
+        FROM embeddings),
+      lang AS (SELECT doc_id, lang FROM documents),
+      cand AS (
+        SELECT a.vec_id AS id1, b2.vec_id AS id2,
+          round(list_cosine_similarity(
+            CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])), 6) AS cos
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+      oriented AS (
+        SELECT
+          CASE WHEN l1.lang = 'en' THEN id1 ELSE id2 END AS en_doc,
+          CASE WHEN l1.lang = 'en' THEN id2 ELSE id1 END AS other_doc,
+          CASE WHEN l1.lang = 'en' THEN l2.lang ELSE l1.lang END AS other_lang,
+          cos
+        FROM cand
+        JOIN lang l1 ON l1.doc_id = id1
+        JOIN lang l2 ON l2.doc_id = id2
+        WHERE (l1.lang = 'en') <> (l2.lang = 'en'))
+      SELECT en_doc, other_doc, other_lang, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY en_doc
+          ORDER BY cos DESC, other_doc) AS rn
+        FROM oriented) ranked
+      WHERE rn = 1
+      ORDER BY cos DESC, en_doc LIMIT 20"""))
+
   val all: Seq[Declared] = Seq(
     exact, exactRows, ngramJaccard, containment, containmentAsym, clusters,
     incremental, incrementalBloom, minhash, simhash, simhashBuckets,
     embedCosine, temporal, winnow, minhashAccuracy, urlDedup, semantic,
-    fuzzyLink, decontaminateFuzzy, dedupCurve)
+    fuzzyLink, decontaminateFuzzy, dedupCurve, bitext)
 }

@@ -132,6 +132,43 @@ object EventsQ {
         ON e.user_id = p.user_id AND e.ts >= p.ts
       ORDER BY e.event_id"""))
 
+  /** As-of with max staleness: q_asof_join's backward match, but a prior
+    * purchase older than 30 minutes is nulled out — pandas merge_asof's
+    * `tolerance`, the freshness contract every feature-store lookup needs
+    * (a day-old price is NOT the as-of price). Same union+window plan as
+    * the plain backward as-of ([[AsOfJoin.backwardTolerance]] just rides
+    * the matched timestamp through the payload and nulls stale rows
+    * map-side), so tolerance costs nothing at any scale; the oracle is
+    * DuckDB's native ASOF join with the same CASE guard.
+    */
+  val asofTolerance = Declared(
+    "q_asof_tolerance",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(
+          max(col("event_id")).as("purchase_id"),
+          round(max(col("value")), 2).as("purchase_value"))
+      AsOfJoin.backwardTolerance(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, key = "user_id", leftTs = "ts", rightTs = "ts",
+        payload = Seq("purchase_id", "purchase_value"),
+        toleranceSeconds = 1800.0)
+        .select(col("event_id"), col("user_id"), col("purchase_id"), col("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id,
+        CASE WHEN p.ts >= e.ts - INTERVAL 30 MINUTE THEN p.purchase_id END AS purchase_id,
+        CASE WHEN p.ts >= e.ts - INTERVAL 30 MINUTE THEN p.purchase_value END AS purchase_value
+      FROM events e
+      ASOF LEFT JOIN (
+        SELECT user_id, ts, max(event_id) AS purchase_id,
+               round(max(value),2) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+        ON e.user_id = p.user_id AND e.ts >= p.ts
+      ORDER BY e.event_id"""))
+
   /** PIVOT: per-user counts by event type (explicit value list keeps the
     * output schema static — required for a deterministic plan at scale).
     */
@@ -872,5 +909,5 @@ object EventsQ {
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
-    rfm, interpolate)
+    rfm, interpolate, asofTolerance)
 }
