@@ -816,17 +816,31 @@ object TextQ {
     * rows — the only full scan either eval pays; everything downstream
     * (per-class metrics, kappa) is arithmetic over the tiny cell table.
     */
-  private def confusionCells(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val withScores = t(s, dir, "documents")
-      .withColumn("ws", TextFns.words(col("text")))
-      .select(
-        Seq(col("lang")) ++
-          stopwords.map { case (l, ws) => scoreCol(col("ws"), ws).as(s"s_$l") }: _*)
-    val pred = predictedLang(l => col(s"s_$l"))
-    withScores.select(col("lang"), pred.as("pred"))
-      .groupBy(col("lang"), col("pred"))
-      .agg(count(lit(1)).as("n"))
-  }
+  private val cellsCache = new java.util.concurrent.atomic.AtomicReference[
+    (org.apache.spark.sql.SparkSession, String, org.apache.spark.sql.DataFrame)]()
+
+  private def confusionCells(s: org.apache.spark.sql.SparkSession, dir: String) =
+    // the scoring scan is the only full-corpus pass either eval query pays;
+    // snapshot it once per (session, dir) so report + kappa share it (the
+    // DedupQ.candCache discipline — the checkpoint is ≤|langs|² rows)
+    cellsCache.synchronized {
+      val cur = cellsCache.get()
+      if (cur != null && (cur._1 eq s) && cur._2 == dir) cur._3
+      else {
+        val withScores = t(s, dir, "documents")
+          .withColumn("ws", TextFns.words(col("text")))
+          .select(
+            Seq(col("lang")) ++
+              stopwords.map { case (l, ws) => scoreCol(col("ws"), ws).as(s"s_$l") }: _*)
+        val pred = predictedLang(l => col(s"s_$l"))
+        val df = withScores.select(col("lang"), pred.as("pred"))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        cellsCache.set((s, dir, df))
+        df
+      }
+    }
 
   /** DuckDB mirror of [[confusionCells]] as a CTE body. */
   private def confusionCellsSql: String = {
@@ -901,7 +915,7 @@ object TextQ {
   val langidKappa = Declared(
     "eval_langid_kappa",
     (s, dir) => {
-      val cells = confusionCells(s, dir).localCheckpoint()
+      val cells = confusionCells(s, dir) // already checkpointed by the cache
       val tot = cells.agg(
         sum(col("n")).as("n_docs"),
         sum(when(col("pred") === col("lang"), col("n")).otherwise(0L)).as("diag"))
