@@ -753,6 +753,11 @@ object EventsQ {
   val rfm = Declared(
     "events_rfm",
     (s, dir) => {
+      // localCheckpoint: perUser feeds BOTH the cutoff fold and the scoring
+      // pass, and the two consumers' plans don't exchange-reuse — without it
+      // the events scan + user fold runs twice (seen in the executed plan).
+      // The materialized set is one row per purchasing user, the table a
+      // production pipeline would persist anyway.
       val perUser = t(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
@@ -760,6 +765,7 @@ object EventsQ {
           datediff(expr("date'2024-01-31'"), max(col("ts")).cast("date")).as("rec_days"),
           count(lit(1)).as("freq"),
           round(sum(col("value")), 2).as("mon"))
+        .localCheckpoint()
       val q = (c: String, p: Double) => expr(s"percentile(CAST($c AS DOUBLE), $p)")
       val cuts = perUser.agg(
         q("rec_days", 0.2).as("r20"), q("rec_days", 0.4).as("r40"),
@@ -838,12 +844,16 @@ object EventsQ {
   val interpolate = Declared(
     "events_interpolate",
     (s, dir) => {
-      val ev = t(s, dir, "events")
-      val hourly = ev
+      // ONE fact scan: the hourly fold is checkpointed (O(types × hours)
+      // rows) and the spine's type list and bounds both derive from it —
+      // without this the events table is scanned three times (hourly +
+      // types + bounds branches, seen in the executed plan)
+      val hourly = t(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
         .agg(floor(avg(col("value")) * 1e6 + 0.5).cast("long").as("v"))
+        .localCheckpoint()
       val bounds = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      val types = ev.select(col("event_type")).distinct()
+      val types = hourly.select(col("event_type")).distinct()
       // cast to timestamp_ntz: sequence() resolves its bounds through the
       // session tz, and a session-tz `h` in the result is the exact
       // schema-drift class TimestampNtzAuditSpec pins (q_gap_fill, r4)
