@@ -1219,9 +1219,60 @@ object SimilarityQ {
           / count(*), 4) AS frac_new
       FROM assign GROUP BY cell ORDER BY cell"""))
 
+  /** Matryoshka-style two-stage retrieval (Kusupati et al. 2022, MRL): the
+    * coarse pass ranks by cosine over only the FIRST 16 of 64 dimensions
+    * (the nested-prefix property MRL encoders train for — here the slice
+    * plays the structural role), keeps top-30, and the full-dimension
+    * rerank reads just those 30 vectors. At 100 TB the 16-dim prefix is a
+    * 4× smaller column the coarse scan streams (often from a separate
+    * column file), and the full vectors page in only for the rerank set —
+    * the memory-hierarchy shape adaptive-retrieval deployments use. Both
+    * stages are TakeOrderedAndProject (no global sort); the output carries
+    * both scores so the readout shows where coarse and full ranking
+    * disagree. On these random fixtures the prefix is genuinely weakly
+    * correlated with the full score — exactly the disagreement the two
+    * columns expose.
+    */
+  val matryoshka = Declared(
+    "sim_matryoshka",
+    (sess, dir) => {
+      val e = t(sess, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), expr("slice(embedding, 1, 16)").as("qv16"))
+      val coarse = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(
+          col("vec_id"), col("embedding"), col("qv"),
+          round(Similarity.cosine(expr("slice(embedding, 1, 16)"), col("qv16")), 6)
+            .as("cos16"))
+        .orderBy(col("cos16").desc, col("vec_id"))
+        .limit(30)
+      coarse
+        .select(
+          col("vec_id"), col("cos16"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos64"))
+        .orderBy(col("cos64").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH q AS (
+        SELECT embedding AS qv, embedding[1:16] AS qv16
+        FROM embeddings WHERE vec_id = 0),
+      coarse AS (
+        SELECT vec_id, embedding, qv,
+          round(list_cosine_similarity(
+            CAST(embedding[1:16] AS DOUBLE[]), CAST(qv16 AS DOUBLE[])), 6) AS cos16
+        FROM embeddings CROSS JOIN q
+        WHERE vec_id <> 0
+        ORDER BY cos16 DESC, vec_id LIMIT 30)
+      SELECT vec_id, cos16,
+        round(list_cosine_similarity(
+          CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS cos64
+      FROM coarse
+      ORDER BY cos64 DESC, vec_id LIMIT 10"""))
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
       ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower,
-      streamAnnProbe, ivfPqAppend)
+      streamAnnProbe, ivfPqAppend, matryoshka)
 }

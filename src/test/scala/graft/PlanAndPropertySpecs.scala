@@ -462,7 +462,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "mix_epochs",        // 1-row global normalizer + budget broadcast
     "eval_langid_kappa", // 1-row accuracy × 1-row expected-agreement scalar
     "events_rfm",        // 1-row broadcast quintile-cutoff table
-    "events_interpolate" // spine construction: 1-row bounds × tiny type dim
+    "events_interpolate", // spine construction: 1-row bounds × tiny type dim
+    "sim_matryoshka"     // 1-row broadcast query vector (two-stage rerank)
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
