@@ -175,6 +175,45 @@ class EvalOpsSpec extends AnyFunSuite {
       "stream rerun must reproduce identical results")
   }
 
+  test("sim_ivfpq_append: growth ledger partitions base and appended corpora") {
+    val rows = run("sim_ivfpq_append").collect()
+    assert(rows.map(_.getLong(1)).sum == 450L, "base corpus size")
+    assert(rows.map(_.getLong(2)).sum == 50L, "appended arrivals")
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("mine_bitext: pairs cross the language boundary, ranked by cosine") {
+    val rows = run("mine_bitext").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val langOf = Tables.t(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      assert(langOf(r.getLong(0)) == "en", "left side must be English")
+      assert(r.getString(2) != "en" && langOf(r.getLong(1)) == r.getString(2))
+    }
+    assert(rows.map(_.getDouble(3)).sliding(2).forall(p => p.head >= p.last),
+      "output must be ranked by cosine descending")
+  }
+
+  test("corpus_dedup_curve: buckets in [0,1], deciles well-formed") {
+    val rows = run("corpus_dedup_curve").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, avg) = (r.getDouble(0), r.getDouble(2))
+      assert(b >= 0.0 && b <= 1.0)
+      assert(avg >= b - 1e-9 && avg < b + 0.1 + 1e-9,
+        s"bucket $b mean $avg outside its decile")
+    }
+  }
+
+  test("sim_matryoshka: rerank set comes from the coarse stage, full-dim ordered") {
+    val rows = run("sim_matryoshka").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getDouble(2)).sliding(2).forall(p => p.head >= p.last),
+      "output must be ordered by the full-dimension score")
+  }
+
   test("embed_pca_power: reported direction components are unit-bounded") {
     val r = run("embed_pca_power").head()
     assert(r.getDouble(0) > 0.0, "eigenvalue estimate must be positive")
