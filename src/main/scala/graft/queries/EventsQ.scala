@@ -915,9 +915,58 @@ object EventsQ {
           WHEN pv IS NOT NULL THEN pv ELSE nv END AS v_micro
       FROM ctx ORDER BY event_type, h"""))
 
+  /** Bot-likeness by inter-event regularity: humans arrive with bursty,
+    * high-variance gaps; schedulers and scrapers tick — so the coefficient
+    * of variation of a user's inter-event gaps is the classic web-data bot
+    * signal, and the 10 most regular high-activity users are the review
+    * queue this query emits. One lag window per user (state = one previous
+    * timestamp per key) folds to exact integer second-gaps, per-user
+    * (n, Σd, Σd²) stay exact longs, and cv derives from those sums in one
+    * fixed IEEE sequence — no online variance whose fold order could
+    * diverge; the top-10 is a TakeOrderedAndProject.
+    */
+  val botDetection = Declared(
+    "events_bot_detection",
+    (s, dir) => {
+      val us = expr("unix_micros(CAST(ts AS TIMESTAMP))")
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), us.as("t_us"))
+        .withColumn("d", expr("(t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY ts, event_id)) div 1000000"))
+        .filter(col("d").isNotNull)
+      val st = gaps.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("d")).as("s1"),
+          sum(col("d") * col("d")).as("s2"))
+        .filter(col("n") >= 20)
+      val mean = col("s1").cast("double") / col("n")
+      val variance = (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n")) /
+        (col("n") - 1)
+      st.select(
+          col("user_id"), col("n").as("n_gaps"),
+          round(mean, 2).as("mean_gap_s"),
+          round(sqrt(variance) / mean, 4).as("cv"))
+        .orderBy(col("cv"), col("user_id"))
+        .limit(10)
+    },
+    Some("""WITH g AS (
+        SELECT user_id,
+          (epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS d
+        FROM events),
+      st AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(d) AS BIGINT) AS s1, CAST(sum(d * d) AS BIGINT) AS s2
+        FROM g WHERE d IS NOT NULL GROUP BY 1 HAVING count(*) >= 20)
+      SELECT user_id, n AS n_gaps,
+        round(CAST(s1 AS DOUBLE) / n, 2) AS mean_gap_s,
+        round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+          / (CAST(s1 AS DOUBLE) / n), 4) AS cv
+      FROM st ORDER BY cv, user_id LIMIT 10"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
-    rfm, interpolate, asofTolerance)
+    rfm, interpolate, asofTolerance, botDetection)
 }

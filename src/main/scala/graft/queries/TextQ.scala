@@ -984,9 +984,40 @@ object TextQ {
           / ln(2.0), 6) AS entropy_bits
       FROM hist GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Tokenizer fertility by language: BPE-ish tokens per whitespace word and
+    * characters per token — the readout a multilingual team watches when
+    * sizing a tokenizer (a language with fertility 2× pays 2× the context
+    * budget for the same text). Pure per-row codegen arithmetic folded by
+    * one |langs|-row hash aggregate; nullif guards the degenerate empty-doc
+    * edge on both engines.
+    */
+  val fertility = Declared(
+    "corpus_fertility",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("lang"),
+          TextFns.bpeTokenCount(col("text")).cast("double").as("bpe"),
+          size(TextFns.words(col("text"))).cast("double").as("words"),
+          length(col("text")).cast("double").as("chars"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("bpe") / nullif(col("words"), lit(0.0))), 4).as("fertility"),
+          round(avg(col("chars") / nullif(col("bpe"), lit(0.0))), 4).as("chars_per_token"))
+        .orderBy(col("lang")),
+    Some(s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        round(avg(CAST(len(regexp_extract_all(text, '${TextFns.bpeTokenPattern}', 0)) AS DOUBLE)
+          / nullif(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 0.0)), 4)
+          AS fertility,
+        round(avg(CAST(len(text) AS DOUBLE)
+          / nullif(CAST(len(regexp_extract_all(text, '${TextFns.bpeTokenPattern}', 0)) AS DOUBLE), 0.0)), 4)
+          AS chars_per_token
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
     boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats,
-    langidReport, langidKappa, charEntropy)
+    langidReport, langidKappa, charEntropy, fertility)
 }
