@@ -208,6 +208,44 @@ object Ops {
       FROM nation JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name"""))
 
+  /** CSV QUOTING edge cases: values carrying embedded commas, double quotes
+    * and newlines — the classic ways a CSV convert silently corrupts data —
+    * synthesized deterministically from the nation fixture, written through
+    * the same Convert path as op_csv_roundtrip, read back, and pinned by
+    * md5 per row. The oracle recomputes the md5s from the BASE table (it
+    * never touches our CSV), so a hash match proves the write+read round
+    * trip was byte-faithful through every quoting rule.
+    */
+  val csvQuoted = Declared(
+    "op_csv_quoted_roundtrip",
+    (s, dir) => {
+      val tricky = t(s, dir, "nation")
+        .select(
+          col("n_nationkey"),
+          concat(col("n_name"), lit(",\"mid\""), lit("\n"), col("n_name")).as("payload"))
+      val src = Tables.scratch("quoted_src")
+      tricky.write.mode("overwrite").parquet(s"$src/in.parquet")
+      val out = Tables.scratch("quoted_csv.csv")
+      Convert.convert(s, s"$src/in.parquet", out, singleFile = true)
+      // multiLine: quoted embedded newlines span physical lines, and Spark's
+      // default (splittable, newline-framed) CSV reader would shear them.
+      // The flag makes the file unsplittable — single-task per file at any
+      // size, which is exactly why multiline CSV is an ingest-only format
+      // and Convert's whole purpose is moving such data INTO parquet.
+      s.read
+        .option("header", "true").option("multiLine", "true")
+        .csv(out)
+        .select(
+          col("n_nationkey").cast("int").as("n_nationkey"),
+          length(col("payload")).as("payload_len"),
+          md5(col("payload").cast("binary")).as("payload_md5"))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey,
+        CAST(length(n_name || ',"mid"' || chr(10) || n_name) AS INTEGER) AS payload_len,
+        md5(n_name || ',"mid"' || chr(10) || n_name) AS payload_md5
+      FROM nation ORDER BY n_nationkey"""))
+
   /** NDJSON source path, same shape (reference JSON = newline-delimited). */
   val jsonRoundtrip = Declared(
     "op_json_roundtrip",
@@ -471,6 +509,7 @@ object Ops {
   val all: Seq[Declared] = Seq(
     view, schemaQ, countQ, convertRoundtrip, csvRoundtrip, jsonRoundtrip,
     orcRoundtrip, avroRoundtrip,
+    csvQuoted,
     compareEqual, compareDiff, compareEpsilon, compareKeyed, compareFirstDiff,
     tableDigest, infoSchema, parquetMeta, schemaDiffQ, columnDrift)
 }

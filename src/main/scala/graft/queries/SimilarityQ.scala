@@ -1270,9 +1270,77 @@ object SimilarityQ {
       FROM coarse
       ORDER BY cos64 DESC, vec_id LIMIT 10"""))
 
+  /** Cluster-health readout for the IVF cells: per-cluster simplified
+    * silhouette (b−a)/max(a,b) where a = distance to the own (nearest)
+    * centroid and b = distance to the second-nearest — near 0 means cells
+    * barely separate the data (the honest verdict for random fixtures) and
+    * the "retrain or add cells" trigger in production. All distances come
+    * from ONE map-side pass against the k broadcast centroids; the
+    * nearest/second-nearest pair folds inside the per-vector aggregate via
+    * a sorted k-element struct array (k is tiny index metadata, never the
+    * corpus), and the readout is a k-row hash aggregate. Distances round
+    * to 6 dp before the sort so the (d, cluster) order can't hinge on
+    * last-bit noise.
+    */
+  val clusterSilhouette = Declared(
+    "sim_cluster_silhouette",
+    (sess, dir) => {
+      val k = 4
+      val e = embTable(sess, dir)
+      val c0 = e.withColumn("cluster", col("vec_id") % k)
+        .select(col("cluster"), posexplode(col("emb")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cluster").as("c_id"), expr("transform(pv, x -> x.v)").as("centroid"))
+      val scored = e.crossJoin(broadcast(c0))
+        .select(col("vec_id"), col("c_id"), round(sqd("emb", "centroid"), 6).as("d"))
+      val per = scored.groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("d"), col("c_id")))).as("ds"))
+        .select(
+          expr("ds[0].c_id").as("cluster"),
+          expr("ds[0].d").as("a"),
+          expr("ds[1].d").as("b"))
+      per.groupBy(col("cluster"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg((col("b") - col("a")) / nullif(greatest(col("a"), col("b")), lit(0.0))), 4)
+            .as("mean_sil"),
+          round(avg(col("a")), 4).as("mean_intra"),
+          round(avg(col("b")), 4).as("mean_inter"))
+        .orderBy(col("cluster"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      init AS (
+        SELECT vec_id % 4 AS cluster, CAST(i AS INTEGER) AS i,
+               avg(emb[CAST(i AS INTEGER)]) AS v
+        FROM ev CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+      c0 AS (SELECT cluster, list(v ORDER BY i) AS centroid FROM init GROUP BY cluster),
+      scored AS (
+        SELECT ev.vec_id, c0.cluster AS c_id,
+          round(list_distance(ev.emb, c0.centroid) ^ 2, 6) AS d
+        FROM ev CROSS JOIN c0),
+      r AS (
+        SELECT vec_id, c_id, d,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn
+        FROM scored),
+      per AS (
+        SELECT vec_id,
+          max(CASE WHEN rn = 1 THEN c_id END) AS cluster,
+          max(CASE WHEN rn = 1 THEN d END) AS a,
+          max(CASE WHEN rn = 2 THEN d END) AS b
+        FROM r WHERE rn <= 2 GROUP BY vec_id)
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+        round(avg((b - a) / nullif(greatest(a, b), 0.0)), 4) AS mean_sil,
+        round(avg(a), 4) AS mean_intra,
+        round(avg(b), 4) AS mean_inter
+      FROM per GROUP BY cluster ORDER BY cluster"""))
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
       ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower,
-      streamAnnProbe, ivfPqAppend, matryoshka)
+      streamAnnProbe, ivfPqAppend, matryoshka, clusterSilhouette)
 }

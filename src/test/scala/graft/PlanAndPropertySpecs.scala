@@ -463,7 +463,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "eval_langid_kappa", // 1-row accuracy × 1-row expected-agreement scalar
     "events_rfm",        // 1-row broadcast quintile-cutoff table
     "events_interpolate", // spine construction: 1-row bounds × tiny type dim
-    "sim_matryoshka"     // 1-row broadcast query vector (two-stage rerank)
+    "sim_matryoshka",    // 1-row broadcast query vector (two-stage rerank)
+    "sim_cluster_silhouette" // k-row broadcast centroid table (k=4)
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
