@@ -964,9 +964,63 @@ object EventsQ {
           / (CAST(s1 AS DOUBLE) / n), 4) AS cv
       FROM st ORDER BY cv, user_id LIMIT 10"""))
 
+  /** Survival curve for repeat purchase: the fraction of purchasers still
+    * WITHOUT a second purchase after d days, for d = 0..30 — the
+    * time-to-repeat readout behind churn and re-engagement decisions
+    * (events_retention's cohort triangle answers "who came back on day k";
+    * this answers "how long until they convert again"). Per-user first two
+    * purchase timestamps fold in one window + one aggregate (user-bounded
+    * state), the 31-day spine broadcasts over that per-user table, and the
+    * curve is a 31-row hash aggregate — never a cumulative window over an
+    * unbounded series. Users with no second purchase survive every day
+    * (right-censored at the fixture horizon; the scaladoc's honesty note:
+    * a production KM estimator would censor at each user's observation
+    * end, which this 30-day fixed window makes equivalent).
+    */
+  val survival = Declared(
+    "events_survival",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .groupBy(col("user_id"))
+        .agg(datediff(
+          max(when(col("rn") === 2, col("ts"))).cast("date"),
+          max(when(col("rn") === 1, col("ts"))).cast("date")).as("gap_days"))
+      val spine = s.range(0, 31).select(col("id").cast("int").as("day"))
+      val survives = col("gap_days").isNull || col("gap_days") > col("day")
+      gaps.crossJoin(broadcast(spine))
+        .groupBy(col("day"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(survives, 1L).otherwise(0L)).as("n_surviving"),
+          round(avg(when(survives, 1.0).otherwise(0.0)), 4).as("surviving_frac"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH p AS (
+        SELECT user_id, ts,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'),
+      gaps AS (
+        SELECT user_id,
+          date_diff('day',
+            CAST(max(CASE WHEN rn = 1 THEN ts END) AS DATE),
+            CAST(max(CASE WHEN rn = 2 THEN ts END) AS DATE)) AS gap_days
+        FROM p WHERE rn <= 2 GROUP BY user_id),
+      spine AS (SELECT CAST(unnest(range(0, 31)) AS INTEGER) AS day)
+      SELECT day, CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(CASE WHEN gap_days IS NULL OR gap_days > day THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_surviving,
+        round(avg(CASE WHEN gap_days IS NULL OR gap_days > day THEN 1.0 ELSE 0.0 END), 4)
+          AS surviving_frac
+      FROM gaps CROSS JOIN spine
+      GROUP BY day ORDER BY day"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
-    rfm, interpolate, asofTolerance, botDetection)
+    rfm, interpolate, asofTolerance, botDetection, survival)
 }

@@ -214,6 +214,14 @@ class EvalOpsSpec extends AnyFunSuite {
       "output must be ordered by the full-dimension score")
   }
 
+  test("events_survival: curve is monotone non-increasing over a fixed cohort") {
+    val rows = run("events_survival").collect().sortBy(_.getInt(0))
+    assert(rows.length == 31)
+    assert(rows.map(_.getLong(1)).distinct.length == 1, "cohort size must be constant")
+    assert(rows.map(_.getDouble(3)).sliding(2).forall(p => p.head >= p.last - 1e-9),
+      "survival can only fall with time")
+  }
+
   test("embed_pca_power: reported direction components are unit-bounded") {
     val r = run("embed_pca_power").head()
     assert(r.getDouble(0) > 0.0, "eigenvalue estimate must be positive")

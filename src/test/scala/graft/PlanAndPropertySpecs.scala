@@ -464,7 +464,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_rfm",        // 1-row broadcast quintile-cutoff table
     "events_interpolate", // spine construction: 1-row bounds × tiny type dim
     "sim_matryoshka",    // 1-row broadcast query vector (two-stage rerank)
-    "sim_cluster_silhouette" // k-row broadcast centroid table (k=4)
+    "sim_cluster_silhouette", // k-row broadcast centroid table (k=4)
+    "events_survival"    // 31-row broadcast day spine over the per-user fold
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
