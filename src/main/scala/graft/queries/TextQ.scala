@@ -1015,9 +1015,60 @@ object TextQ {
           AS chars_per_token
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** Confidence calibration of the language-ID heuristic: accuracy as a
+    * function of the top-1-vs-top-2 score MARGIN — the readout that decides
+    * whether a classifier's confidence can gate data ("auto-accept above
+    * margin m, route the rest to review"). A well-behaved classifier shows
+    * accuracy rising with margin; a flat curve means the score carries no
+    * confidence signal. One scoring pass (the same shared expressions as
+    * the eval family), margins as exact integer stopword-count gaps, folded
+    * by a ≤6-bucket hash aggregate.
+    */
+  val langidCalibration = Declared(
+    "eval_langid_calibration",
+    (s, dir) => {
+      val withScores = t(s, dir, "documents")
+        .withColumn("ws", TextFns.words(col("text")))
+        .select(
+          Seq(col("lang")) ++
+            stopwords.map { case (l, ws) => scoreCol(col("ws"), ws).as(s"s_$l") }: _*)
+      val pred = predictedLang(l => col(s"s_$l"))
+      val sorted = sort_array(
+        array(stopwords.map { case (l, _) => col(s"s_$l") }: _*), asc = false)
+      withScores
+        .select(
+          (element_at(sorted, 1) - element_at(sorted, 2)).as("margin"),
+          (pred === col("lang")).cast("long").as("ok"))
+        .select(least(col("margin"), lit(5)).cast("int").as("margin_bucket"), col("ok"))
+        .groupBy(col("margin_bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("ok").cast("double")), 4).as("accuracy"))
+        .orderBy(col("margin_bucket"))
+    },
+    Some {
+      val scores = stopwords.map { case (l, ws) => s"${scoreSql(ws)} AS s_$l" }
+        .mkString(",\n          ")
+      val pred = predictedLangSql(l => s"s_$l")
+      val arr = stopwords.map { case (l, _) => s"s_$l" }.mkString("[", ", ", "]")
+      s"""WITH scored AS (
+        SELECT lang,
+          $scores
+        FROM (SELECT lang, string_split_regex(trim(text), '\\s+') AS ws FROM documents)),
+      m AS (
+        SELECT
+          CAST(least(list_reverse_sort($arr)[1] - list_reverse_sort($arr)[2], 5) AS INTEGER)
+            AS margin_bucket,
+          CASE WHEN $pred = lang THEN 1 ELSE 0 END AS ok
+        FROM scored)
+      SELECT margin_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        round(avg(CAST(ok AS DOUBLE)), 4) AS accuracy
+      FROM m GROUP BY margin_bucket ORDER BY margin_bucket"""
+    })
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
     boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats,
-    langidReport, langidKappa, charEntropy, fertility)
+    langidReport, langidKappa, charEntropy, fertility, langidCalibration)
 }
