@@ -224,20 +224,27 @@ object Compare {
 
     val r = valueCols.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"__r_$c"))
     val joined = left.join(r, keys, "inner")
-    val counts = joined.agg(
-      count(lit(1)).as("n_common"),
-      valueCols.map { c =>
+    // Names may contain dots/quotes/backticks (arbitrary CLI inputs), so stay
+    // in the Column API end to end: backtick-quote every generated reference
+    // and unpivot via explode(array(struct(...))) instead of a stack() SQL
+    // string. Empty key intersection => sum(...) is NULL; coalesce to 0L to
+    // match summarizeByKey's zeroed counters.
+    def q(name: String): Column = col("`" + name.replace("`", "``") + "`")
+    def changed(c: String): Column =
+      coalesce(
         sum(when(!colEqual(
-          col(c), left.schema(c).dataType,
-          col(s"__r_$c"), right.schema(c).dataType, epsilon), 1L).otherwise(0L))
-          .as(s"__chg_$c")
-      }: _*)
-    val stackArgs = valueCols
-      .map(c => s"'$c', __chg_$c")
-      .mkString(", ")
-    counts
+          q(c), left.schema(c).dataType,
+          q(s"__r_$c"), right.schema(c).dataType, epsilon), 1L).otherwise(0L)),
+        lit(0L))
+    joined
+      .agg(
+        count(lit(1)).as("n_common"),
+        array(valueCols.map(c =>
+          struct(lit(c).as("column_name"), changed(c).as("n_changed"))): _*).as("__pairs"))
+      .select(explode(col("__pairs")).as("__p"), col("n_common"))
       .select(
-        expr(s"stack(${valueCols.length}, $stackArgs) AS (column_name, n_changed)"),
+        col("__p.column_name").as("column_name"),
+        col("__p.n_changed").as("n_changed"),
         col("n_common"))
       .orderBy(col("column_name"))
   }

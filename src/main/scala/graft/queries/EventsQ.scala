@@ -875,8 +875,16 @@ object EventsQ {
         .select(
           col("event_type"), col("h"), col("v").isNull.as("was_missing"),
           when(col("v").isNotNull, col("v"))
+            // Spark `div` truncates toward zero; DuckDB `//` floors. The
+            // denominator nh - ph is always positive (next-known hour index
+            // strictly after prev-known), so exact integer FLOOR division is
+            // trunc minus one when the remainder is negative — matching `//`
+            // for negative metric series too, not just the fixture's
+            // positive values.
             .when(col("pv").isNotNull && col("nv").isNotNull,
-              expr("(pv * (nh - hi) + nv * (hi - ph)) div (nh - ph)"))
+              expr("""(pv * (nh - hi) + nv * (hi - ph)) div (nh - ph)
+                      - (CASE WHEN (pv * (nh - hi) + nv * (hi - ph)) % (nh - ph) < 0
+                         THEN 1 ELSE 0 END)"""))
             .when(col("pv").isNotNull, col("pv"))
             .otherwise(col("nv")).as("v_micro"))
         .orderBy(col("event_type"), col("h"))
@@ -940,8 +948,14 @@ object EventsQ {
           sum(col("d") * col("d")).as("s2"))
         .filter(col("n") >= 20)
       val mean = col("s1").cast("double") / col("n")
-      val variance = (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n")) /
-        (col("n") - 1)
+      // Perfectly regular gaps (the bot case itself) make s2 - s1²/n cancel
+      // to ~0; once s1² passes 2^53 the cancellation can land epsilon-negative
+      // and sqrt would NaN. Clamp at 0 on BOTH engines (GREATEST in the
+      // oracle) so the exact-zero-variance bot never diverges.
+      val variance = greatest(
+        (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n")) /
+          (col("n") - 1),
+        lit(0.0))
       st.select(
           col("user_id"), col("n").as("n_gaps"),
           round(mean, 2).as("mean_gap_s"),
@@ -960,7 +974,8 @@ object EventsQ {
         FROM g WHERE d IS NOT NULL GROUP BY 1 HAVING count(*) >= 20)
       SELECT user_id, n AS n_gaps,
         round(CAST(s1 AS DOUBLE) / n, 2) AS mean_gap_s,
-        round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+        round(sqrt(GREATEST(
+            (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1), 0.0))
           / (CAST(s1 AS DOUBLE) / n), 4) AS cv
       FROM st ORDER BY cv, user_id LIMIT 10"""))
 
