@@ -124,12 +124,19 @@ object Physical {
 
   /** STORAGE bloom filters (the write-side complement of q_runtime_bloom's
     * runtime filter): write with `parquet.bloom.filter.enabled#<col>` on the
-    * point-lookup keys and prove from the FOOTER that the filters landed on
-    * exactly those columns — the layout knob that makes needle-in-haystack
-    * key lookups skip row groups without any index service. DuckDB 1.0's
-    * parquet_metadata() predates bloom offsets, so the oracle pins the
-    * expected per-column presence; the Spark side genuinely reads the
-    * footer's bloom offsets (same parquet-hadoop path as op_parquet_meta).
+    * point-lookup keys and prove the filters landed on exactly those columns
+    * — the layout knob that makes needle-in-haystack key lookups skip row
+    * groups without any index service. The Spark side is a FUNCTIONAL check:
+    * every row group must carry a bloom offset AND the deserialized filter
+    * must answer positive for that row group's footer-stats minimum (a value
+    * known to be present) — not just "offset field set". The oracle reads
+    * the column list back from the WRITTEN file via DuckDB's
+    * parquet_metadata() (scratch is machine-local and Verify runs before the
+    * oracle), so the column inventory is cross-engine recomputed; only the
+    * has_bloom POLICY (blooms on the two requested keys) stays pinned —
+    * this environment's DuckDB 1.0.0 predates the bloom_filter_offset
+    * metadata column (added in 1.2) that would let it recompute presence
+    * itself.
     */
   val parquetBloom = Declared(
     "op_parquet_bloom",
@@ -167,19 +174,40 @@ object Physical {
         try {
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
           require(blocks.nonEmpty, s"no row groups in $part")
+          // functional per-row-group check: offset present, filter
+          // deserializes, and the row group's own min value (from footer
+          // stats — no data pages read) tests positive
+          def bloomWorks(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean =
+            c.getBloomFilterOffset >= 0L && {
+              val bf = reader.readBloomFilter(c)
+              bf != null && {
+                val stats = c.getStatistics
+                require(stats != null && !stats.isEmpty,
+                  s"no footer stats for ${c.getPath.toDotString} — cannot pick a known-present probe value")
+                val h = stats.genericGetMin match {
+                  case l: java.lang.Long => bf.hash(l.longValue())
+                  case i: java.lang.Integer => bf.hash(i.intValue())
+                  case d: java.lang.Double => bf.hash(d.doubleValue())
+                  case f: java.lang.Float => bf.hash(f.floatValue())
+                  case b: org.apache.parquet.io.api.Binary => bf.hash(b)
+                  case o => bf.hash(o)
+                }
+                bf.findHash(h)
+              }
+            }
           blocks
             .flatMap(_.getColumns.asScala
-              .map(c => (c.getPath.toDotString, c.getBloomFilterOffset >= 0L)))
+              .map(c => (c.getPath.toDotString, bloomWorks(c))))
             .groupBy(_._1).toSeq
             .map { case (p, perBlock) => (p, perBlock.forall(_._2)) }
         } finally reader.close()
       import s.implicits._
       rows.toDF("path_in_schema", "has_bloom").orderBy(col("path_in_schema"))
     },
-    Some("""SELECT * FROM (
-        SELECT 'l_orderkey' AS path_in_schema, true AS has_bloom
-        UNION ALL SELECT 'l_partkey', true
-        UNION ALL SELECT 'l_quantity', false)
+    Some(s"""SELECT path_in_schema,
+        path_in_schema IN ('l_orderkey', 'l_partkey') AS has_bloom
+      FROM (SELECT DISTINCT path_in_schema
+            FROM parquet_metadata('${Tables.scratch("bloom_parquet")}/*.parquet'))
       ORDER BY path_in_schema"""))
 
   /** Aggregation on the bucket key — the OTHER free ride a bucketed layout
