@@ -216,6 +216,21 @@ class DedupClustersSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1)).toSet
     assert(gotChain == Set(1L)) // everything reaches the minimum
   }
+
+  test("300-node chain collapses in O(log diameter) rounds (pointer jumping)") {
+    // plain min-label propagation moves the min ONE hop per round — a
+    // 300-node chain would need 299 rounds. The pointer-jumping shortcut
+    // compounds distance geometrically; 12 rounds is far above log2(300)≈8.2
+    // but far below the linear bound, so passing proves the log behavior.
+    val n = 300L
+    val nodes = (1L to n).toDF("id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (labels, rounds) = graft.operators.DedupClusters
+      .connectedComponentsWithRounds(nodes, "id", chain, maxIter = 12)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 300 && got.forall(_._2 == 1L))
+    assert(rounds <= 12, s"chain took $rounds rounds")
+  }
 }
 
 class SimHashSpec extends AnyFunSuite {
