@@ -60,8 +60,7 @@ object Bench {
     // query runs first
     locally {
       val warmSchema = spark.read.parquet(s"$sfDir/region.parquet").schema
-      val q = spark.readStream.schema(warmSchema)
-        .option("pathGlobFilter", "region.parquet").parquet(sfDir)
+      val q = graft.streaming.StreamingOps.streamTable(spark, sfDir, "region", warmSchema)
         .groupBy("r_name").count()
         .writeStream.outputMode("complete").format("memory")
         .queryName("graft_bench_warm_stream").start()

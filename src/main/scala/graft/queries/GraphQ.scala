@@ -23,7 +23,10 @@ object GraphQ {
     * and localCheckpointed; each round is one shuffle-on-src join plus one
     * aggregate-by-dst — O(edges) per round, state is O(nodes), nothing on
     * the driver but the loop counter. Supplier node ids are offset by
-    * 100000 to disjoint the two key spaces.
+    * 10^9 to disjoint the two key spaces — deliberately NOT a
+    * fixture-sized constant: the round-7 10x-scale probe corpus grew the
+    * customer id range past the original 100000 offset, silently fusing
+    * high customers with suppliers into one node space.
     *
     * Determinism: ranks live in integer MICRO-UNITS (1e9 = rank 1.0) and
     * every step is integer arithmetic — `rank div outdeg` per edge,
@@ -39,8 +42,8 @@ object GraphQ {
         .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
         .distinct()
       val undirected = eraw
-        .select(col("c").as("src"), (col("su") + 100000L).as("dst"))
-        .union(eraw.select((col("su") + 100000L).as("src"), col("c").as("dst")))
+        .select(col("c").as("src"), (col("su") + 1000000000L).as("dst"))
+        .union(eraw.select((col("su") + 1000000000L).as("src"), col("c").as("dst")))
       val deg = undirected.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       val edges = undirected.join(deg, "src").localCheckpoint()
       var rank = edges.select(col("src").as("node")).distinct()
@@ -63,7 +66,7 @@ object GraphQ {
       }
       rank
         .select(col("node"), col("rank"),
-          when(col("node") >= 100000L, lit("supplier"))
+          when(col("node") >= 1000000000L, lit("supplier"))
             .otherwise(lit("customer")).as("kind"))
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
@@ -72,9 +75,9 @@ object GraphQ {
         SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS su
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
       e0 AS (
-        SELECT c AS src, su + 100000 AS dst FROM eraw
+        SELECT c AS src, su + 1000000000 AS dst FROM eraw
         UNION ALL
-        SELECT su + 100000 AS src, c AS dst FROM eraw),
+        SELECT su + 1000000000 AS src, c AS dst FROM eraw),
       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e0 GROUP BY src),
       e AS (SELECT e0.src, e0.dst, deg.outdeg FROM e0 JOIN deg USING (src)),
       r0 AS (SELECT DISTINCT src AS node, CAST(1000000000 AS BIGINT) AS rank FROM e0),
@@ -88,7 +91,7 @@ object GraphQ {
              FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst),
       r3 AS (SELECT node, CAST(150000000 + (85 * cb) // 100 AS BIGINT) AS rank FROM c3)
       SELECT CAST(node AS BIGINT) AS node, rank,
-        CASE WHEN node >= 100000 THEN 'supplier' ELSE 'customer' END AS kind
+        CASE WHEN node >= 1000000000 THEN 'supplier' ELSE 'customer' END AS kind
       FROM r3 ORDER BY rank DESC, node LIMIT 20"""))
 
   /** Triangle counting over the part co-purchase graph (parts are linked

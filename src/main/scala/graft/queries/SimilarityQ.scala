@@ -1046,8 +1046,7 @@ object SimilarityQ {
     val codes = s.read.parquet(s"$idx/codes")
       .select(col("vec_id"), col("cell").cast("long").as("cell"), col("m"), col("code"))
     val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
-    val probes = s.readStream.schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val probes = graft.streaming.StreamingOps.streamTable(s, dir, "embeddings", schema)
       .filter(col("vec_id") < 3)
       .select(col("vec_id").as("probe_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qemb"))

@@ -43,6 +43,28 @@ object StreamingOps {
       (df.schema, df.rdd.getNumPartitions) // listing-only, no data job
     })
 
+
+  /** Streaming file source for `<dir>/<table>.parquet`. In the read-only
+    * test fixtures that path is a single FILE — the file source wants a
+    * directory, so stream the parent glob-filtered to the one file. In any
+    * production or scaled layout the table is a DIRECTORY of part files;
+    * stream it directly (the glob would match nothing there: part files are
+    * named part-*). Probed via Hadoop FS so the dispatch works on any
+    * filesystem, not just local disk. The round-7 10x corpus caught this:
+    * directory-layout tables made every glob-filtered stream read ZERO rows.
+    */
+  private[graft] def streamTable(
+      spark: SparkSession, dir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val isDir = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+    val rs = spark.readStream.schema(schema)
+    if (isDir) rs.parquet(path)
+    else rs.option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** Run a finite-replay streaming query with deployment-appropriate tuning,
     * restoring session confs afterwards:
     *
@@ -83,10 +105,7 @@ object StreamingOps {
 
     // the file source wants a directory: stream the sf dir, glob-filtered to
     // the events file
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = streamTable(spark, sfDir, "events", rawSchema)
       .withColumn("ts", Tables.eventTsCol(rawSchema, "timestamp_ntz"))
 
     val agg = stream
@@ -116,10 +135,7 @@ object StreamingOps {
   def slidingTypeCounts(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = streamTable(spark, sfDir, "events", rawSchema)
       .withColumn("ts", Tables.eventTsCol(rawSchema, "timestamp_ntz"))
 
     val agg = stream
@@ -154,10 +170,7 @@ object StreamingOps {
   def windowedTypeCountsAppend(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = streamTable(spark, sfDir, "events", rawSchema)
       // watermarks require TIMESTAMP (LTZ); session TZ is UTC so the window
       // starts cast to NTZ below carry identical values to the batch oracle
       .withColumn("ts", Tables.eventTsCol(rawSchema, "timestamp"))
@@ -200,10 +213,7 @@ object StreamingOps {
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = streamTable(spark, sfDir, "events", rawSchema)
       .withColumn("ts", Tables.eventTsCol(rawSchema, "timestamp"))
       // dedup key: the payload identity (same user+type+props = duplicate)
       .withColumn("content_key",
@@ -246,10 +256,7 @@ object StreamingOps {
   def enrichedTypeCounts(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = streamTable(spark, sfDir, "events", rawSchema)
       .select(col("user_id"), col("event_type"), col("value"))
     val dim = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -284,10 +291,7 @@ object StreamingOps {
   def clickPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
-    def side(tpe: String, uid: String, tsName: String) = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    def side(tpe: String, uid: String, tsName: String) = streamTable(spark, sfDir, "events", rawSchema)
       // watermarks need TIMESTAMP (LTZ); outputs are cast back to NTZ below
       .withColumn("ts", Tables.eventTsCol(rawSchema, "timestamp"))
       .filter(col("event_type") === tpe)
@@ -331,10 +335,7 @@ object StreamingOps {
   def clickPurchaseJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
-    def side(tpe: String, uid: String, tsName: String) = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    def side(tpe: String, uid: String, tsName: String) = streamTable(spark, sfDir, "events", rawSchema)
       .withColumn("ts", Tables.eventTsCol(rawSchema, "timestamp"))
       .filter(col("event_type") === tpe)
       .select(col("user_id").as(uid), col("ts").as(tsName))
@@ -383,10 +384,7 @@ object StreamingOps {
     val index = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") % 10 < 8)
       .select(fp).distinct()
-    val stream = spark.readStream
-      .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    val stream = streamTable(spark, sfDir, "documents", docSchema)
       .filter(col("doc_id") % 10 >= 8)
       .select(col("doc_id"), col("lang"), fp)
       .join(index, Seq("fp"), "left_anti")
@@ -476,10 +474,7 @@ object StreamingOps {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = streamTable(spark, sfDir, "events", rawSchema)
       .select(
         col("user_id"),
         Tables.eventTsCol(rawSchema, "timestamp").as("ts"),
@@ -517,10 +512,7 @@ object StreamingOps {
     import org.apache.spark.sql.expressions.Window
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = streamTable(spark, sfDir, "events", rawSchema)
       .withColumn("ts", Tables.eventTsCol(rawSchema, "timestamp_ntz"))
     val agg = stream
       .groupBy(window(col("ts"), "1 day").getField("start").as("d"), col("event_type"))
@@ -605,10 +597,7 @@ object StreamingOps {
   def foreachBatchUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = streamTable(spark, sfDir, "events", rawSchema)
       .select(
         col("user_id"), col("event_id"), col("event_type"),
         Tables.eventTsCol(rawSchema, "timestamp_ntz").as("ts"))
@@ -693,10 +682,7 @@ object StreamingOps {
   def qualityGate(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = streamTable(spark, sfDir, "events", rawSchema)
       .select(
         col("event_type"), col("user_id"), col("value"),
         Tables.eventTsCol(rawSchema, "timestamp_ntz").as("ts"))
@@ -757,10 +743,7 @@ object StreamingOps {
   def distinctUsersStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = streamTable(spark, sfDir, "events", rawSchema)
       .select(col("event_type"), col("user_id"))
     hllReset()
     runTuned(spark, scanParts) {

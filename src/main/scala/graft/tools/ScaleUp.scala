@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize an N×-scaled copy of a fixture directory so the scaling
+  * claims in the README can be measured one decade past the read-only
+  * testdata cap (sf0.1): `runMain graft.tools.ScaleUp <srcDir> <outDir>
+  * [copies=10]` writes `<table>.parquet` for every fixture table, and the
+  * existing Bench/Explain mains run against `outDir` unchanged.
+  *
+  * Construction — union of `copies` deterministic clones, entity ids
+  * offset per copy so POPULATIONS grow (the TPC-H scaling model: more
+  * customers/orders/parts/docs/users, not denser keys):
+  *  - key offsets are round powers of ten per key family (custkey 1e5,
+  *    orderkey 1e6, partkey 1e5, suppkey 1e4, doc/vec id 1e4, event 1e6,
+  *    user 1e4), all ≥ the sf0.1 max, so clones never collide and the
+  *    FK graph (order→cust, line→order/part/supp) stays consistent
+  *    within each clone;
+  *  - document TEXT is rotated per copy (a fixed letter/digit bijection
+  *    via `translate`): equality of shingles is preserved WITHIN a copy —
+  *    so the near-dup rate, cluster structure, and token statistics scale
+  *    exactly linearly — while cross-copy shingles share nothing, so the
+  *    scaled corpus doesn't degenerate into 10 exact copies of every doc
+  *    (which would square the banded-join work and measure a pathology,
+  *    not scale); `source` rotates too (domain population grows);
+  *  - embeddings get a per-copy +0.001·k shift on every dimension:
+  *    geometry within a copy is identical, copies interleave as a denser
+  *    cloud, and top-k never hits 10-way exact-tie plateaus;
+  *  - nation/region stay fixed (as in TPC-H itself); ts/value/lang/
+  *    event_type distributions are copy-invariant.
+  *
+  * This is a fixture GENERATOR (like the Avro fixture writer), not a
+  * query: it runs once, off the timed path. Each table is one scan per
+  * copy of a ≤11 MB source — negligible — and the output is written
+  * through the normal distributed writer.
+  */
+object ScaleUp {
+
+  private val Letters = ('a' to 'z').mkString + ('A' to 'Z').mkString
+  private val Digits = "0123456789"
+
+  /** Per-copy bijective character map: letters rotate by k within each
+    * case, digits rotate by k. Copy 0 is the identity (originals survive
+    * verbatim, so absolute-id probes like vec_id<3 still hit real rows).
+    */
+  private def rot(k: Int): (String, String) = {
+    def rotStr(s: String, by: Int) = {
+      val n = s.length
+      (0 until n).map(i => s((i + by) % n)).mkString
+    }
+    val lower = ('a' to 'z').mkString
+    val upper = ('A' to 'Z').mkString
+    (Letters + Digits,
+      rotStr(lower, k) + rotStr(upper, k) + rotStr(Digits, k))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <srcDir> <outDir> [copies=10]")
+    val src = args(0)
+    val out = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    // key-family offsets: round powers of ten ≥ each sf0.1 max
+    val CUST = 100000L; val ORD = 1000000L; val PART = 100000L
+    val SUPP = 10000L; val DOC = 10000L; val VEC = 10000L
+    val EVT = 1000000L; val USER = 10000L
+
+    def clones(t: String)(xform: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(k => xform(read(t), k)).reduce(_ unionByName _)
+
+    // dims held fixed in TPC-H's own scaling model
+    Seq("region", "nation").foreach(t => write(read(t), t, 1))
+
+    write(clones("customer")((d, k) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(k * CUST))), "customer", 4)
+    write(clones("supplier")((d, k) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(k * SUPP))), "supplier", 2)
+    write(clones("part")((d, k) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(k * PART))), "part", 4)
+    write(clones("orders")((d, k) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(k * ORD))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * CUST))), "orders", 8)
+    write(clones("lineitem")((d, k) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(k * ORD))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * PART))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * SUPP))), "lineitem", 16)
+    write(clones("events")((d, k) =>
+      d.withColumn("event_id", col("event_id") + lit(k * EVT))
+        .withColumn("user_id", col("user_id") + lit(k * USER))), "events", 8)
+    write(clones("documents") { (d, k) =>
+      val (from, to) = rot(k)
+      d.withColumn("doc_id", col("doc_id") + lit(k * DOC))
+        .withColumn("text", translate(col("text"), from, to))
+        .withColumn("source", translate(col("source"), from, to))
+    }, "documents", 8)
+    write(clones("embeddings")((d, k) =>
+      d.withColumn("vec_id", col("vec_id") + lit(k * VEC))
+        .withColumn("embedding",
+          expr(s"transform(embedding, x -> CAST(x + ${k}*0.001d AS FLOAT))"))),
+      "embeddings", 8)
+
+    val counts = graft.Tables.names.map(t =>
+      t -> spark.read.parquet(s"$out/$t.parquet").count()).toMap
+    println(s"""{"scaled_to":"$out","copies":$copies,"rows":{${
+      counts.toSeq.sortBy(_._1).map { case (t, n) => s""""$t":$n""" }.mkString(",")}}}""")
+    spark.stop()
+  }
+}
