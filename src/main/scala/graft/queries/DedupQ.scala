@@ -1155,9 +1155,102 @@ object DedupQ {
       WHERE rn = 1
       ORDER BY cos DESC, en_doc LIMIT 20"""))
 
+  /** Exact duplicated-substring COVERAGE per document — the per-doc removal
+    * signal of suffix-style training-data dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22: drop verbatim
+    * spans ≥ L chars that recur across the corpus). [[winnow]] answers
+    * "which doc PAIRS share verbatim spans"; this answers "how MUCH of each
+    * doc is verbatim-duplicated anywhere else" — the number a curation
+    * pipeline thresholds on before dropping or trimming a document.
+    *
+    * Spark-first shape (no suffix array — that's a single-node structure):
+    * hash every L=40-char gram (stride 1, portable md5 hash), keep hashes
+    * seen in ≥ 2 DISTINCT docs, then per doc take the union length of the
+    * surviving [pos, pos+L) intervals with one running-max window — exact
+    * interval-union coverage in a single doc-partitioned window, no
+    * per-interval loop. A gram position duplicated only WITHIN one doc does
+    * not count (self-repetition is text_repetition's job).
+    *
+    * At scale: the gram fan-out is map-side; the only corpus-sized shuffle
+    * is (hash, doc_id, pos) — 16 bytes/char, the same O(corpus) cost the
+    * suffix-array pipelines pay, and the df≥2 filter is a partial-agg'd
+    * hash count. 32-bit hashes keep the shuffle narrow at benchmark scale;
+    * a 100 TB run swaps in [[graft.functions.Hashing.md5Hash60]] (same
+    * code, 8 more bytes) to push the collision rate below one span per
+    * corpus. Interval math is all integers — zero float divergence risk.
+    */
+  val substringDedup = Declared(
+    "dedup_substring",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val L = 40
+      val grams = Tables.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), posexplode(expr(
+          s"""CASE WHEN length(text) < $L THEN array()
+              ELSE transform(sequence(1, length(text) - ${L - 1}),
+                             i -> substr(text, i, $L)) END"""))
+          .as(Seq("pos0", "g")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+          graft.functions.Hashing.md5Hash32(col("g")).as("h"))
+      // hashes present in >= 2 distinct docs; the snapshot feeds the dup-mark
+      // join without re-running the gram pipeline
+      val dupFps = grams.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val dupPos = grams.join(dupFps, "h")
+        .select(col("doc_id"), col("pos"))
+      // exact union length of overlapping [pos, pos+L) intervals: running
+      // max of prior interval ends, each row contributes only its uncovered
+      // suffix — one window, all-integer
+      val prevEnd = max(col("pos") + L).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+      val perDoc = dupPos
+        .withColumn("pe", prevEnd)
+        .withColumn("cov",
+          greatest(lit(0), col("pos") + lit(L) -
+            greatest(coalesce(col("pe"), col("pos")), col("pos"))))
+        .withColumn("run_start",
+          (col("pe").isNull || col("pe") < col("pos")).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cov")).as("dup_chars"), sum(col("run_start")).as("n_runs"))
+      t(s, dir, "documents").select(col("doc_id"), length(col("text")).as("n_chars"))
+        .join(perDoc, "doc_id")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("dup_chars"), col("n_runs"),
+          round(col("dup_chars").cast("double") / col("n_chars"), 6).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH grams AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+          ${graft.functions.Hashing.md5Hash32DuckSql("substr(text, CAST(i AS INTEGER), 40)")} AS h
+        FROM documents, unnest(range(1, greatest(len(text) - 39, 0) + 1)) t(i)),
+      dupfps AS (
+        SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      duppos AS (
+        SELECT doc_id, pos FROM grams JOIN dupfps USING (h)),
+      cov AS (
+        SELECT doc_id,
+          greatest(0, pos + 40 -
+            greatest(coalesce(max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos), pos)) AS c,
+          CASE WHEN coalesce(max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) < pos
+            THEN 1 ELSE 0 END AS rs
+        FROM duppos),
+      per_doc AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_chars,
+          CAST(sum(rs) AS BIGINT) AS n_runs
+        FROM cov GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+        p.dup_chars, p.n_runs,
+        round(CAST(p.dup_chars AS DOUBLE) / len(d.text), 6) AS dup_frac
+      FROM documents d JOIN per_doc p USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Declared] = Seq(
     exact, exactRows, ngramJaccard, containment, containmentAsym, clusters,
     incremental, incrementalBloom, minhash, simhash, simhashBuckets,
     embedCosine, temporal, winnow, minhashAccuracy, urlDedup, semantic,
-    fuzzyLink, decontaminateFuzzy, dedupCurve, bitext)
+    fuzzyLink, decontaminateFuzzy, dedupCurve, bitext, substringDedup)
 }

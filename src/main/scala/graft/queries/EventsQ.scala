@@ -1033,9 +1033,57 @@ object EventsQ {
       FROM gaps CROSS JOIN spine
       GROUP BY day ORDER BY day"""))
 
+  /** Hour-of-week seasonality profile — per event type, the top-3 busiest
+    * (day-of-week, hour) buckets and their share of the type's traffic: the
+    * readout behind load forecasting and "is this bot traffic diurnal"
+    * checks. Day-of-week computed from epoch days ((d+4) % 7, 0 = Sunday;
+    * 1970-01-01 was a Thursday) — NOT the engines' dayofweek() functions,
+    * whose numbering conventions differ (Spark 1=Sunday, DuckDB 0=Sunday).
+    * One fold to O(types × 168) rows, ranking windows over that tiny
+    * aggregate, all-integer until the final share division of two exact
+    * longs.
+    */
+  val seasonality = Declared(
+    "events_seasonality",
+    (s, dir) => {
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val rkWin = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("dow"), col("hour"))
+      t(s, dir, "events")
+        .select(col("event_type"),
+          ((datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) + 4) % 7)
+            .as("dow"),
+          hour(col("ts")).as("hour"))
+        .groupBy(col("event_type"), col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(byType))
+        .withColumn("rk", row_number().over(rkWin))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("rk"), col("dow"), col("hour"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("share"))
+        .orderBy(col("event_type"), col("rk"))
+    },
+    Some("""WITH b AS (
+        SELECT event_type,
+          (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow,
+          hour(ts) AS hour, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3),
+      r AS (
+        SELECT event_type, dow, hour, n,
+          sum(n) OVER (PARTITION BY event_type) AS total,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY n DESC, dow, hour) AS rk
+        FROM b)
+      SELECT event_type, CAST(rk AS INTEGER) AS rk, CAST(dow AS INTEGER) AS dow,
+        CAST(hour AS INTEGER) AS hour, n,
+        round(CAST(n AS DOUBLE) / total, 6) AS share
+      FROM r WHERE rk <= 3 ORDER BY event_type, rk"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
-    rfm, interpolate, asofTolerance, botDetection, survival)
+    rfm, interpolate, asofTolerance, botDetection, survival, seasonality)
 }

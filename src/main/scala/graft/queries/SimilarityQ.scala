@@ -1344,9 +1344,53 @@ object SimilarityQ {
         round(avg(b), 4) AS mean_inter
       FROM per GROUP BY cluster ORDER BY cluster"""))
 
+  /** Hard-negative mining — the contrastive-training data op (DPR / SimCSE
+    * style): for each anchor, the most-similar vectors whose LABEL differs —
+    * exactly the near-misses a retrieval or embedding model trains against.
+    * [[knnJoin]] finds nearest neighbors unconditionally; the label
+    * exclusion here is the semantic difference (same-label hits are the
+    * positives, useless as negatives). Anchors broadcast against one corpus
+    * scan; per-anchor top-3 via a rank window over the tiny candidate slice
+    * (anchors × corpus rows never materialize past the filter). At corpus
+    * scale the anchor set is a training batch and the scan side is the
+    * IVF-pruned candidate list — same shape, pruned input.
+    */
+  val hardnegMine = Declared(
+    "sim_hardneg_mine",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("label").as("q_label"))
+      val win = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(anchors))
+        .filter(col("label") =!= col("q_label"))
+        .select(
+          col("q_id"), col("vec_id"), col("label").as("neg_label"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("neg_label"), col("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some("""SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, neg_label, cos FROM (
+        SELECT q_id, vec_id, neg_label, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+        FROM (
+          SELECT p.vec_id AS q_id, e.vec_id AS vec_id, e.label AS neg_label,
+            round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+              CAST(p.embedding AS DOUBLE[])), 6) AS cos
+          FROM embeddings e
+          CROSS JOIN (SELECT vec_id, embedding, label FROM embeddings
+                      WHERE vec_id < 8) p
+          WHERE e.label <> p.label))
+      WHERE rk <= 3 ORDER BY q_id, rk"""))
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
       ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower,
-      streamAnnProbe, ivfPqAppend, matryoshka, clusterSilhouette)
+      streamAnnProbe, ivfPqAppend, matryoshka, clusterSilhouette, hardnegMine)
 }

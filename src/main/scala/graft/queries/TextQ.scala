@@ -1066,9 +1066,153 @@ object TextQ {
       FROM m GROUP BY margin_bucket ORDER BY margin_bucket"""
     })
 
+  /** fastText-style hashed-bag-of-words linear classifier scoring — the
+    * model-based quality-filter shape (CCNet / GPT-3 / LLaMA corpus
+    * pipelines all gate on a cheap linear text classifier). Each word hashes
+    * into one of D=64 feature buckets (portable md5, oracle-reproducible)
+    * and the doc's score is the mean bucket weight. Weights here are a
+    * DETERMINISTIC STUB derived from the bucket index (production swaps in
+    * trained weights as a literal array — the plumbing, hashing, and
+    * decision path are the real thing); the keep decision compares the
+    * EXACT integer weight sum against 0, so no float crosses the engine
+    * boundary on the decision, and the reported score is one double
+    * division of two exact ints. Pure map-side codegen per row — the
+    * classifier costs one corpus scan at any scale, no shuffle but the
+    * ORDER BY.
+    */
+  val classifierScore = Declared(
+    "text_classifier_score",
+    (s, dir) => {
+      // integer weight units: w(b) = ((b*37 + 11) % 97) - 48  in [-48, 48];
+      // score = sum(w)/96/n  in [-0.5, 0.5]
+      val h = graft.functions.Hashing.md5Hash32SparkSql("w")
+      t(s, dir, "documents")
+        .withColumn("ws", TextFns.words(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("ws")).as("n_tokens"),
+          expr(s"aggregate(ws, 0L, (acc, w) -> acc + ((($h % 64) * 37 + 11) % 97) - 48)")
+            .as("wsum"))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          round(col("wsum").cast("double") / (lit(96.0) * col("n_tokens")), 6)
+            .as("score"),
+          (col("wsum") >= 0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val h = graft.functions.Hashing.md5Hash32DuckSql("w")
+      s"""SELECT doc_id,
+        CAST(len(ws) AS INTEGER) AS n_tokens,
+        round(CAST(wsum AS DOUBLE) / (96.0 * len(ws)), 6) AS score,
+        (wsum >= 0) AS keep
+      FROM (
+        SELECT doc_id, ws,
+          CAST(list_sum(list_transform(ws,
+            w -> ((($h % 64) * 37 + 11) % 97) - 48)) AS BIGINT) AS wsum
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents))
+      ORDER BY doc_id"""
+    })
+
+  /** The published Gopher quality-rule battery (Rae et al. 2021, MassiveWeb
+    * filtering, Appendix A): word count in [50, 100k], mean word length in
+    * [3, 10], symbol-to-word ratio ≤ 0.1 (# and ellipsis), < 90% of lines
+    * bullet-led, < 30% of lines ellipsis-ended, ≥ 80% of words containing a
+    * letter, and ≥ 2 distinct English stop words present. Emitted as one
+    * boolean per rule plus the conjunction, so a curation run can report
+    * WHICH rule rejected each document (the per-rule attrition table every
+    * corpus paper publishes). All counters are exact integers; the three
+    * ratios are single divisions rounded at the end. One map-side pass.
+    */
+  val gopherRules = Declared(
+    "text_gopher_rules",
+    (s, dir) => {
+      val ws = TextFns.words(col("text"))
+      val nW = size(col("ws"))
+      // non-blank lines only (a trailing newline must not add a phantom line
+      // in either engine)
+      val lines = expr("filter(split(text, '\n'), l -> length(trim(l)) > 0)")
+      val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+      val nEll = (length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      t(s, dir, "documents")
+        .withColumn("ws", ws)
+        .withColumn("ls", lines)
+        .select(
+          col("doc_id"),
+          nW.as("n_words"),
+          (nW.between(50, 100000)).as("r_wordcount"),
+          expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").as("wchars"),
+          (nHash + nEll).as("n_symbols"),
+          size(col("ls")).as("n_lines"),
+          size(expr("filter(ls, l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%' OR trim(l) LIKE '•%')"))
+            .as("n_bullet"),
+          size(expr("filter(ls, l -> rtrim(l) LIKE '%...')")).as("n_ellipsis_end"),
+          size(expr("filter(ws, w -> w rlike '[A-Za-z]')")).as("n_alpha_words"),
+          size(array_intersect(array_distinct(col("ws")),
+            array(stops.map(lit): _*))).as("n_stops"))
+        .select(
+          col("doc_id"), col("n_words"), col("r_wordcount"),
+          (col("wchars").cast("double") / col("n_words")).between(3.0, 10.0)
+            .as("r_wordlen"),
+          (col("n_symbols").cast("double") / col("n_words") <= 0.1).as("r_symbol"),
+          // nullif the denominator: Spark's double division by zero yields
+          // Infinity, not NULL, so a bare /n_lines would split the engines
+          // on an all-blank-lines doc
+          coalesce(col("n_bullet").cast("double") / nullif(col("n_lines"), lit(0)) < 0.9,
+            lit(true)).as("r_bullet"),
+          coalesce(col("n_ellipsis_end").cast("double") / nullif(col("n_lines"), lit(0)) < 0.3,
+            lit(true)).as("r_ellipsis"),
+          (col("n_alpha_words").cast("double") / col("n_words") >= 0.8).as("r_alpha"),
+          (col("n_stops") >= 2).as("r_stopwords"))
+        .withColumn("pass",
+          col("r_wordcount") && col("r_wordlen") && col("r_symbol") &&
+            col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stopwords"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS ws,
+          list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS ls,
+          len(text) - len(replace(text, '#', '')) AS n_hash,
+          (len(text) - len(replace(text, '...', ''))) / 3 AS n_ell
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          CAST(len(ws) AS INTEGER) AS n_words,
+          CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS wchars,
+          n_hash + n_ell AS n_symbols,
+          len(ls) AS n_lines,
+          len(list_filter(ls, l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%'
+            OR trim(l) LIKE chr(8226) || '%')) AS n_bullet,
+          len(list_filter(ls, l -> rtrim(l) LIKE '%...')) AS n_ellipsis_end,
+          len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+          len(list_intersect(list_distinct(ws),
+            ['the','be','to','of','and','that','have','with'])) AS n_stops
+        FROM base)
+      SELECT doc_id, n_words,
+        (n_words BETWEEN 50 AND 100000) AS r_wordcount,
+        (CAST(wchars AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0) AS r_wordlen,
+        (CAST(n_symbols AS DOUBLE) / n_words <= 0.1) AS r_symbol,
+        coalesce(CAST(n_bullet AS DOUBLE) / nullif(n_lines, 0) < 0.9, true) AS r_bullet,
+        coalesce(CAST(n_ellipsis_end AS DOUBLE) / nullif(n_lines, 0) < 0.3, true) AS r_ellipsis,
+        (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8) AS r_alpha,
+        (n_stops >= 2) AS r_stopwords,
+        ((n_words BETWEEN 50 AND 100000)
+          AND (CAST(wchars AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+          AND (CAST(n_symbols AS DOUBLE) / n_words <= 0.1)
+          AND coalesce(CAST(n_bullet AS DOUBLE) / nullif(n_lines, 0) < 0.9, true)
+          AND coalesce(CAST(n_ellipsis_end AS DOUBLE) / nullif(n_lines, 0) < 0.3, true)
+          AND (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
+          AND (n_stops >= 2)) AS pass
+      FROM c ORDER BY doc_id"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
     boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats,
-    langidReport, langidKappa, charEntropy, fertility, langidCalibration)
+    langidReport, langidKappa, charEntropy, fertility, langidCalibration,
+    classifierScore, gopherRules)
 }

@@ -465,7 +465,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_interpolate", // spine construction: 1-row bounds × tiny type dim
     "sim_matryoshka",    // 1-row broadcast query vector (two-stage rerank)
     "sim_cluster_silhouette", // k-row broadcast centroid table (k=4)
-    "events_survival"    // 31-row broadcast day spine over the per-user fold
+    "events_survival",   // 31-row broadcast day spine over the per-user fold
+    "sim_hardneg_mine"   // 8-row broadcast anchor batch (label-exclusion probe)
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
