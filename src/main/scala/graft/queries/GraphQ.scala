@@ -177,5 +177,71 @@ object GraphQ {
              (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
              (SELECT n_triangles FROM tri) AS n_triangles"""))
 
-  val all: Seq[Declared] = Seq(pagerank, triangles)
+  /** One k-core peel cascade over an undirected (src, dst) edge frame:
+    * `rounds` iterations of drop-every-node-with-degree-<-k, each round one
+    * degree aggregate + two semi-joins, edge set localCheckpointed so the
+    * lineage stays flat (the [[pagerank]] cadence). Exposed for KCoreSpec's
+    * crafted-chain cascade proof.
+    */
+  def kcorePeel(edges0: org.apache.spark.sql.DataFrame, k: Int, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    var e = edges0.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      e = e.join(keep, "src")
+        .join(keep.select(col("src").as("dst")), "dst")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    e
+  }
+
+  /** k-core decomposition (k=34) of the customer–supplier trading graph —
+    * the standard dense-subgraph screen (spam/bot rings, mutually-reinforcing
+    * boilerplate clusters) and the classic CASCADING peel: removing a weak
+    * node lowers its neighbors' degrees, which can drop them next round.
+    * Peeling runs a FIXED 6 rounds on both engines (the fixture converges in
+    * 2 — once stable, further rounds are no-ops, so a production convergence
+    * loop returns the identical set); the oracle unrolls the same 6 rounds
+    * as chained CTEs. Per round: one hash aggregate + two semi-joins, all
+    * keyed on node id — O(edges) per round, no driver state but the loop
+    * counter, the exact shape that scales out. KCoreSpec proves a ≥4-round
+    * cascade on a crafted pendant-chain graph via [[kcorePeel]].
+    */
+  val kcore = Declared(
+    "graph_kcore",
+    (s, dir) => {
+      val K = 34
+      val eraw = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
+        .distinct()
+      val undirected = eraw
+        .select(col("c").as("src"), (col("su") + 1000000000L).as("dst"))
+        .union(eraw.select((col("su") + 1000000000L).as("src"), col("c").as("dst")))
+      kcorePeel(undirected, K, rounds = 6)
+        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .select(col("src").as("node"), col("degree"))
+        .orderBy(col("degree").desc, col("node"))
+        .limit(20)
+    },
+    Some {
+      val peels = (1 to 6).map { r =>
+        s"""k$r AS (SELECT src FROM e${r - 1} GROUP BY src HAVING count(*) >= 34),
+      e$r AS (SELECT e${r - 1}.src, e${r - 1}.dst FROM e${r - 1}
+        JOIN k$r a ON e${r - 1}.src = a.src JOIN k$r b ON e${r - 1}.dst = b.src)"""
+      }.mkString(",\n      ")
+      s"""WITH p AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS su
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e0 AS (
+        SELECT c AS src, su + 1000000000 AS dst FROM p
+        UNION ALL SELECT su + 1000000000, c FROM p),
+      $peels
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM e6 GROUP BY src ORDER BY degree DESC, node LIMIT 20"""
+    })
+
+  val all: Seq[Declared] = Seq(pagerank, triangles, kcore)
 }

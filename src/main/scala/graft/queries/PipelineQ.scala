@@ -673,9 +673,100 @@ object PipelineQ {
           AS leaked_users
       FROM per_user"""))
 
+  /** Pairwise 8-gram overlap BETWEEN SOURCES — the provenance/contamination
+    * matrix a corpus audit publishes (which domains plagiarize which, where
+    * a "held-out" source actually leaks into training sources). Per-source
+    * distinct shingle sets from one corpus fold, then a shingle equi-join
+    * whose fan-out is bounded by the SOURCE catalog (≤ |sources|² pairs per
+    * shingle — the events_cooccurrence bound, never doc-pair-shaped), down
+    * to an O(|sources|²) report with both Jaccard and containment (the
+    * asymmetric signal: a small source fully embedded in a big one has low
+    * Jaccard but containment ≈ 1). Zero-overlap pairs are omitted — the
+    * report is sparse by construction, which is also why it survives at a
+    * scale where a dense |sources|² frame from a cross join would not.
+    */
+  val sourceOverlap = Declared(
+    "corpus_source_overlap",
+    (s, dir) => {
+      val docs = Tables.spread(t(s, dir, "documents"), "doc_id")
+      val sh = docs
+        .select(col("source"), explode(TextFns.wordShingles("text", 8)).as("g"))
+        .distinct()
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val common = sh.select(col("source").as("src_a"), col("g"))
+        .join(sh.select(col("source").as("src_b"), col("g")), "g")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("na") + col("nb") - col("n_common")), 6).as("jaccard"),
+          round(col("n_common").cast("double") / least(col("na"), col("nb")), 6)
+            .as("containment"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some("""WITH ws AS (
+        SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      sh0 AS (
+        SELECT source,
+          unnest(list_distinct(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+            i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 7), ' ')))) AS g
+        FROM ws),
+      sh AS (SELECT DISTINCT source, g FROM sh0),
+      sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+      common AS (
+        SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, n_common,
+        round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard,
+        round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+      FROM common
+      JOIN sizes sa ON sa.source = src_a
+      JOIN sizes sb ON sb.source = src_b
+      ORDER BY src_a, src_b"""))
+
+  /** Deterministic k-fold split assignment + per-fold balance report — the
+    * cross-validation / shard-assignment primitive. Fold = portable md5 of
+    * a SALTED doc id (the salt is the split version: bump it and every doc
+    * reshuffles; keep it and the assignment is reproducible in any engine,
+    * the same contract as split_train_val). The report carries the balance
+    * evidence a reviewer checks before trusting CV numbers: doc/token
+    * counts and language coverage per fold. One map-side hash + one
+    * aggregate at any corpus size.
+    */
+  val splitKfold = Declared(
+    "split_kfold",
+    (s, dir) => {
+      val fold = (graft.functions.Hashing.md5Hash32(
+        concat(lit("kfold1|"), col("doc_id").cast("string"))) % 5).cast("int")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), fold.as("fold"),
+          size(TextFns.words(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(col("fold"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("fold"))
+    },
+    Some {
+      val h = graft.functions.Hashing.md5Hash32DuckSql(
+        "concat('kfold1|', CAST(doc_id AS VARCHAR))")
+      s"""SELECT CAST($h % 5 AS INTEGER) AS fold,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        min(doc_id) AS min_doc
+      FROM documents GROUP BY 1 ORDER BY fold"""
+    })
+
   val all: Seq[Declared] = Seq(
     decontaminate, packSequences, embedOutliers, corpusTerms, textRepetition,
     mixSample, chunkDocuments, sampleStratified, curriculumOrder,
     mixTemperature, heavyHitters, vocabCoverage, domainCap, mixEpochs,
-    sampleWeighted, splitTemporal)
+    sampleWeighted, splitTemporal, sourceOverlap, splitKfold)
 }

@@ -1388,9 +1388,74 @@ object SimilarityQ {
           WHERE e.label <> p.label))
       WHERE rk <= 3 ORDER BY q_id, rk"""))
 
+  /** k-NN GRAPH construction (k=3) over the whole corpus — the input every
+    * graph-based pipeline stage consumes (HNSW-style navigation layers,
+    * graph clustering, label propagation over embedding neighborhoods,
+    * SemDeDup's neighborhood pass). [[knnJoin]] answers a query BATCH; this
+    * materializes the per-node edge list for ALL nodes, so brute force is
+    * off the table by construction — candidates come from the 4-table
+    * sign-LSH bucket join (OR-amplified recall, skew-salted buckets), each
+    * node keeps its top-3 by exact cosine. Neighbors are candidate-limited:
+    * a node whose true neighbor never collides in any band misses it — the
+    * standard LSH recall trade documented by sim_recall_report. Pair scores
+    * compute once (id1 < id2) and fan to both orientations before the
+    * per-node top-k window — the scan never runs twice.
+    */
+  val knnGraph = Declared(
+    "sim_knn_graph",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val banded = e.select(
+        col("vec_id"),
+        posexplode(array(pairBands.map(ps =>
+          Similarity.lshBucket(col("embedding"), ps)): _*)).as(Seq("band", "bucket")))
+      val cand = graft.operators.BucketJoin.saltedCandidatePairs(
+        banded, "vec_id", Seq("band", "bucket"))
+      val scored = cand
+        .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+        .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))
+      val both = scored.select(col("id1").as("src"), col("id2").as("dst"), col("cos"))
+        .union(scored.select(col("id2").as("src"), col("id1").as("dst"), col("cos")))
+      val win = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+      both.withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= 3)
+        .select(col("src"), col("rk").cast("int").as("rk"), col("dst"), col("cos"))
+        .orderBy(col("src"), col("rk"))
+    },
+    Some {
+      val bandSelects = pairBands.zipWithIndex.map { case (ps, b) =>
+        s"SELECT vec_id, $b AS band, ${Similarity.lshBucketSql("embedding", ps)} AS bucket FROM embeddings"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH banded AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT id1, id2,
+          round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+            CAST(e2.embedding AS DOUBLE[])), 6) AS cos
+        FROM cand
+        JOIN embeddings e1 ON e1.vec_id = cand.id1
+        JOIN embeddings e2 ON e2.vec_id = cand.id2),
+      orient AS (
+        SELECT id1 AS src, id2 AS dst, cos FROM scored
+        UNION ALL SELECT id2, id1, cos FROM scored)
+      SELECT src, CAST(rk AS INTEGER) AS rk, dst, cos FROM (
+        SELECT src, dst, cos,
+          row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+        FROM orient)
+      WHERE rk <= 3 ORDER BY src, rk"""
+    })
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
       ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower,
-      streamAnnProbe, ivfPqAppend, matryoshka, clusterSilhouette, hardnegMine)
+      streamAnnProbe, ivfPqAppend, matryoshka, clusterSilhouette, hardnegMine,
+      knnGraph)
 }

@@ -113,6 +113,57 @@ class R7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_kcore peel cascades: pendant chain strips one node per round") {
+    import spark.implicits._
+    // 6-cycle (the true 2-core) with a 4-node pendant chain hanging off node 1:
+    // k=2 peeling removes exactly the chain, one endpoint per round => needs
+    // 4 rounds; 2 rounds must NOT be enough (the cascade, not a single pass)
+    val cyc = (1L to 6L).map(i => (i, i % 6 + 1))
+    val chain = Seq((1L, 7L), (7L, 8L), (8L, 9L), (9L, 10L))
+    val und = (cyc ++ chain).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val after2 = graft.queries.GraphQ.kcorePeel(und, 2, 2)
+      .select(col("src")).distinct().collect().map(_.getLong(0)).toSet
+    assert(after2.contains(7L), "2 rounds must not finish the 4-deep cascade")
+    val after4 = graft.queries.GraphQ.kcorePeel(und, 2, 4)
+      .select(col("src")).distinct().collect().map(_.getLong(0)).toSet
+    assert(after4 == (1L to 6L).toSet, s"the 2-core is exactly the cycle: $after4")
+    // converged: more rounds change nothing
+    val after6 = graft.queries.GraphQ.kcorePeel(und, 2, 6)
+      .select(col("src")).distinct().collect().map(_.getLong(0)).toSet
+    assert(after6 == after4)
+  }
+
+  test("corpus_source_overlap: jaccard <= containment <= 1, symmetric keys ordered") {
+    val rs = run("corpus_source_overlap").collect()
+    rs.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, "pairs are emitted once, lexicographically ordered")
+      val (j, c) = (r.getAs[Double]("jaccard"), r.getAs[Double]("containment"))
+      assert(j > 0.0 && j <= c + 1e-9 && c <= 1.0,
+        s"($a,$b): jaccard=$j containment=$c")
+    }
+  }
+
+  test("split_kfold: folds partition the corpus") {
+    val rs = run("split_kfold").collect()
+    assert(rs.map(_.getAs[Int]("fold")).toSet.subsetOf((0 to 4).toSet))
+    val total = Tables.t(spark, TestSpark.sf, "documents").count()
+    assert(rs.map(_.getAs[Long]("n_docs")).sum == total)
+  }
+
+  test("sim_knn_graph: valid per-node top-3, no self-edges, cos descending") {
+    val rs = run("sim_knn_graph").collect()
+    assert(rs.nonEmpty)
+    rs.foreach(r => assert(r.getLong(0) != r.getAs[Long]("dst"), "self-edge"))
+    rs.groupBy(_.getLong(0)).foreach { case (src, g) =>
+      val byRk = g.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.map(_.getAs[Int]("rk")).toSeq == (1 to g.length).toSeq)
+      val cs = byRk.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, s"src $src")
+    }
+  }
+
   test("events_seasonality: buckets valid, top-3 ordered, shares bounded") {
     val rs = run("events_seasonality").collect()
     assert(rs.nonEmpty)
