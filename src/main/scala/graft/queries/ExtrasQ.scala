@@ -440,11 +440,43 @@ object ExtrasQ {
       FROM ph GROUP BY phash ORDER BY phash"""
     })
 
+  /** Streaming NEAR-dup gate ([[StreamingOps.simhashDedupStream]]): incoming
+    * docs fingerprint in-flight and any simhash band collision with the
+    * batch-owned index marks them suspect — stream_incremental_dedup's exact
+    * gate generalized to the near-dup radius. Oracle recomputes the identical
+    * fingerprints, index, and per-language ledger in one batch pass.
+    */
+  val streamSimhashDedup = Declared(
+    "stream_simhash_dedup",
+    (s, dir) => StreamingOps.simhashDedupStream(s, dir),
+    Some {
+      val sh = graft.operators.SimHash.oracleSql().replace("ORDER BY doc_id", "")
+      s"""WITH sh AS ($sh),
+      idx AS (SELECT DISTINCT bucket FROM (
+          SELECT 'L' || CAST(simhash & 65535 AS VARCHAR) AS bucket
+          FROM sh WHERE doc_id % 10 < 8
+          UNION ALL
+          SELECT 'H' || CAST((simhash >> 16) & 65535 AS VARCHAR)
+          FROM sh WHERE doc_id % 10 < 8)),
+      flag AS (
+        SELECT s.doc_id, d.lang,
+          (('L' || CAST(s.simhash & 65535 AS VARCHAR)) IN (SELECT bucket FROM idx)
+           OR ('H' || CAST((s.simhash >> 16) & 65535 AS VARCHAR)) IN (SELECT bucket FROM idx))
+            AS suspect
+        FROM sh s JOIN documents d USING (doc_id)
+        WHERE s.doc_id % 10 >= 8)
+      SELECT lang,
+        CAST(sum(CASE WHEN suspect THEN 0 ELSE 1 END) AS BIGINT) AS n_novel,
+        CAST(sum(CASE WHEN suspect THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+        min(CASE WHEN NOT suspect THEN doc_id END) AS first_novel
+      FROM flag GROUP BY lang ORDER BY lang"""
+    })
+
   val all: Seq[Declared] = Seq(
     mmPhash,
     mmCatalog, mmFrames, mmBlob, mmDecode, mmResize, rollingHashQ, streamWindow,
     streamWindowSliding, streamWindowAppend, streamDedup, streamStaticJoin,
     streamStreamJoin, streamStreamOuter, streamSessionize,
     streamIncrementalDedup, streamTopk, streamUpsert, streamQualityGate,
-    streamHllUsers)
+    streamHllUsers, streamSimhashDedup)
 }

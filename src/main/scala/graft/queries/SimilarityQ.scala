@@ -1452,10 +1452,50 @@ object SimilarityQ {
       WHERE rk <= 3 ORDER BY src, rk"""
     })
 
+  /** LSH bucket-occupancy balance — the index-health readout
+    * [[graft.operators.BucketJoin]]'s salting exists for: the hottest
+    * buckets, their share of the corpus, and the imbalance factor (hottest
+    * bucket vs the average used bucket — the probe-latency multiplier a
+    * skewed index pays). sim_cluster_silhouette judges cluster QUALITY;
+    * this judges cluster LOAD — the two failure modes are independent
+    * (tight, well-separated clusters can still all hash into one cell).
+    * One bucket fold, one 1-row stats broadcast, top-5 by occupancy.
+    */
+  val bucketBalance = Declared(
+    "sim_bucket_balance",
+    (s, dir) => {
+      val counts = t(s, dir, "embeddings")
+        .select(Similarity.lshBucket(col("embedding"), annPlanes).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(
+        sum(col("n")).as("total"), count(lit(1)).as("n_used"),
+        max(col("n")).as("max_n"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("share"),
+          col("n_used"),
+          round(col("max_n").cast("double") * col("n_used") / col("total"), 4)
+            .as("imbalance"))
+        .orderBy(col("n").desc, col("bucket"))
+        .limit(5)
+    },
+    Some(s"""WITH b AS (
+        SELECT ${Similarity.lshBucketSql("embedding", annPlanes)} AS bucket
+        FROM embeddings),
+      c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket),
+      tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_used,
+          CAST(max(n) AS BIGINT) AS max_n
+        FROM c)
+      SELECT bucket, n,
+        round(CAST(n AS DOUBLE) / total, 6) AS share, n_used,
+        round(CAST(max_n AS DOUBLE) * n_used / total, 4) AS imbalance
+      FROM c, tot ORDER BY n DESC, bucket LIMIT 5"""))
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
       ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower,
       streamAnnProbe, ivfPqAppend, matryoshka, clusterSilhouette, hardnegMine,
-      knnGraph)
+      knnGraph, bucketBalance)
 }

@@ -1209,10 +1209,137 @@ object TextQ {
           AND (n_stops >= 2)) AS pass
       FROM c ORDER BY doc_id"""))
 
+  /** Quality-threshold trade-off curve — corpus_dedup_curve's counterpart
+    * for the QUALITY gate: at each candidate cutoff, how many docs and how
+    * many tokens survive. THE readout that sets the gate (too low keeps
+    * garbage, too high starves the token budget — the data-constrained
+    * regime of mix_epochs). All nine thresholds fold in ONE corpus pass
+    * (conditional sums in a single aggregate, the dq_expectations shape),
+    * stacked to rows afterwards; the score is the SAME shared expression
+    * text_quality publishes, so the curve can never desync from the gate.
+    */
+  val qualityCurve = Declared(
+    "quality_tradeoff_curve",
+    (s, dir) => {
+      val score = qualitySignals.score
+      val nTok = size(TextFns.words(col("text"))).cast("long")
+      val sums = (1 to 9).flatMap { i =>
+        val thr = i / 10.0
+        Seq(
+          sum(when(score >= thr, 1L).otherwise(0L)).as(s"n_$i"),
+          sum(when(score >= thr, nTok).otherwise(0L)).as(s"t_$i"))
+      }
+      val stacked = (1 to 9)
+        .map(i => s"${i / 10.0}D, n_$i, t_$i").mkString(", ")
+      val aggsAll =
+        Seq(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens")) ++ sums
+      t(s, dir, "documents")
+        .agg(aggsAll.head, aggsAll.tail: _*)
+        .selectExpr("n_docs", "n_tokens",
+          s"stack(9, $stacked) AS (threshold, n_kept, tokens_kept)")
+        .select(
+          col("threshold"), col("n_kept"), col("tokens_kept"),
+          round(col("n_kept").cast("double") / col("n_docs"), 6).as("doc_frac"),
+          round(col("tokens_kept").cast("double") / col("n_tokens"), 6).as("token_frac"))
+        .orderBy(col("threshold"))
+    },
+    Some {
+      val (_, _, score) = qualitySignalsSql
+      val nTok = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+      val conds = (1 to 9).flatMap { i =>
+        val thr = i / 10.0
+        Seq(
+          s"CAST(sum(CASE WHEN q >= $thr THEN 1 ELSE 0 END) AS BIGINT) AS n_$i",
+          s"CAST(sum(CASE WHEN q >= $thr THEN nt ELSE 0 END) AS BIGINT) AS t_$i")
+      }.mkString(",\n          ")
+      val rows = (1 to 9).map(i =>
+        s"SELECT ${i / 10.0} AS threshold, n_$i AS n_kept, t_$i AS tokens_kept, n_docs, n_tokens FROM agg")
+        .mkString("\n        UNION ALL ")
+      s"""WITH scored AS (
+        SELECT $score AS q, $nTok AS nt FROM documents),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+          $conds
+        FROM scored),
+      curve AS (
+        $rows)
+      SELECT threshold, n_kept, tokens_kept,
+        round(CAST(n_kept AS DOUBLE) / n_docs, 6) AS doc_frac,
+        round(CAST(tokens_kept AS DOUBLE) / n_tokens, 6) AS token_frac
+      FROM curve ORDER BY threshold"""
+    })
+
+  /** Heaps'-law vocabulary growth curve — cumulative distinct vocabulary vs
+    * cumulative tokens over ten ingestion-order corpus prefixes (doc_id is
+    * the ingestion order). The readout that says whether vocabulary is
+    * saturating (dup-heavy / templated corpus) or still growing (fresh
+    * data), and the empirical basis for vocab sizing beyond
+    * corpus_vocab_coverage's fixed cap. One token fold to (term, first_doc),
+    * then ALL ten cumulative points from one conditional-sum aggregate
+    * (never a running window over an unpartitioned frame); the doc-side
+    * token prefix sums fold the same way. Type-token ratio per prefix is
+    * one double division of two exact longs.
+    */
+  val heaps = Declared(
+    "corpus_heaps",
+    (s, dir) => {
+      val nDocs = t(s, dir, "documents")
+        .agg((max(col("doc_id")) + 1L).as("nd"))
+      val firstDoc = Tables.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), explode(TextFns.words(col("text"))).as("w0"))
+        .select(col("doc_id"), lower(col("w0")).as("w"))
+        .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+        .crossJoin(broadcast(nDocs))
+        .select(expr("CAST((fd * 10) DIV nd AS INT)").as("b"))
+      val vocabSums = (0 until 10)
+        .map(d => sum(when(col("b") <= d, 1L).otherwise(0L)).as(s"v_$d"))
+      val vocab = firstDoc.agg(vocabSums.head, vocabSums.tail: _*)
+      val docTok = t(s, dir, "documents")
+        .crossJoin(broadcast(nDocs))
+        .select(expr("CAST((doc_id * 10) DIV nd AS INT)").as("b"),
+          size(TextFns.words(col("text"))).cast("long").as("nt"))
+      val tokSums = (0 until 10)
+        .map(d => sum(when(col("b") <= d, col("nt")).otherwise(0L)).as(s"t_$d"))
+      val toks = docTok.agg(tokSums.head, tokSums.tail: _*)
+      val stacked = (0 until 10).map(d => s"$d, t_$d, v_$d").mkString(", ")
+      vocab.crossJoin(broadcast(toks))
+        .selectExpr(s"stack(10, $stacked) AS (decile, tokens_cum, vocab_cum)")
+        .select(col("decile").cast("int").as("decile"),
+          col("tokens_cum"), col("vocab_cum"),
+          round(col("vocab_cum").cast("double") / col("tokens_cum"), 6).as("ttr"))
+        .orderBy(col("decile"))
+    },
+    Some {
+      val vconds = (0 until 10).map(d =>
+        s"CAST(sum(CASE WHEN b <= $d THEN 1 ELSE 0 END) AS BIGINT) AS v_$d").mkString(", ")
+      val tconds = (0 until 10).map(d =>
+        s"CAST(sum(CASE WHEN b <= $d THEN nt ELSE 0 END) AS BIGINT) AS t_$d").mkString(", ")
+      val rows = (0 until 10).map(d =>
+        s"SELECT $d AS decile, t_$d AS tokens_cum, v_$d AS vocab_cum FROM v, t")
+        .mkString("\n        UNION ALL ")
+      s"""WITH nd AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+      firstdoc AS (
+        SELECT CAST(min(doc_id) * 10 // nd.nd AS INTEGER) AS b
+        FROM (SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS w, doc_id
+              FROM documents) toks, nd
+        GROUP BY w, nd.nd),
+      v AS (SELECT $vconds FROM firstdoc),
+      doctok AS (
+        SELECT CAST(doc_id * 10 // nd.nd AS INTEGER) AS b,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt
+        FROM documents, nd),
+      t AS (SELECT $tconds FROM doctok),
+      curve AS (
+        $rows)
+      SELECT CAST(decile AS INTEGER) AS decile, tokens_cum, vocab_cum,
+        round(CAST(vocab_cum AS DOUBLE) / tokens_cum, 6) AS ttr
+      FROM curve ORDER BY decile"""
+    })
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
     boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats,
     langidReport, langidKappa, charEntropy, fertility, langidCalibration,
-    classifierScore, gopherRules)
+    classifierScore, gopherRules, qualityCurve, heaps)
 }

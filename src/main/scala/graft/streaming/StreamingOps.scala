@@ -408,6 +408,83 @@ object StreamingOps {
       .orderBy(col("lang"))
   }
 
+  /** The two 16-bit band keys of a 32-bit simhash — identical construction
+    * to dedup_simhash_buckets, so the streaming gate and the batch bucket
+    * inventory can never disagree on what "collides".
+    */
+  private def simhashBands(sh: org.apache.spark.sql.Column) = array(
+    concat(lit("L"), sh.bitwiseAND(lit(0xFFFFL))),
+    concat(lit("H"), shiftright(sh, 16).bitwiseAND(lit(0xFFFFL))))
+
+  /** Running sink of the streaming simhash gate: per-doc flags accumulate
+    * batch over batch, batchId-gated against crash-replay double-append
+    * (stream_upsert discipline). One instance per invocation — no shared
+    * mutable state between concurrent runs (the AnnSink isolation rule).
+    */
+  private final class SimhashGateSink(idx: DataFrame) extends Serializable {
+    @volatile private var state: Option[(Long, DataFrame)] = None
+    def step(batchId: Long, batch: DataFrame): Unit = state match {
+      case Some((last, _)) if batchId <= last => // replayed batch: skip
+      case cur =>
+        // a document is ONE stream row, so the per-batch SimHash fold sees
+        // every token of a doc in the same batch — fingerprints (and so the
+        // gate) are batching-invariant by construction
+        val sh = graft.operators.SimHash.simhash(batch, "doc_id", "text")
+        val flags = sh
+          .select(col("doc_id"), explode(simhashBands(col("simhash"))).as("bucket"))
+          .join(idx.withColumn("hit", lit(1)), Seq("bucket"), "left")
+          .groupBy(col("doc_id"))
+          .agg((max(coalesce(col("hit"), lit(0))) === 1).as("suspect"))
+        val out = batch.select(col("doc_id"), col("lang"))
+          .join(flags, "doc_id").localCheckpoint(true)
+        state = Some((batchId, cur.map(_._2.unionByName(out)).getOrElse(out)))
+    }
+    def result: Option[DataFrame] = state.map(_._2)
+  }
+
+  /** Streaming NEAR-dup gate — the serving half of the simhash family, the
+    * same split [[incrementalDedupStream]] proves for EXACT dedup: the batch
+    * indexer owns the memory (here: the distinct 16-bit band keys of the
+    * already-ingested corpus, localCheckpointed once and re-joined per
+    * micro-batch), the stream stays stateless. An incoming doc fingerprints
+    * in-flight; any band collision with the index marks it SUSPECT (routed
+    * to the exact-verify stage in production — band collision is the
+    * standard Hamming-≤1 candidate guarantee, recall-biased by design), no
+    * collision means provably novel at that radius and safe to ingest
+    * directly. Readout: per-language novel/suspect counts + first novel doc.
+    */
+  def simhashDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val (docSchema, scanParts) = parquetSchema(spark, s"$sfDir/documents.parquet")
+    val idx = graft.operators.SimHash.simhash(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 10 < 8),
+        "doc_id", "text")
+      .select(explode(simhashBands(col("simhash"))).as("bucket"))
+      .distinct().localCheckpoint()
+    val sink = new SimhashGateSink(idx)
+    val stream = streamTable(spark, sfDir, "documents", docSchema)
+      .filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("lang"), col("text"))
+    runTuned(spark, scanParts) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          sink.step(batchId, batch.toDF())
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    sink.result
+      .map(_.groupBy(col("lang"))
+        .agg(
+          sum(when(col("suspect"), 0L).otherwise(1L)).as("n_novel"),
+          sum(when(col("suspect"), 1L).otherwise(0L)).as("n_suspect"),
+          min(when(!col("suspect"), col("doc_id"))).as("first_novel"))
+        .orderBy(col("lang")))
+      .getOrElse(spark.emptyDataFrame)
+  }
+
   case class SessionState(start: Long, end: Long, n: Long, value: Double)
   case class SessionOut(
       user_id: Long, session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,

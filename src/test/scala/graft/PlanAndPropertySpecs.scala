@@ -466,7 +466,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_matryoshka",    // 1-row broadcast query vector (two-stage rerank)
     "sim_cluster_silhouette", // k-row broadcast centroid table (k=4)
     "events_survival",   // 31-row broadcast day spine over the per-user fold
-    "sim_hardneg_mine"   // 8-row broadcast anchor batch (label-exclusion probe)
+    "sim_hardneg_mine",  // 8-row broadcast anchor batch (label-exclusion probe)
+    "sim_bucket_balance", // 1-row broadcast occupancy-stats scalar
+    "corpus_heaps"       // two 1-row prefix-sum aggregates + 1-row doc-count scalar
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

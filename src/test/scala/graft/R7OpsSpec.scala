@@ -164,6 +164,60 @@ class R7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_tradeoff_curve: monotone in threshold, 0.5 point matches text_quality") {
+    val rs = run("quality_tradeoff_curve").collect().sortBy(_.getAs[Double]("threshold"))
+    assert(rs.length == 9)
+    val kept = rs.map(_.getAs[Long]("n_kept"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b }, "n_kept must fall as threshold rises")
+    rs.foreach { r =>
+      assert(r.getAs[Double]("doc_frac") >= 0.0 && r.getAs[Double]("doc_frac") <= 1.0)
+      assert(r.getAs[Double]("token_frac") >= 0.0 && r.getAs[Double]("token_frac") <= 1.0)
+    }
+    val at05 = rs.find(r => math.abs(r.getAs[Double]("threshold") - 0.5) < 1e-9).get
+    val qualityKeeps = run("text_quality").filter(col("keep")).count()
+    assert(at05.getAs[Long]("n_kept") == qualityKeeps,
+      "the 0.5 curve point must equal text_quality's keep count")
+  }
+
+  test("corpus_heaps: cumulative growth is monotone, final vocab is the corpus vocab") {
+    val rs = run("corpus_heaps").collect().sortBy(_.getAs[Int]("decile"))
+    assert(rs.length == 10)
+    val toks = rs.map(_.getAs[Long]("tokens_cum"))
+    val voc = rs.map(_.getAs[Long]("vocab_cum"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a <= b })
+    assert(voc.zip(voc.tail).forall { case (a, b) => a <= b })
+    val totalVocab = Tables.t(spark, TestSpark.sf, "documents")
+      .select(explode(graft.functions.TextFns.words(col("text"))).as("w"))
+      .select(lower(col("w"))).distinct().count()
+    assert(voc.last == totalVocab, s"decile 9 vocab ${voc.last} != corpus vocab $totalVocab")
+  }
+
+  test("sim_bucket_balance: occupancy ordered, imbalance >= 1, shares bounded") {
+    val rs = run("sim_bucket_balance").collect()
+    assert(rs.nonEmpty)
+    val ns = rs.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    rs.foreach { r =>
+      assert(r.getAs[Double]("share") > 0.0 && r.getAs[Double]("share") <= 1.0)
+      assert(r.getAs[Double]("imbalance") >= 1.0 - 1e-9,
+        "hottest bucket can't be below the used-bucket average")
+    }
+  }
+
+  test("stream_simhash_dedup: ledger partitions the new-doc slice") {
+    val rs = run("stream_simhash_dedup").collect()
+    val newPerLang = Tables.t(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") % 10 >= 8)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rs.map(_.getString(0)).toSet == newPerLang.keySet)
+    rs.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getAs[Long]("n_novel") + r.getAs[Long]("n_suspect") == newPerLang(lang),
+        s"lang $lang: novel+suspect must cover every streamed doc exactly once")
+    }
+  }
+
   test("events_seasonality: buckets valid, top-3 ordered, shares bounded") {
     val rs = run("events_seasonality").collect()
     assert(rs.nonEmpty)
