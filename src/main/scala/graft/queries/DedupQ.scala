@@ -429,6 +429,63 @@ object DedupQ {
       SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
       FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  /** The keep-one DECISION the cluster assignment exists for: elect one
+    * canonical representative per near-dup cluster (longest text wins,
+    * smallest doc_id breaks ties — the keep-best rule dedup_url applies
+    * per exact key, lifted to the transitive near-dup component) and emit
+    * the full drop ledger: every doc, its cluster, its canonical, whether
+    * it survives. The election is `max_by` over a single packed BIGINT
+    * ordering key (n_chars·2³² − doc_id — larger text wins, then the
+    * smaller id; exact while n_chars < 2³¹ and doc_id < 2³², both true by
+    * construction) inside the cluster aggregate — one shuffle over the
+    * (tiny) cluster
+    * table, never a window over the corpus; at 100 TB the pair graph and
+    * cluster table stay near-linear in the true-dup count while the ledger
+    * join is a plain keyed shuffle. Reuses [[ngramPairs]]' shared candidate
+    * snapshot like dedup_clusters (same doc_id < 2500 restriction).
+    */
+  val canonicalize = Declared(
+    "dedup_canonicalize",
+    (s, dir) => {
+      val pairs = ngramPairs(s, dir, Some(2500L)).select(col("id1"), col("id2"))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 2500)
+      val cl = graft.operators.DedupClusters
+        .connectedComponents(docs.select(col("doc_id")), "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val scored = cl.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      val canon = scored.groupBy(col("cluster_id"))
+        .agg(
+          expr("max_by(doc_id, n_chars * 4294967296L - doc_id)").as("canonical_id"),
+          count(lit(1)).as("cluster_size"))
+      scored.join(canon, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("is_kept"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE ${ngramPairCtes("WHERE doc_id < 2500")},
+      edges AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION SELECT id2, id1 FROM pairs),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS label FROM documents WHERE doc_id < 2500
+        UNION
+        SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+      cl AS (
+        SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id),
+      scored AS (
+        SELECT c.doc_id, c.cluster_id, d.n_chars
+        FROM cl c JOIN documents d USING (doc_id)),
+      canon AS (
+        SELECT cluster_id, arg_max(doc_id, n_chars * 4294967296 - doc_id) AS canonical_id,
+          CAST(count(*) AS BIGINT) AS cluster_size
+        FROM scored GROUP BY cluster_id)
+      SELECT s.doc_id, s.cluster_id, c.canonical_id,
+        s.doc_id = c.canonical_id AS is_kept, c.cluster_size
+      FROM scored s JOIN canon c USING (cluster_id)
+      ORDER BY s.doc_id"""))
+
   /** Incremental (batch-vs-corpus) dedup: docs with doc_id % 10 < 8 play the
     * existing corpus — its normalized fingerprints are persisted once as the
     * index — and the rest arrive as the new batch, which is deduped against
@@ -1252,5 +1309,6 @@ object DedupQ {
     exact, exactRows, ngramJaccard, containment, containmentAsym, clusters,
     incremental, incrementalBloom, minhash, simhash, simhashBuckets,
     embedCosine, temporal, winnow, minhashAccuracy, urlDedup, semantic,
-    fuzzyLink, decontaminateFuzzy, dedupCurve, bitext, substringDedup)
+    fuzzyLink, decontaminateFuzzy, dedupCurve, bitext, substringDedup,
+    canonicalize)
 }

@@ -178,5 +178,75 @@ object QualityQ {
         round(sum(term_nano) / 1e9, 6) > 0.1 AS drifted
       FROM terms GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Declared] = Seq(expectations, driftPsi)
+  /** Re-identification risk audit (k-anonymity + l-diversity) — the privacy
+    * gate a curation pipeline runs before releasing a slice: group the table
+    * by its quasi-identifier combination (here nation × 1000-wide account
+    * bucket), then report, for each conventional k, how many rows sit in QI
+    * groups smaller than k (those rows are re-identifiable to within k−1
+    * candidates). l-diversity rides the same aggregate: the minimum count of
+    * distinct sensitive values (market segment) across groups — a group can
+    * be k-large yet leak the sensitive attribute when every member shares
+    * it. One groupBy to the QI-cell table (O(cells), tiny), then ONE
+    * conditional-sum fold over it for every threshold — the
+    * quality_tradeoff_curve shape, so auditing more k values never adds a
+    * pass. Scale note: QI cells grow with the attribute grid, not the row
+    * count, so the fold input stays small at any corpus size.
+    */
+  val kAnonymity = Declared(
+    "dq_k_anonymity",
+    (s, dir) => {
+      val ks = Seq(2, 5, 10, 20)
+      val groups = t(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nat"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bin"),
+          col("c_mktsegment"))
+        .groupBy(col("nat"), col("bal_bin"))
+        .agg(count(lit(1)).as("gsize"),
+          countDistinct(col("c_mktsegment")).as("l_div"))
+      val aggs = ks.flatMap { k => Seq(
+        sum(when(col("gsize") < k, col("gsize")).otherwise(0L)).as(s"r_$k"),
+        sum(when(col("gsize") < k, 1L).otherwise(0L)).as(s"g_$k"))
+      } ++ Seq(
+        sum(col("gsize")).as("n_rows"), count(lit(1)).as("n_groups"),
+        min(col("l_div")).as("min_l"))
+      val stacked = ks.map(k => s"$k, r_$k, g_$k").mkString(", ")
+      groups.agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_rows", "n_groups", "min_l",
+          s"stack(${ks.size}, $stacked) AS (k, rows_at_risk, groups_below)")
+        .select(col("k").cast("int").as("k"),
+          col("rows_at_risk"), col("groups_below"),
+          round(col("rows_at_risk").cast("double") / col("n_rows"), 6)
+            .as("risk_frac"),
+          col("n_groups"), col("min_l"))
+        .orderBy(col("k"))
+    },
+    Some {
+      val conds = Seq(2, 5, 10, 20).flatMap { k => Seq(
+        s"CAST(sum(CASE WHEN gsize < $k THEN gsize ELSE 0 END) AS BIGINT) AS r_$k",
+        s"CAST(sum(CASE WHEN gsize < $k THEN 1 ELSE 0 END) AS BIGINT) AS g_$k")
+      }.mkString(",\n          ")
+      val rows = Seq(2, 5, 10, 20).map(k =>
+        s"SELECT $k AS k, r_$k AS rows_at_risk, g_$k AS groups_below, n_rows, n_groups, min_l FROM agg")
+        .mkString("\n        UNION ALL ")
+      s"""WITH g AS (
+        SELECT c_nationkey AS nat,
+          CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bin,
+          CAST(count(*) AS BIGINT) AS gsize,
+          CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+        FROM customer GROUP BY 1, 2),
+      agg AS (
+        SELECT CAST(sum(gsize) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(min(l_div) AS BIGINT) AS min_l,
+          $conds
+        FROM g),
+      ledger AS (
+        $rows)
+      SELECT CAST(k AS INTEGER) AS k, rows_at_risk, groups_below,
+        round(CAST(rows_at_risk AS DOUBLE) / n_rows, 6) AS risk_frac,
+        n_groups, min_l
+      FROM ledger ORDER BY k"""
+    })
+
+  val all: Seq[Declared] = Seq(expectations, driftPsi, kAnonymity)
 }

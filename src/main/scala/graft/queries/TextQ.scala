@@ -1336,10 +1336,93 @@ object TextQ {
       FROM curve ORDER BY decile"""
     })
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016) — corpus_bpe_pairs counts
+    * one round's pair statistics; this runs the actual iterative merge loop
+    * and emits the learned merge ledger. The corpus is scanned ONCE into the
+    * classic word-frequency dictionary (alphabetic words only, so the symbol
+    * alphabet is closed); every merge round then works on that vocab-sized
+    * table: count adjacent symbol pairs weighted by word frequency, elect
+    * the most frequent pair (ties broken by pair text — deterministic in
+    * both engines), and splice it via plain string replace over a
+    * boundary-safe encoding (every symbol wrapped in single spaces, so
+    * adjacent symbols meet at a DOUBLE space and left-to-right
+    * non-overlapping replace of " a  b " → " ab " is exactly the greedy BPE
+    * merge — no regex lookaround, which DuckDB's RE2 lacks). Each round's
+    * merged vocab is localCheckpointed: without it the 4-round lineage
+    * re-derives every prior round per consumer (exponential recompute); the
+    * vocab table is O(|vocab|) rows so the checkpoint is cheap at any corpus
+    * size. The election is a 1-row top-k, broadcast back — the corpus is
+    * never rescanned after round 0, which is what makes N-round training
+    * viable at 100 TB.
+    */
+  val bpeTrain = Declared(
+    "bpe_train",
+    (s, dir) => {
+      val vocab0 = Tables.spread(t(s, dir, "documents"), "doc_id")
+        .select(explode(TextFns.words(col("text"))).as("w0"))
+        .select(lower(col("w0")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .select(col("wc"), regexp_replace(col("w"), "(.)", " $1 ").as("seq"))
+        .localCheckpoint(true)
+      def topPair(v: org.apache.spark.sql.DataFrame) = v
+        .withColumn("a", split(trim(col("seq")), "  "))
+        .filter(size(col("a")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(a)-1), i -> concat(element_at(a, i), ' ', element_at(a, i+1)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
+        .orderBy(col("freq").desc, col("pair")).limit(1)
+      val ledger = (1 to 4).foldLeft(
+        (vocab0, Seq.empty[org.apache.spark.sql.DataFrame])) {
+        case ((v, acc), r) =>
+          val top = topPair(v).localCheckpoint(true)
+          val merged = v.crossJoin(broadcast(top.select(col("pair"))))
+            .withColumn("seq", expr(
+              "replace(seq, concat(' ', replace(pair, ' ', '  '), ' '), concat(' ', replace(pair, ' ', ''), ' '))"))
+            .drop("pair").localCheckpoint(true)
+          (merged, acc :+ top.select(lit(r).as("round"), col("pair"), col("freq")))
+      }._2
+      ledger.reduce(_ unionByName _)
+        .select(col("round").cast("int").as("round"), col("pair"),
+          regexp_replace(col("pair"), " ", "").as("token"), col("freq"))
+        .orderBy(col("round"))
+    },
+    Some {
+      val rounds = (1 to 4).map { r =>
+        s"""p$r AS (
+        SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM (
+          SELECT wc, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
+          FROM (SELECT wc, string_split(trim(seq), '  ') AS a FROM v${r - 1})
+          WHERE len(a) >= 2)
+        GROUP BY pair),
+      t$r AS (SELECT pair, freq FROM p$r ORDER BY freq DESC, pair LIMIT 1),
+      v$r AS (
+        SELECT wc, replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',
+                                ' ' || replace(pair, ' ', '') || ' ') AS seq
+        FROM v${r - 1}, t$r)"""
+      }.mkString(",\n      ")
+      val out = (1 to 4).map(r =>
+        s"SELECT $r AS round, pair, replace(pair, ' ', '') AS token, freq FROM t$r")
+        .mkString("\n        UNION ALL ")
+      s"""WITH words AS (
+        SELECT lower(w) AS w FROM (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+        WHERE regexp_matches(lower(w), '^[a-z]+$$')),
+      v0 AS (
+        SELECT CAST(count(*) AS BIGINT) AS wc,
+          regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq
+        FROM words GROUP BY w),
+      $rounds
+      SELECT CAST(round AS INTEGER) AS round, pair, token, freq FROM (
+        $out)
+      ORDER BY round"""
+    })
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
     boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats,
     langidReport, langidKappa, charEntropy, fertility, langidCalibration,
-    classifierScore, gopherRules, qualityCurve, heaps)
+    classifierScore, gopherRules, qualityCurve, heaps, bpeTrain)
 }

@@ -468,7 +468,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_survival",   // 31-row broadcast day spine over the per-user fold
     "sim_hardneg_mine",  // 8-row broadcast anchor batch (label-exclusion probe)
     "sim_bucket_balance", // 1-row broadcast occupancy-stats scalar
-    "corpus_heaps"       // two 1-row prefix-sum aggregates + 1-row doc-count scalar
+    "corpus_heaps",      // two 1-row prefix-sum aggregates + 1-row doc-count scalar
+    "bpe_train"          // 1-row broadcast elected merge pair, once per round
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

@@ -218,6 +218,64 @@ class R7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_train: merge freqs non-increasing, tokens are the fused pairs") {
+    val rs = run("bpe_train").collect().sortBy(_.getAs[Int]("round"))
+    assert(rs.map(_.getAs[Int]("round")).toSeq == Seq(1, 2, 3, 4))
+    val freqs = rs.map(_.getAs[Long]("freq"))
+    // a pair born from a merge occurs at most once per occurrence of the
+    // merged token, so the elected max can never rise between rounds
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b },
+      s"merge frequencies must be non-increasing: ${freqs.mkString(",")}")
+    rs.foreach { r =>
+      val pair = r.getAs[String]("pair")
+      assert(pair.count(_ == ' ') == 1, s"pair '$pair' must be two symbols")
+      assert(r.getAs[String]("token") == pair.replace(" ", ""))
+      assert(r.getAs[Long]("freq") > 0L)
+    }
+    assert(rs.map(_.getAs[String]("pair")).distinct.length == 4,
+      "the same pair can never be elected twice")
+  }
+
+  test("dq_k_anonymity: risk monotone in k, l-diversity bounded") {
+    val rs = run("dq_k_anonymity").collect().sortBy(_.getAs[Int]("k"))
+    assert(rs.map(_.getAs[Int]("k")).toSeq == Seq(2, 5, 10, 20))
+    val risk = rs.map(_.getAs[Long]("rows_at_risk"))
+    val below = rs.map(_.getAs[Long]("groups_below"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => a <= b },
+      "raising k can only put more rows at risk")
+    assert(below.zip(below.tail).forall { case (a, b) => a <= b })
+    assert(rs.map(_.getAs[Long]("n_groups")).distinct.length == 1)
+    rs.foreach { r =>
+      assert(r.getAs[Double]("risk_frac") >= 0.0 && r.getAs[Double]("risk_frac") <= 1.0)
+      assert(r.getAs[Long]("min_l") >= 1L, "a non-empty group has at least one sensitive value")
+    }
+  }
+
+  test("dedup_canonicalize: one survivor per cluster, and it is the keep-best member") {
+    val rs = run("dedup_canonicalize").collect()
+    val byCluster = rs.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      val kept = members.filter(_.getAs[Boolean]("is_kept"))
+      assert(kept.length == 1, s"cluster $cid must keep exactly one doc")
+      val canon = members.head.getAs[Long]("canonical_id")
+      assert(members.forall(_.getAs[Long]("canonical_id") == canon))
+      assert(members.exists(_.getAs[Long]("doc_id") == canon),
+        s"canonical $canon must be a member of cluster $cid")
+      assert(members.forall(_.getAs[Long]("cluster_size") == members.length.toLong))
+    }
+    // the elected doc has the cluster-max n_chars (smallest id on ties)
+    val nChars = Tables.t(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") < 2500)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCluster.foreach { case (cid, members) =>
+      val ids = members.map(_.getAs[Long]("doc_id"))
+      val best = ids.maxBy(id => (nChars(id), -id))
+      assert(members.head.getAs[Long]("canonical_id") == best,
+        s"cluster $cid canonical must be the longest-text member")
+    }
+  }
+
   test("events_seasonality: buckets valid, top-3 ordered, shares bounded") {
     val rs = run("events_seasonality").collect()
     assert(rs.nonEmpty)
