@@ -4,6 +4,7 @@ import graft.{Declared, Tables}
 import graft.functions.{Hashing, RollingHash}
 import graft.operators.Multimodal
 import graft.streaming.StreamingOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal, streaming, and custom-Expression queries. */
@@ -472,7 +473,69 @@ object ExtrasQ {
       FROM flag GROUP BY lang ORDER BY lang"""
     })
 
+  /** WebDataset-style shard manifest — the dataloader handoff: pack each
+    * source's samples (payload size = n_chars; the blob column slots in
+    * unchanged) into ~2 KiB shards in ingestion order and emit the per-shard
+    * manifest (item count, byte total, id range) a training job mounts. The
+    * running byte offset is a TWO-LEVEL prefix sum, never one global
+    * running window: an intra-bucket window partitioned by (source,
+    * 256-id bucket) — thousands of independent partitions — plus a bucket
+    * offset from a window over the tiny per-bucket totals table. That is the
+    * scalable prefix-sum shape: at 100 TB the only ordered window over
+    * unbounded data is partitioned down to bucket granularity, and the
+    * bucket-offset table is O(corpus/256) rows of three integers.
+    */
+  val mmShardManifest = Declared(
+    "mm_shard_manifest",
+    (s, dir) => {
+      val shardBytes = 2048L
+      val sized = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          col("n_chars").as("bytes"),
+          (col("doc_id") / 256L).cast("long").as("bkt"))
+      val intraW = Window.partitionBy(col("source"), col("bkt"))
+        .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+      val intra = sized.withColumn("intra_before",
+        coalesce(sum(col("bytes")).over(intraW), lit(0L)))
+      val offW = Window.partitionBy(col("source")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bucketOff = sized.groupBy(col("source"), col("bkt"))
+        .agg(sum(col("bytes")).as("bb"))
+        .withColumn("bkt_off", coalesce(sum(col("bb")).over(offW), lit(0L)))
+        .select(col("source"), col("bkt"), col("bkt_off"))
+      intra.join(bucketOff, Seq("source", "bkt"))
+        .withColumn("shard_id",
+          ((col("bkt_off") + col("intra_before")) / shardBytes).cast("long"))
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_items"), sum(col("bytes")).as("n_bytes"),
+          min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+        .orderBy(col("source"), col("shard_id"))
+    },
+    Some("""WITH sized AS (
+        SELECT source, doc_id, n_chars AS bytes, doc_id // 256 AS bkt
+        FROM documents),
+      intra AS (
+        SELECT *, coalesce(sum(bytes) OVER (
+          PARTITION BY source, bkt ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS intra_before
+        FROM sized),
+      boff AS (
+        SELECT source, bkt, coalesce(sum(bb) OVER (
+          PARTITION BY source ORDER BY bkt
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bkt_off
+        FROM (SELECT source, bkt, sum(bytes) AS bb FROM sized GROUP BY 1, 2)),
+      assigned AS (
+        SELECT i.source, i.doc_id, i.bytes,
+          (b.bkt_off + i.intra_before) // 2048 AS shard_id
+        FROM intra i JOIN boff b ON i.source = b.source AND i.bkt = b.bkt)
+      SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+        CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(bytes) AS BIGINT) AS n_bytes,
+        min(doc_id) AS first_id, max(doc_id) AS last_id
+      FROM assigned GROUP BY 1, 2 ORDER BY source, shard_id"""))
+
   val all: Seq[Declared] = Seq(
+    mmShardManifest,
     mmPhash,
     mmCatalog, mmFrames, mmBlob, mmDecode, mmResize, rollingHashQ, streamWindow,
     streamWindowSliding, streamWindowAppend, streamDedup, streamStaticJoin,

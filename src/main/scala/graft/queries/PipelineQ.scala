@@ -764,9 +764,69 @@ object PipelineQ {
       FROM documents GROUP BY 1 ORDER BY fold"""
     })
 
+  /** Loss-aware domain reweighting (the DoReMi idea reduced to its
+    * measurable core): domains whose text the corpus-level unigram LM finds
+    * SURPRISING (higher mean negative log-likelihood — rarer vocabulary)
+    * get upweighted via a softmax over per-source mean NLL, versus
+    * mix_temperature's purely size-based weights. The per-word NLL is
+    * rounded to integer NANO-units before the per-source sum (the
+    * dq_drift_psi discipline), so the mean is exact long arithmetic with no
+    * float summation order to diverge between engines; the softmax then
+    * runs over the O(sources) table only (max-subtracted for stability —
+    * weights are scale-free so the shift cancels). Corpus text is scanned
+    * once; the unigram dictionary broadcasts like text_unigram_nll's.
+    */
+  val doremiWeights = Declared(
+    "mix_doremi_weights",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = docs.select(col("source"),
+        explode(TextFns.words(col("text"))).as("w"))
+      val freq = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).cast("double").as("n"))
+      val bySrc = words.join(broadcast(freq), "w")
+        .crossJoin(broadcast(tot))
+        .select(col("source"),
+          round(-log(col("c").cast("double") / col("n")) * 1e9).cast("long")
+            .as("nano"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"), sum(col("nano")).as("s_nano"))
+        .withColumn("mean_nll",
+          col("s_nano").cast("double") / 1e9 / col("n_words"))
+      val mx = bySrc.agg(max(col("mean_nll")).as("mx"))
+      val expd = bySrc.crossJoin(broadcast(mx))
+        .withColumn("e", exp(col("mean_nll") - col("mx")))
+      val denom = expd.agg(sum(col("e")).as("d"))
+      expd.crossJoin(broadcast(denom))
+        .select(col("source"), col("n_words"),
+          round(col("mean_nll"), 6).as("mean_nll"),
+          round(col("e") / col("d"), 6).as("weight"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH w AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents),
+      freq AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+      by_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(CAST(round(-ln(CAST(f.c AS DOUBLE) / t.n) * 1e9) AS BIGINT)) AS BIGINT) AS s_nano
+        FROM w JOIN freq f USING (w) CROSS JOIN tot t
+        GROUP BY source),
+      stats AS (
+        SELECT source, n_words,
+          CAST(s_nano AS DOUBLE) / 1e9 / n_words AS mean_nll
+        FROM by_src),
+      mx AS (SELECT max(mean_nll) AS mx FROM stats),
+      e AS (SELECT s.*, exp(mean_nll - mx) AS e FROM stats s, mx),
+      d AS (SELECT sum(e) AS d FROM e)
+      SELECT source, n_words, round(mean_nll, 6) AS mean_nll,
+        round(e / d, 6) AS weight
+      FROM e, d ORDER BY source"""))
+
   val all: Seq[Declared] = Seq(
     decontaminate, packSequences, embedOutliers, corpusTerms, textRepetition,
     mixSample, chunkDocuments, sampleStratified, curriculumOrder,
     mixTemperature, heavyHitters, vocabCoverage, domainCap, mixEpochs,
-    sampleWeighted, splitTemporal, sourceOverlap, splitKfold)
+    sampleWeighted, splitTemporal, sourceOverlap, splitKfold, doremiWeights)
 }

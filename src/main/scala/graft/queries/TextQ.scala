@@ -1419,10 +1419,67 @@ object TextQ {
       ORDER BY round"""
     })
 
+  /** One-row dataset card (the "Datasheets for Datasets" summary a corpus
+    * release ships): size, language/source spread, token-length location
+    * (mean + exact interpolated median/p90 — Spark `percentile` and DuckDB
+    * `quantile_cont` share the (n−1)·p linear-interpolation definition),
+    * exact-dup rate off the normalized fingerprint, and the quality-gate
+    * keep fraction at the same 0.5 cutoff text_quality publishes. ONE
+    * per-doc projection then one aggregate; the two count-distincts ride
+    * Spark's expand (3 passes over the tiny per-doc signal table, never the
+    * corpus text twice). Every number here is recomputed — not sampled — so
+    * the card is the audit, not an estimate of one.
+    */
+  val datasheet = Declared(
+    "corpus_datasheet",
+    (s, dir) => {
+      val score = qualitySignals.score
+      val perDoc = t(s, dir, "documents")
+        .select(
+          size(TextFns.words(col("text"))).cast("long").as("nt"),
+          col("lang"), col("source"), length(col("text")).cast("long").as("nc"),
+          md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp"),
+          (score >= 0.5).as("keep"))
+      perDoc.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(col("nc")).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 6).as("pct_en"),
+          round(avg(col("nt")), 4).as("mean_tokens"),
+          round(expr("percentile(nt, 0.5)"), 4).as("p50_tokens"),
+          round(expr("percentile(nt, 0.9)"), 4).as("p90_tokens"),
+          round(lit(1.0) - countDistinct(col("fp")).cast("double") / count(lit(1)), 6)
+            .as("dup_rate"),
+          round(avg(when(col("keep"), 1.0).otherwise(0.0)), 6).as("quality_keep_frac"))
+    },
+    Some {
+      val (_, _, score) = qualitySignalsSql
+      s"""WITH perdoc AS (
+        SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+          lang, source, CAST(len(text) AS BIGINT) AS nc,
+          md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
+          ($score >= 0.5) AS keep
+        FROM documents)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(nt) AS BIGINT) AS n_tokens,
+        CAST(sum(nc) AS BIGINT) AS n_chars,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS pct_en,
+        round(avg(nt), 4) AS mean_tokens,
+        round(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+        round(quantile_cont(nt, 0.9), 4) AS p90_tokens,
+        round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate,
+        round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) AS quality_keep_frac
+      FROM perdoc"""
+    })
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
     boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats,
     langidReport, langidKappa, charEntropy, fertility, langidCalibration,
-    classifierScore, gopherRules, qualityCurve, heaps, bpeTrain)
+    classifierScore, gopherRules, qualityCurve, heaps, bpeTrain, datasheet)
 }

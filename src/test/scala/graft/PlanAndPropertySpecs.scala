@@ -469,7 +469,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_hardneg_mine",  // 8-row broadcast anchor batch (label-exclusion probe)
     "sim_bucket_balance", // 1-row broadcast occupancy-stats scalar
     "corpus_heaps",      // two 1-row prefix-sum aggregates + 1-row doc-count scalar
-    "bpe_train"          // 1-row broadcast elected merge pair, once per round
+    "bpe_train",         // 1-row broadcast elected merge pair, once per round
+    "mix_doremi_weights" // 1-row broadcast token total / max-NLL / softmax denominator
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

@@ -276,6 +276,52 @@ class R7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_shard_manifest: shards partition each source, ids contiguous, bytes conserved") {
+    val rs = run("mm_shard_manifest").collect()
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("b")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rs.groupBy(_.getAs[String]("source")).foreach { case (src, shards) =>
+      val ids = shards.map(_.getAs[Long]("shard_id")).sorted
+      assert(ids.head == 0L && ids.zipWithIndex.forall { case (v, i) => v == i.toLong },
+        s"source $src shard ids must be 0..n-1 with no gaps")
+      assert(shards.map(_.getAs[Long]("n_items")).sum == docs(src)._1,
+        s"source $src: every sample lands in exactly one shard")
+      assert(shards.map(_.getAs[Long]("n_bytes")).sum == docs(src)._2,
+        s"source $src: shard bytes must conserve the source total")
+      // id ranges of consecutive shards never overlap (ingestion order kept)
+      val ordered = shards.sortBy(_.getAs[Long]("shard_id"))
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(a.getAs[Long]("last_id") < b.getAs[Long]("first_id"))
+      }
+    }
+  }
+
+  test("corpus_datasheet: card fields consistent with the corpus") {
+    val r = run("corpus_datasheet").collect().head
+    val nDocs = Tables.t(spark, TestSpark.sf, "documents").count()
+    assert(r.getAs[Long]("n_docs") == nDocs)
+    assert(r.getAs[Long]("n_tokens") > 0L)
+    assert(r.getAs[Double]("p50_tokens") <= r.getAs[Double]("p90_tokens"))
+    Seq("pct_en", "dup_rate", "quality_keep_frac").foreach { c =>
+      assert(r.getAs[Double](c) >= 0.0 && r.getAs[Double](c) <= 1.0, c)
+    }
+    assert(r.getAs[Long]("n_langs") >= 1L && r.getAs[Long]("n_sources") >= 1L)
+  }
+
+  test("mix_doremi_weights: softmax sums to one, surprise ranks weight") {
+    val rs = run("mix_doremi_weights").collect()
+    assert(rs.nonEmpty)
+    val wsum = rs.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights must sum to ~1, got $wsum")
+    rs.foreach(r => assert(r.getAs[Double]("weight") > 0.0))
+    val byNll = rs.maxBy(_.getAs[Double]("mean_nll"))
+    val byW = rs.maxBy(_.getAs[Double]("weight"))
+    assert(byNll.getAs[String]("source") == byW.getAs[String]("source"),
+      "the most surprising domain must get the largest weight")
+  }
+
   test("events_seasonality: buckets valid, top-3 ordered, shares bounded") {
     val rs = run("events_seasonality").collect()
     assert(rs.nonEmpty)
