@@ -88,8 +88,8 @@ object Bench {
     // so full-run accounting stays comparable round-over-round; an isolated
     // probe would otherwise rebuild it per run and overstate the query ~9×.
     val bandedFamily = Seq("dedup_ngram_jaccard", "dedup_containment",
-      "dedup_clusters", "dedup_minhash_accuracy", "decontaminate_fuzzy",
-      "corpus_dedup_curve")
+      "dedup_clusters", "dedup_canonicalize", "dedup_minhash_accuracy",
+      "decontaminate_fuzzy", "corpus_dedup_curve")
     if (only.exists(f => bandedFamily.exists(f.contains)))
       queries.DedupQ.warmShared(spark, sfDir)
     // warmup (page-cache pass + streaming init + fixture-layout prep) is
