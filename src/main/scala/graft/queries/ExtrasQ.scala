@@ -534,7 +534,56 @@ object ExtrasQ {
         min(doc_id) AS first_id, max(doc_id) AS last_id
       FROM assigned GROUP BY 1, 2 ORDER BY source, shard_id"""))
 
+  /** Streaming drift monitor ([[StreamingOps.driftPsiStream]]): the current
+    * window arrives as a stream and bins against broadcast reference edges;
+    * PSI read out over the bounded state grid. Counts are
+    * batching-invariant, so the oracle is IDENTICAL to dq_drift_psi's —
+    * one adjudication for both the batch and streaming shapes.
+    */
+  val streamDriftPsi = Declared(
+    "stream_drift_psi",
+    (s, dir) => StreamingOps.driftPsiStream(s, dir),
+    Some("""WITH e AS (
+        SELECT event_type, value, CAST(ts AS DATE) AS d FROM events),
+      cut AS (SELECT min(d) + INTERVAL 15 DAY AS cut FROM e),
+      tagged AS (
+        SELECT event_type, value,
+          CASE WHEN d < cut THEN 'ref' ELSE 'cur' END AS side
+        FROM e CROSS JOIN cut),
+      edges AS (
+        SELECT event_type, min(value) AS vmin, max(value) AS vmax
+        FROM tagged WHERE side = 'ref' GROUP BY event_type),
+      binned AS (
+        SELECT t.event_type, t.side,
+          CASE WHEN e.vmax > e.vmin
+            THEN least(9, greatest(0, CAST(floor(
+              (t.value - e.vmin) * 10.0 / (e.vmax - e.vmin)) AS INTEGER)))
+            ELSE 0 END AS bin,
+          count(*) AS c
+        FROM tagged t JOIN edges e USING (event_type)
+        GROUP BY 1, 2, 3),
+      per_side AS (
+        SELECT event_type, bin,
+          sum(CASE WHEN side = 'ref' THEN c ELSE 0 END) AS cr,
+          sum(CASE WHEN side = 'cur' THEN c ELSE 0 END) AS cc
+        FROM binned GROUP BY 1, 2),
+      tot AS (
+        SELECT event_type, sum(cr) AS nr, sum(cc) AS nc
+        FROM per_side GROUP BY 1),
+      terms AS (
+        SELECT p.event_type, t.nr, t.nc,
+          CAST(round(((p.cr + 1.0) / (t.nr + 10.0) - (p.cc + 1.0) / (t.nc + 10.0))
+            * ln(((p.cr + 1.0) / (t.nr + 10.0)) / ((p.cc + 1.0) / (t.nc + 10.0)))
+            * 1e9) AS BIGINT) AS term_nano
+        FROM per_side p JOIN tot t USING (event_type))
+      SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
+        CAST(max(nc) AS BIGINT) AS n_cur,
+        round(sum(term_nano) / 1e9, 6) AS psi,
+        round(sum(term_nano) / 1e9, 6) > 0.1 AS drifted
+      FROM terms GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Declared] = Seq(
+    streamDriftPsi,
     mmShardManifest,
     mmPhash,
     mmCatalog, mmFrames, mmBlob, mmDecode, mmResize, rollingHashQ, streamWindow,

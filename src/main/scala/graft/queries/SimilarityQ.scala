@@ -1492,10 +1492,82 @@ object SimilarityQ {
         round(CAST(max_n AS DOUBLE) * n_used / total, 4) AS imbalance
       FROM c, tot ORDER BY n DESC, bucket LIMIT 5"""))
 
+  /** Retrieval-quality report (MRR + precision@5) — the evaluation harness
+    * an embedding model's training loop reads: a deterministic probe batch
+    * (vec_id % 50) broadcasts against ONE corpus scan (the knn_join_brute
+    * shape), per-probe ranking by exact cosine (rounded to 6 before ranking
+    * with a vec_id tiebreak, so rank order is engine-identical), and the
+    * same-label relevance judgment yields each probe's first-hit rank.
+    * Reciprocal ranks go to integer NANO-units before the per-label mean
+    * (no float summation order); a probe whose label never recurs
+    * contributes rr = 0, the standard MRR convention. Per-label rows keep
+    * class skew visible where a single pooled mean would hide it. At scale
+    * the probe batch stays O(eval set) and the corpus is scanned once —
+    * ranking work rides the same WindowGroupLimit-prunable per-probe window
+    * as knn_join_brute.
+    */
+  val retrievalMrr = Declared(
+    "eval_retrieval_mrr",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val win = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val perProbe = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .withColumn("rn", row_number().over(win))
+        .groupBy(col("qid"), col("qlabel"))
+        .agg(
+          min(when(col("label") === col("qlabel"), col("rn"))).as("first_rank"),
+          sum(when(col("label") === col("qlabel") && col("rn") <= 5, 1L)
+            .otherwise(0L)).as("hits5"))
+      perProbe
+        .select(col("qlabel").as("label"),
+          coalesce(round(lit(1e9) / col("first_rank")).cast("long"), lit(0L))
+            .as("rr_nano"),
+          col("hits5"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_probes"),
+          round(sum(col("rr_nano")) / count(lit(1)) / 1e9, 6).as("mrr"),
+          round(sum(col("hits5")).cast("double") / (count(lit(1)) * 5.0), 6)
+            .as("p_at_5"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH probes AS (
+        SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+        FROM embeddings WHERE vec_id % 50 = 0),
+      scored AS (
+        SELECT p.qid, p.qlabel, e.vec_id, e.label,
+          round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+            CAST(p.qv AS DOUBLE[])), 6) AS cos
+        FROM embeddings e CROSS JOIN probes p
+        WHERE e.vec_id <> p.qid),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        FROM scored),
+      per_probe AS (
+        SELECT qid, qlabel,
+          min(CASE WHEN label = qlabel THEN rn END) AS first_rank,
+          sum(CASE WHEN label = qlabel AND rn <= 5 THEN 1 ELSE 0 END) AS hits5
+        FROM ranked GROUP BY 1, 2)
+      SELECT qlabel AS label,
+        CAST(count(*) AS BIGINT) AS n_probes,
+        round(sum(coalesce(CAST(round(1e9 / first_rank) AS BIGINT), 0))
+          / count(*) / 1e9, 6) AS mrr,
+        round(CAST(sum(hits5) AS DOUBLE) / (count(*) * 5.0), 6) AS p_at_5
+      FROM per_probe GROUP BY qlabel ORDER BY label"""))
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
       ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower,
       streamAnnProbe, ivfPqAppend, matryoshka, clusterSilhouette, hardnegMine,
-      knnGraph, bucketBalance)
+      knnGraph, bucketBalance, retrievalMrr)
 }

@@ -485,6 +485,76 @@ object StreamingOps {
       .getOrElse(spark.emptyDataFrame)
   }
 
+  /** Drift monitoring ON the ingest stream — dq_drift_psi's production
+    * shape: the reference window (first 15 days) folds BATCH-side to
+    * O(types) bin edges and O(types × 10) reference counts, both broadcast;
+    * the current window then ARRIVES as a stream, each micro-batch bins
+    * against the static edges (stream-static broadcast join, stateless) and
+    * feeds one streaming aggregate whose state is the same O(types × bins)
+    * grid — bounded regardless of stream length. The PSI readout over the
+    * final state snapshot is the identical integer nano-unit arithmetic as
+    * the batch op (counts are batching-invariant, so stream ≡ batch exactly
+    * and the same oracle adjudicates both). The stream_topk
+    * dashboard-over-state split, applied to data-quality monitoring.
+    */
+  def driftPsiStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
+    val batch = Tables.t(spark, sfDir, "events")
+      .select(col("event_type"), col("value"), to_date(col("ts")).as("d"))
+    val cutoff = batch.agg(date_add(min(col("d")), 15).as("cut"))
+      .localCheckpoint(true)
+    val ref = batch.crossJoin(broadcast(cutoff)).filter(col("d") < col("cut"))
+    val edges = ref.groupBy(col("event_type"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .localCheckpoint(true)
+    def binCol = when(col("vmax") > col("vmin"),
+        least(lit(9), greatest(lit(0), floor(
+          (col("value") - col("vmin")) * 10.0 / (col("vmax") - col("vmin")))
+          .cast("int"))))
+      .otherwise(lit(0))
+    val refCounts = ref.join(broadcast(edges), "event_type")
+      .withColumn("bin", binCol)
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("cr"))
+      .localCheckpoint(true)
+    val stream = streamTable(spark, sfDir, "events", rawSchema)
+      .withColumn("ts", Tables.eventTsCol(rawSchema, "timestamp_ntz"))
+      .select(col("event_type"), col("value"), to_date(col("ts")).as("d"))
+      .crossJoin(broadcast(cutoff)).filter(col("d") >= col("cut"))
+      .join(broadcast(edges), "event_type")
+      .withColumn("bin", binCol)
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("cc"))
+    val name = "graft_stream_psi_sink"
+    runTuned(spark, scanParts) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val perSide = refCounts
+      .join(spark.table(name), Seq("event_type", "bin"), "full")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val totals = perSide.groupBy(col("event_type"))
+      .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
+    perSide.join(broadcast(totals), "event_type")
+      .withColumn("p", (col("cr") + 1.0) / (col("nr") + 10.0))
+      .withColumn("q", (col("cc") + 1.0) / (col("nc") + 10.0))
+      .withColumn("term_nano",
+        round((col("p") - col("q")) * log(col("p") / col("q")) * 1e9)
+          .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+        round(sum(col("term_nano")) / 1e9, 6).as("psi"))
+      .withColumn("drifted", col("psi") > 0.1)
+      .orderBy(col("event_type"))
+  }
+
   case class SessionState(start: Long, end: Long, n: Long, value: Double)
   case class SessionOut(
       user_id: Long, session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,

@@ -470,7 +470,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_bucket_balance", // 1-row broadcast occupancy-stats scalar
     "corpus_heaps",      // two 1-row prefix-sum aggregates + 1-row doc-count scalar
     "bpe_train",         // 1-row broadcast elected merge pair, once per round
-    "mix_doremi_weights" // 1-row broadcast token total / max-NLL / softmax denominator
+    "mix_doremi_weights", // 1-row broadcast token total / max-NLL / softmax denominator
+    "stream_drift_psi",  // 1-row broadcast cutoff date (dq_drift_psi's shape)
+    "eval_retrieval_mrr" // 10-row broadcast probe batch (knn_join_brute's shape)
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

@@ -322,6 +322,25 @@ class R7OpsSpec extends AnyFunSuite {
       "the most surprising domain must get the largest weight")
   }
 
+  test("stream_drift_psi: streaming result identical to the batch dq_drift_psi") {
+    val streamed = run("stream_drift_psi").collect().map(_.toString).sorted
+    val batch = run("dq_drift_psi").collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch),
+      "counts are batching-invariant, so stream must equal batch exactly")
+  }
+
+  test("eval_retrieval_mrr: metrics bounded, probes accounted for") {
+    val rs = run("eval_retrieval_mrr").collect()
+    assert(rs.nonEmpty)
+    val expected = Tables.t(spark, TestSpark.sf, "embeddings")
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(rs.map(_.getAs[Long]("n_probes")).sum == expected)
+    rs.foreach { r =>
+      assert(r.getAs[Double]("mrr") >= 0.0 && r.getAs[Double]("mrr") <= 1.0)
+      assert(r.getAs[Double]("p_at_5") >= 0.0 && r.getAs[Double]("p_at_5") <= 1.0)
+    }
+  }
+
   test("events_seasonality: buckets valid, top-3 ordered, shares bounded") {
     val rs = run("events_seasonality").collect()
     assert(rs.nonEmpty)
