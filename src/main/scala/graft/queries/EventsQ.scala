@@ -1081,9 +1081,58 @@ object EventsQ {
         round(CAST(n AS DOUBLE) / total, 6) AS share
       FROM r WHERE rk <= 3 ORDER BY event_type, rk"""))
 
+  /** Sequential-pattern mining (the PrefixSpan-lite readout): the most
+    * common CONTIGUOUS 3-event paths users take, with user support — the
+    * next step past [[transitions]]' 2-grams, and the behavioral signature
+    * a funnel designer or a bot-filter both read. Two `lead`s over the same
+    * per-user (ts, event_id)-total-ordered window fold each event into its
+    * forward triple in ONE window pass (bounded per-key state, co-partitioned
+    * on user_id — never a self-join); the triple catalog is bounded by
+    * |types|³ so the count aggregate combines map-side, user support rides
+    * the same aggregate as a count-distinct, and the top-15 is a
+    * TakeOrderedAndProject — no global sort at any scale.
+    */
+  val sequenceMining = Declared(
+    "events_sequence_mining",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val e = t(s, dir, "events")
+      val nUsers = e.agg(countDistinct(col("user_id")).as("n_users"))
+      e.withColumn("b", lead(col("event_type"), 1).over(w))
+        .withColumn("c", lead(col("event_type"), 2).over(w))
+        .filter(col("c").isNotNull)
+        .groupBy(col("event_type").as("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("support_users"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("a"), col("b"), col("c"), col("n"), col("support_users"),
+          round(col("support_users").cast("double") / col("n_users"), 6)
+            .as("support"))
+        .orderBy(col("support_users").desc, col("n").desc,
+          col("a"), col("b"), col("c"))
+        .limit(15)
+    },
+    Some("""WITH triples AS (
+        SELECT user_id, event_type AS a,
+          lead(event_type, 1) OVER w AS b,
+          lead(event_type, 2) OVER w AS c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+      m AS (
+        SELECT a, b, c, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS support_users
+        FROM triples WHERE c IS NOT NULL GROUP BY a, b, c)
+      SELECT a, b, c, n, support_users,
+        round(CAST(support_users AS DOUBLE) / n.n_users, 6) AS support
+      FROM m CROSS JOIN n
+      ORDER BY support_users DESC, n DESC, a, b, c LIMIT 15"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
-    rfm, interpolate, asofTolerance, botDetection, survival, seasonality)
+    rfm, interpolate, asofTolerance, botDetection, survival, seasonality,
+    sequenceMining)
 }

@@ -248,5 +248,70 @@ object QualityQ {
       FROM ledger ORDER BY k"""
     })
 
-  val all: Seq[Declared] = Seq(expectations, driftPsi, kAnonymity)
+  /** Per-column profiling card (the pandas-profiling / `SUMMARIZE` shape —
+    * the first thing anyone runs on an unfamiliar table, and the natural
+    * companion to the reference's `schema` verb which reports TYPES but no
+    * content): one row per orders column with null count/fraction, exact
+    * distinct cardinality, and min/max normalized to strings with PINNED
+    * formatting (doubles through DECIMAL(18,2), timestamps through an
+    * explicit pattern) so the card is engine-stable. ONE projected scan,
+    * one aggregate — the six exact count-distincts ride Spark's expand
+    * (×6 on the projected rows, the corpus is still read once), min/max
+    * fold on native types and only the final 6-row stack formats them.
+    * Adding a column adds counters, never a pass.
+    */
+  val profile = Declared(
+    "dq_profile",
+    (s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val dtypes = Map(
+        "o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+        "o_orderstatus" -> "string", "o_totalprice" -> "double",
+        "o_orderdate" -> "timestamp", "o_orderpriority" -> "string")
+      def fmt(c: String, a: org.apache.spark.sql.Column) = dtypes(c) match {
+        case "double"    => a.cast("decimal(18,2)").cast("string")
+        case "timestamp" => date_format(a, "yyyy-MM-dd HH:mm:ss")
+        case _           => a.cast("string")
+      }
+      val counters = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nul_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        fmt(c, min(col(c))).as(s"mn_$c"),
+        fmt(c, max(col(c))).as(s"mx_$c")))
+      val stacked = cols.map(c =>
+        s"'$c', '${dtypes(c)}', nul_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+      t(s, dir, "orders").select(cols.map(col): _*)
+        .agg(counters.head, counters.tail: _*)
+        .selectExpr("n", s"stack(${cols.size}, $stacked) AS " +
+          "(column_name, dtype, n_nulls, n_distinct, min_val, max_val)")
+        .select(col("column_name"), col("dtype"), col("n_nulls"),
+          round(col("n_nulls").cast("double") / col("n"), 6).as("null_frac"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+        .orderBy(col("column_name"))
+    },
+    Some {
+      val specs = Seq(
+        ("o_orderkey", "bigint", "CAST(%s AS VARCHAR)"),
+        ("o_custkey", "bigint", "CAST(%s AS VARCHAR)"),
+        ("o_orderstatus", "string", "CAST(%s AS VARCHAR)"),
+        ("o_totalprice", "double", "CAST(CAST(%s AS DECIMAL(18,2)) AS VARCHAR)"),
+        ("o_orderdate", "timestamp", "strftime(%s, '%%Y-%%m-%%d %%H:%%M:%%S')"),
+        ("o_orderpriority", "string", "CAST(%s AS VARCHAR)"))
+      val rows = specs.map { case (c, dt, f) =>
+        val mn = f.format(s"min($c)")
+        val mx = f.format(s"max($c)")
+        s"""SELECT '$c' AS column_name, '$dt' AS dtype,
+          CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+          round(CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS null_frac,
+          CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+          $mn AS min_val, $mx AS max_val
+        FROM orders"""
+      }.mkString("\n        UNION ALL ")
+      s"""SELECT * FROM (
+        $rows)
+      ORDER BY column_name"""
+    })
+
+  val all: Seq[Declared] = Seq(expectations, driftPsi, kAnonymity, profile)
 }

@@ -1355,42 +1355,45 @@ object TextQ {
     * never rescanned after round 0, which is what makes N-round training
     * viable at 100 TB.
     */
-  val bpeTrain = Declared(
-    "bpe_train",
-    (s, dir) => {
-      val vocab0 = Tables.spread(t(s, dir, "documents"), "doc_id")
-        .select(explode(TextFns.words(col("text"))).as("w0"))
-        .select(lower(col("w0")).as("w"))
-        .filter(col("w").rlike("^[a-z]+$"))
-        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-        .select(col("wc"), regexp_replace(col("w"), "(.)", " $1 ").as("seq"))
-        .localCheckpoint(true)
-      def topPair(v: org.apache.spark.sql.DataFrame) = v
-        .withColumn("a", split(trim(col("seq")), "  "))
-        .filter(size(col("a")) >= 2)
-        .select(col("wc"), explode(expr(
-          "transform(sequence(1, size(a)-1), i -> concat(element_at(a, i), ' ', element_at(a, i+1)))"))
-          .as("pair"))
-        .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
-        .orderBy(col("freq").desc, col("pair")).limit(1)
-      val ledger = (1 to 4).foldLeft(
-        (vocab0, Seq.empty[org.apache.spark.sql.DataFrame])) {
-        case ((v, acc), r) =>
-          val top = topPair(v).localCheckpoint(true)
-          val merged = v.crossJoin(broadcast(top.select(col("pair"))))
-            .withColumn("seq", expr(
-              "replace(seq, concat(' ', replace(pair, ' ', '  '), ' '), concat(' ', replace(pair, ' ', ''), ' '))"))
-            .drop("pair").localCheckpoint(true)
-          (merged, acc :+ top.select(lit(r).as("round"), col("pair"), col("freq")))
-      }._2
-      ledger.reduce(_ unionByName _)
-        .select(col("round").cast("int").as("round"), col("pair"),
-          regexp_replace(col("pair"), " ", "").as("token"), col("freq"))
-        .orderBy(col("round"))
-    },
-    Some {
-      val rounds = (1 to 4).map { r =>
-        s"""p$r AS (
+  /** The shared 4-round merge loop both `bpe_train` (ledger out) and
+    * `bpe_encode` (final vocab out) consume: corpus scanned ONCE into the
+    * word-frequency dictionary, every round counts pairs on the vocab-sized
+    * table, elects the max, splices via the boundary-safe double-space
+    * replace. Returns (final merged vocab, per-round election frames).
+    */
+  private def bpeLoop(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val vocab0 = Tables.spread(t(s, dir, "documents"), "doc_id")
+      .select(explode(TextFns.words(col("text"))).as("w0"))
+      .select(lower(col("w0")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"), regexp_replace(col("w"), "(.)", " $1 ").as("seq"))
+      .localCheckpoint(true)
+    def topPair(v: org.apache.spark.sql.DataFrame) = v
+      .withColumn("a", split(trim(col("seq")), "  "))
+      .filter(size(col("a")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, size(a)-1), i -> concat(element_at(a, i), ' ', element_at(a, i+1)))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
+      .orderBy(col("freq").desc, col("pair")).limit(1)
+    (1 to 4).foldLeft(
+      (vocab0, Seq.empty[org.apache.spark.sql.DataFrame])) {
+      case ((v, acc), r) =>
+        val top = topPair(v).localCheckpoint(true)
+        val merged = v.crossJoin(broadcast(top.select(col("pair"))))
+          .withColumn("seq", expr(
+            "replace(seq, concat(' ', replace(pair, ' ', '  '), ' '), concat(' ', replace(pair, ' ', ''), ' '))"))
+          .drop("pair").localCheckpoint(true)
+        (merged, acc :+ top.select(lit(r).as("round"), col("pair"), col("freq")))
+    }
+  }
+
+  /** The words/v0/per-round CTE chain both BPE oracles share (4 unrolled
+    * rounds ending at v4 — DuckDB mirror of [[bpeLoop]]). */
+  private val bpeRoundsSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""p$r AS (
         SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM (
           SELECT wc, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
           FROM (SELECT wc, string_split(trim(seq), '  ') AS a FROM v${r - 1})
@@ -1401,11 +1404,8 @@ object TextQ {
         SELECT wc, replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',
                                 ' ' || replace(pair, ' ', '') || ' ') AS seq
         FROM v${r - 1}, t$r)"""
-      }.mkString(",\n      ")
-      val out = (1 to 4).map(r =>
-        s"SELECT $r AS round, pair, replace(pair, ' ', '') AS token, freq FROM t$r")
-        .mkString("\n        UNION ALL ")
-      s"""WITH words AS (
+    }.mkString(",\n      ")
+    s"""words AS (
         SELECT lower(w) AS w FROM (
           SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
         WHERE regexp_matches(lower(w), '^[a-z]+$$')),
@@ -1413,11 +1413,86 @@ object TextQ {
         SELECT CAST(count(*) AS BIGINT) AS wc,
           regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq
         FROM words GROUP BY w),
-      $rounds
+      $rounds"""
+  }
+
+  val bpeTrain = Declared(
+    "bpe_train",
+    (s, dir) => {
+      val ledger = bpeLoop(s, dir)._2
+      ledger.reduce(_ unionByName _)
+        .select(col("round").cast("int").as("round"), col("pair"),
+          regexp_replace(col("pair"), " ", "").as("token"), col("freq"))
+        .orderBy(col("round"))
+    },
+    Some {
+      val out = (1 to 4).map(r =>
+        s"SELECT $r AS round, pair, replace(pair, ' ', '') AS token, freq FROM t$r")
+        .mkString("\n        UNION ALL ")
+      s"""WITH $bpeRoundsSql
       SELECT CAST(round AS INTEGER) AS round, pair, token, freq FROM (
         $out)
       ORDER BY round"""
     })
+
+  /** BPE tokenizer APPLICATION — the serving half of [[bpeTrain]] (the same
+    * train→apply lifecycle the IVF-PQ family proves for vectors): the final
+    * merged vocab IS the encoder, because classic BPE encodes at the WORD
+    * level and every corpus word is a dictionary key. So the corpus is never
+    * re-tokenized symbol-by-symbol: per-language word counts (one corpus
+    * scan, vocab-sized result) join the encoded dictionary on the word key —
+    * a vocab-sized shuffle join, not a corpus-sized one — and per-language
+    * fertility (BPE tokens per word) and compression (chars per BPE token)
+    * fold from exact longs. This is the readout that says what the 4-round
+    * tokenizer actually buys per language, and the at-scale shape is the
+    * point: N merge rounds touch the corpus once, encoding touches it once
+    * more, everything else is vocab-sized.
+    */
+  val bpeEncode = Declared(
+    "bpe_encode",
+    (s, dir) => {
+      val vocab4 = bpeLoop(s, dir)._1
+      val dict = vocab4.select(
+        expr("replace(seq, ' ', '')").as("w"),
+        size(split(trim(col("seq")), "  ")).cast("long").as("ntok"))
+      val perLang = t(s, dir, "documents")
+        .select(col("lang"), explode(TextFns.words(col("text"))).as("w0"))
+        .select(col("lang"), lower(col("w0")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cw"))
+      perLang.join(dict, "w")
+        .groupBy(col("lang"))
+        .agg(
+          sum(col("cw")).as("n_words"),
+          sum(col("cw") * col("ntok")).as("n_bpe_tokens"),
+          sum(col("cw") * length(col("w"))).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+            .as("fertility"),
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH $bpeRoundsSql,
+      enc AS (
+        SELECT replace(seq, ' ', '') AS w,
+          CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS ntok
+        FROM v4),
+      perlang AS (
+        SELECT lang, lower(w) AS w, CAST(count(*) AS BIGINT) AS cw FROM (
+          SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents)
+        WHERE regexp_matches(lower(w), '^[a-z]+$$')
+        GROUP BY lang, lower(w)),
+      agg AS (
+        SELECT lang, CAST(sum(cw) AS BIGINT) AS n_words,
+          CAST(sum(cw * ntok) AS BIGINT) AS n_bpe_tokens,
+          CAST(sum(cw * len(w)) AS BIGINT) AS n_chars
+        FROM perlang JOIN enc USING (w) GROUP BY lang)
+      SELECT lang, n_words, n_bpe_tokens,
+        round(CAST(n_bpe_tokens AS DOUBLE) / n_words, 6) AS fertility,
+        round(CAST(n_chars AS DOUBLE) / n_bpe_tokens, 6) AS chars_per_token
+      FROM agg ORDER BY lang"""))
 
   /** One-row dataset card (the "Datasheets for Datasets" summary a corpus
     * release ships): size, language/source spread, token-length location
@@ -1481,5 +1556,6 @@ object TextQ {
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
     boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats,
     langidReport, langidKappa, charEntropy, fertility, langidCalibration,
-    classifierScore, gopherRules, qualityCurve, heaps, bpeTrain, datasheet)
+    classifierScore, gopherRules, qualityCurve, heaps, bpeTrain, bpeEncode,
+    datasheet)
 }

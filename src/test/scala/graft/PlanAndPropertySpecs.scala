@@ -472,7 +472,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "bpe_train",         // 1-row broadcast elected merge pair, once per round
     "mix_doremi_weights", // 1-row broadcast token total / max-NLL / softmax denominator
     "stream_drift_psi",  // 1-row broadcast cutoff date (dq_drift_psi's shape)
-    "eval_retrieval_mrr" // 10-row broadcast probe batch (knn_join_brute's shape)
+    "eval_retrieval_mrr", // 10-row broadcast probe batch (knn_join_brute's shape)
+    "bpe_encode",        // 1-row broadcast elected merge pair, once per round
+    "events_sequence_mining" // 1-row broadcast distinct-user total
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

@@ -341,6 +341,61 @@ class R7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_encode: fertility bounded by [1, word length], totals consistent") {
+    val rs = run("bpe_encode").collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val fert = r.getAs[Double]("fertility")
+      val cpt = r.getAs[Double]("chars_per_token")
+      // every word is at least 1 token and at most one token per char
+      assert(fert >= 1.0, s"fertility $fert < 1")
+      assert(cpt >= 1.0, s"chars_per_token $cpt < 1 — a token shorter than a char")
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("n_bpe_tokens") > 0L)
+    }
+  }
+
+  test("bpe_encode: 4 trained merges strictly reduce the token total vs chars") {
+    // with 4 merges applied, SOME word must have merged: chars per BPE token
+    // strictly above the char-splitter floor of 1.0 for at least one lang
+    val rs = run("bpe_encode").collect()
+    assert(rs.exists(_.getAs[Double]("chars_per_token") > 1.0),
+      "no merge ever applied — encoder is a char splitter")
+  }
+
+  test("events_sequence_mining: support consistent and triples genuinely contiguous") {
+    val rs = run("events_sequence_mining").collect()
+    assert(rs.length == 15)
+    val nUsers = Tables.t(spark, TestSpark.sf, "events")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    rs.foreach { r =>
+      assert(r.getAs[Long]("support_users") <= nUsers)
+      assert(r.getAs[Long]("n") >= r.getAs[Long]("support_users") ||
+        r.getAs[Long]("support_users") > 0)
+      assert(math.abs(r.getAs[Double]("support") -
+        r.getAs[Long]("support_users").toDouble / nUsers) < 1e-6)
+    }
+    // ranking is by support desc
+    val sup = rs.map(_.getAs[Long]("support_users"))
+    assert(sup.sameElements(sup.sortBy(-_)))
+  }
+
+  test("dq_profile: counters match direct recomputation per column") {
+    val rs = run("dq_profile").collect()
+    assert(rs.length == 6)
+    val o = Tables.t(spark, TestSpark.sf, "orders")
+    val n = o.count()
+    val byName = rs.map(r => r.getAs[String]("column_name") -> r).toMap
+    val nd = o.select(countDistinct(col("o_orderstatus"))).collect()(0).getLong(0)
+    assert(byName("o_orderstatus").getAs[Long]("n_distinct") == nd)
+    assert(byName("o_orderkey").getAs[Long]("n_nulls") == 0L)
+    assert(byName("o_orderkey").getAs[Long]("n_distinct") ==
+      o.select(countDistinct(col("o_orderkey"))).collect()(0).getLong(0))
+    rs.foreach(r => assert(r.getAs[Double]("null_frac") >= 0.0 &&
+      r.getAs[Double]("null_frac") <= 1.0))
+    assert(n > 0)
+  }
+
   test("events_seasonality: buckets valid, top-3 ordered, shares bounded") {
     val rs = run("events_seasonality").collect()
     assert(rs.nonEmpty)
