@@ -89,7 +89,8 @@ object Bench {
     // probe would otherwise rebuild it per run and overstate the query ~9×.
     val bandedFamily = Seq("dedup_ngram_jaccard", "dedup_containment",
       "dedup_clusters", "dedup_canonicalize", "dedup_minhash_accuracy",
-      "decontaminate_fuzzy", "corpus_dedup_curve")
+      "decontaminate_fuzzy", "corpus_dedup_curve", "dedup_cluster_stats",
+      "split_leakage_free")
     if (only.exists(f => bandedFamily.exists(f.contains)))
       queries.DedupQ.warmShared(spark, sfDir)
     // warmup (page-cache pass + streaming init + fixture-layout prep) is

@@ -486,6 +486,146 @@ object DedupQ {
       FROM scored s JOIN canon c USING (cluster_id)
       ORDER BY s.doc_id"""))
 
+  /** Duplication-structure histogram — the "how duplicated is this corpus"
+    * readout a dedup budget decision reads before anything runs: cluster-size
+    * distribution of the near-dup components (how many singletons, how many
+    * pairs, any mega-cluster?), each size's corpus share, and the removable
+    * count (size − 1 per cluster) whose sum is the exact dedup dividend.
+    * Two tiny aggregates past the shared cluster assignment: cluster sizes
+    * from the (near-linear-in-dups) cluster table, then the O(distinct
+    * sizes) histogram — the corpus is never rescanned. A heavy tail here is
+    * the trigger for dedup_canonicalize; a mega-cluster is the templated-
+    * boilerplate smell worth inspecting before deleting.
+    */
+  val clusterStats = Declared(
+    "dedup_cluster_stats",
+    (s, dir) => {
+      val pairs = ngramPairs(s, dir, Some(2500L)).select(col("id1"), col("id2"))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 2500)
+        .select(col("doc_id"))
+      val cl = graft.operators.DedupClusters
+        .connectedComponents(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs_at_size"),
+          round((col("cluster_size") * col("n_clusters")).cast("double") /
+            col("n_docs"), 6).as("doc_share"),
+          ((col("cluster_size") - 1L) * col("n_clusters")).as("removable_docs"))
+        .orderBy(col("cluster_size"))
+    },
+    Some(s"""WITH RECURSIVE ${ngramPairCtes("WHERE doc_id < 2500")},
+      edges AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION SELECT id2, id1 FROM pairs),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS label FROM documents WHERE doc_id < 2500
+        UNION
+        SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+      cl AS (
+        SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id),
+      sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM cl GROUP BY cluster_id),
+      hist AS (
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY cluster_size),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM cl)
+      SELECT cluster_size, n_clusters,
+        cluster_size * n_clusters AS n_docs_at_size,
+        round(CAST(cluster_size * n_clusters AS DOUBLE) / n.n_docs, 6) AS doc_share,
+        (cluster_size - 1) * n_clusters AS removable_docs
+      FROM hist CROSS JOIN n ORDER BY cluster_size"""))
+
+  /** Leakage-free train/val split — the reason a training pipeline computes
+    * near-dup CLUSTERS at all: a hash split by doc_id routinely puts one
+    * member of a near-dup pair in train and its twin in val (memorization
+    * reads as generalization), while splitting by CLUSTER id keeps every
+    * component on one side, making cross-split near-dup leakage zero BY
+    * CONSTRUCTION. This op measures both policies on the same corpus slice:
+    * per-side doc counts and the cross-split dup-pair count for the naive
+    * doc_id-hash split vs the cluster-keyed split (provably 0 — both
+    * endpoints share cluster_id, hence the side). The pair table and
+    * cluster table are the shared snapshots the rest of the dedup family
+    * amortizes; the comparison itself is two 1-row aggregates. The
+    * split_temporal leakage flag, made structural.
+    */
+  val splitLeakageFree = Declared(
+    "split_leakage_free",
+    (s, dir) => {
+      val pairs = ngramPairs(s, dir, Some(2500L)).select(col("id1"), col("id2"))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 2500)
+        .select(col("doc_id"))
+      val sides = graft.operators.DedupClusters
+        .connectedComponents(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"),
+          (col("id") % 10 < 8).as("nt"),
+          (col("cluster_id") % 10 < 8).as("ct"))
+      val counts = sides.agg(
+        sum(when(col("nt"), 1L).otherwise(0L)).as("naive_train"),
+        sum(when(!col("nt"), 1L).otherwise(0L)).as("naive_val"),
+        sum(when(col("ct"), 1L).otherwise(0L)).as("cluster_train"),
+        sum(when(!col("ct"), 1L).otherwise(0L)).as("cluster_val"))
+      val leaks = pairs
+        .join(sides.select(col("doc_id").as("id1"),
+          col("nt").as("nt1"), col("ct").as("ct1")), "id1")
+        .join(sides.select(col("doc_id").as("id2"),
+          col("nt").as("nt2"), col("ct").as("ct2")), "id2")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("nt1") =!= col("nt2"), 1L).otherwise(0L)).as("naive_leaked"),
+          sum(when(col("ct1") =!= col("ct2"), 1L).otherwise(0L)).as("cluster_leaked"))
+      counts.crossJoin(broadcast(leaks))
+        .selectExpr("stack(2, " +
+          "'cluster_aware', cluster_train, cluster_val, n_pairs, cluster_leaked, " +
+          "'naive_hash', naive_train, naive_val, n_pairs, naive_leaked) AS " +
+          "(policy, n_train, n_val, n_dup_pairs, leaked_pairs)")
+        .withColumn("leak_frac", round(col("leaked_pairs").cast("double") /
+          greatest(col("n_dup_pairs"), lit(1L)), 6))
+        .orderBy(col("policy"))
+    },
+    Some(s"""WITH RECURSIVE ${ngramPairCtes("WHERE doc_id < 2500")},
+      edges AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION SELECT id2, id1 FROM pairs),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS label FROM documents WHERE doc_id < 2500
+        UNION
+        SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+      cl AS (
+        SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id),
+      sides AS (
+        SELECT doc_id, doc_id % 10 < 8 AS nt, cluster_id % 10 < 8 AS ct
+        FROM cl),
+      counts AS (
+        SELECT
+          CAST(sum(CASE WHEN nt THEN 1 ELSE 0 END) AS BIGINT) AS naive_train,
+          CAST(sum(CASE WHEN NOT nt THEN 1 ELSE 0 END) AS BIGINT) AS naive_val,
+          CAST(sum(CASE WHEN ct THEN 1 ELSE 0 END) AS BIGINT) AS cluster_train,
+          CAST(sum(CASE WHEN NOT ct THEN 1 ELSE 0 END) AS BIGINT) AS cluster_val
+        FROM sides),
+      leaks AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(CASE WHEN a.nt <> b.nt THEN 1 ELSE 0 END) AS BIGINT) AS naive_leaked,
+          CAST(sum(CASE WHEN a.ct <> b.ct THEN 1 ELSE 0 END) AS BIGINT) AS cluster_leaked
+        FROM pairs p
+        JOIN sides a ON a.doc_id = p.id1
+        JOIN sides b ON b.doc_id = p.id2)
+      SELECT policy, n_train, n_val, n_dup_pairs, leaked_pairs,
+        round(CAST(leaked_pairs AS DOUBLE) / greatest(n_dup_pairs, 1), 6) AS leak_frac
+      FROM (
+        SELECT 'cluster_aware' AS policy, cluster_train AS n_train,
+          cluster_val AS n_val, n_pairs AS n_dup_pairs,
+          cluster_leaked AS leaked_pairs FROM counts, leaks
+        UNION ALL
+        SELECT 'naive_hash', naive_train, naive_val, n_pairs, naive_leaked
+        FROM counts, leaks)
+      ORDER BY policy"""))
+
   /** Incremental (batch-vs-corpus) dedup: docs with doc_id % 10 < 8 play the
     * existing corpus — its normalized fingerprints are persisted once as the
     * index — and the rest arrive as the new batch, which is deduped against
@@ -1310,5 +1450,5 @@ object DedupQ {
     incremental, incrementalBloom, minhash, simhash, simhashBuckets,
     embedCosine, temporal, winnow, minhashAccuracy, urlDedup, semantic,
     fuzzyLink, decontaminateFuzzy, dedupCurve, bitext, substringDedup,
-    canonicalize)
+    canonicalize, clusterStats, splitLeakageFree)
 }

@@ -1129,10 +1129,67 @@ object EventsQ {
       FROM m CROSS JOIN n
       ORDER BY support_users DESC, n DESC, a, b, c LIMIT 15"""))
 
+  /** CUSUM changepoint detection per event type — "when did this metric's
+    * level shift?" (a deploy, an outage, a bot wave): the day where the
+    * cumulative deviation of daily counts from the per-type mean peaks.
+    * The CUSUM statistic runs in EXACT integer arithmetic — scaling by
+    * n_days turns Σ(n_i − total/n_days) into n_days·cum_n − idx·total, all
+    * longs — so there is no float accumulation to diverge between engines.
+    * One O(types × days) daily fold, then three windows sharing the same
+    * per-type partitioning (one exchange, Catalyst reuses it), and the
+    * argmax is a per-type top-1 window — never a global sort. State is
+    * bounded by the calendar, not the event count.
+    */
+  val changepoint = Declared(
+    "events_changepoint",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val cum = daily
+        .withColumn("idx", row_number().over(wOrd).cast("long"))
+        .withColumn("cum_n", sum(col("n")).over(wOrd))
+        .withColumn("total", sum(col("n")).over(wAll))
+        .withColumn("n_days", count(lit(1)).over(wAll))
+        .withColumn("s",
+          col("n_days") * col("cum_n") - col("idx") * col("total"))
+      val wPick = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("s")).desc, col("d"))
+      cum.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("d").as("changepoint_day"),
+          col("s").as("cusum_scaled"),
+          round(col("s").cast("double") / col("n_days"), 4).as("cusum"),
+          col("n_days"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      c AS (
+        SELECT event_type, d, n,
+          CAST(row_number() OVER w AS BIGINT) AS idx,
+          CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+          CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+          CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+      s AS (
+        SELECT *, n_days * cum_n - idx * total AS s FROM c),
+      r AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY event_type ORDER BY abs(s) DESC, d) AS rn
+        FROM s)
+      SELECT event_type, d AS changepoint_day, CAST(s AS BIGINT) AS cusum_scaled,
+        round(CAST(s AS DOUBLE) / n_days, 4) AS cusum, n_days
+      FROM r WHERE rn = 1 ORDER BY event_type"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
     rfm, interpolate, asofTolerance, botDetection, survival, seasonality,
-    sequenceMining)
+    sequenceMining, changepoint)
 }

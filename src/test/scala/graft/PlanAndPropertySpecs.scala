@@ -474,7 +474,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_drift_psi",  // 1-row broadcast cutoff date (dq_drift_psi's shape)
     "eval_retrieval_mrr", // 10-row broadcast probe batch (knn_join_brute's shape)
     "bpe_encode",        // 1-row broadcast elected merge pair, once per round
-    "events_sequence_mining" // 1-row broadcast distinct-user total
+    "events_sequence_mining", // 1-row broadcast distinct-user total
+    "dedup_cluster_stats", // 1-row broadcast doc-count scalar
+    "split_leakage_free" // two 1-row policy aggregates stacked into the ledger
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

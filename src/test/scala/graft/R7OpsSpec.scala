@@ -396,6 +396,49 @@ class R7OpsSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("split_leakage_free: cluster split leaks zero, policies partition the same corpus") {
+    val rs = run("split_leakage_free").collect()
+      .map(r => r.getAs[String]("policy") -> r).toMap
+    assert(rs.keySet == Set("cluster_aware", "naive_hash"))
+    val ca = rs("cluster_aware"); val nh = rs("naive_hash")
+    assert(ca.getAs[Long]("leaked_pairs") == 0L,
+      "cluster-keyed split must leak zero by construction")
+    assert(nh.getAs[Long]("leaked_pairs") >= ca.getAs[Long]("leaked_pairs"))
+    assert(ca.getAs[Long]("n_train") + ca.getAs[Long]("n_val") ==
+      nh.getAs[Long]("n_train") + nh.getAs[Long]("n_val"),
+      "both policies must split the same corpus")
+    assert(ca.getAs[Long]("n_dup_pairs") == nh.getAs[Long]("n_dup_pairs"))
+  }
+
+  test("dedup_cluster_stats: histogram accounts for every doc exactly once") {
+    val rs = run("dedup_cluster_stats").collect()
+    assert(rs.nonEmpty)
+    val total = rs.map(_.getAs[Long]("n_docs_at_size")).sum
+    val expected = Tables.t(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") < 2500).count()
+    assert(total == expected, s"histogram covers $total of $expected docs")
+    assert(math.abs(rs.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-3)
+    rs.foreach { r =>
+      assert(r.getAs[Long]("removable_docs") ==
+        (r.getAs[Long]("cluster_size") - 1) * r.getAs[Long]("n_clusters"))
+    }
+  }
+
+  test("events_changepoint: one row per type, scaled statistic consistent") {
+    val rs = run("events_changepoint").collect()
+    val types = Tables.t(spark, TestSpark.sf, "events")
+      .select(col("event_type")).distinct().count()
+    assert(rs.length == types, "exactly one changepoint row per event type")
+    rs.foreach { r =>
+      val nDays = r.getAs[Long]("n_days")
+      assert(nDays > 0)
+      // cusum is the scaled statistic divided by n_days, rounded to 4
+      val expect = BigDecimal(r.getAs[Long]("cusum_scaled").toDouble / nDays)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("cusum") - expect) < 1e-9)
+    }
+  }
+
   test("events_seasonality: buckets valid, top-3 ordered, shares bounded") {
     val rs = run("events_seasonality").collect()
     assert(rs.nonEmpty)
