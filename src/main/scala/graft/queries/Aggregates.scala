@@ -562,8 +562,99 @@ object Aggregates {
       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Mergeable-histogram quantile sketch with MEASURED error — the sketch
+    * you build yourself when per-partition summaries must merge across days
+    * or shards (q_approx_bound checks Spark's built-in approx_percentile;
+    * this constructs the summary explicitly): one pass folds the corpus
+    * into a 256-bin equi-width count grid (O(bins) state, trivially
+    * mergeable by addition — the property that matters at 100 TB), then
+    * p50/p90/p99 interpolate inside the covering bin from exact longs.
+    * The exact percentile is recomputed alongside (the expensive sort-based
+    * truth a production run would skip) so the output IS the error report:
+    * every estimate's abs/rel error is printed, not asserted away. The
+    * cumulative walk is a window over the 256-row bin table — bounded by
+    * construction, never over data.
+    */
+  val approxQuantile = Declared(
+    "q_approx_quantile",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+      val bounds = v.agg(
+        min(col("x")).as("lo"), max(col("x")).as("hi"),
+        count(lit(1)).as("n")).localCheckpoint(true)
+      val bins = v.crossJoin(broadcast(bounds))
+        .select(least(lit(255), floor((col("x") - col("lo")) * 256.0 /
+          (col("hi") - col("lo"))).cast("int")).as("b"),
+          col("lo"), col("hi"), col("n"))
+        .groupBy(col("b"), col("lo"), col("hi"), col("n"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.orderBy(col("b"))
+      // O(bins) rows — checkpointed so the three per-p probes below read
+      // this table instead of re-folding the corpus once per quantile
+      val cum = bins
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("cum_before", col("cum") - col("cnt"))
+        .localCheckpoint(true)
+      val exact = v.agg(
+        round(expr("percentile(x, 0.5)"), 4).as("e50"),
+        round(expr("percentile(x, 0.9)"), 4).as("e90"),
+        round(expr("percentile(x, 0.99)"), 4).as("e99"))
+      val ps = Seq(0.5 -> "50", 0.9 -> "90", 0.99 -> "99")
+      val est = ps.map { case (p, tag) =>
+        cum.filter(col("cum") >= lit(p) * col("n"))
+          .orderBy(col("b")).limit(1)
+          .select(lit(p).as("p"),
+            round(col("lo") + (col("hi") - col("lo")) / 256.0 *
+              (col("b") + (lit(p) * col("n") - col("cum_before")) / col("cnt")),
+              4).as("approx"),
+            lit(tag).as("tag"))
+      }.reduce(_ unionByName _)
+      est.crossJoin(broadcast(exact))
+        .select(col("p"), col("approx"),
+          when(col("tag") === "50", col("e50"))
+            .when(col("tag") === "90", col("e90"))
+            .otherwise(col("e99")).as("exact"))
+        .withColumn("abs_err", round(abs(col("approx") - col("exact")), 4))
+        .withColumn("rel_err",
+          round(abs(col("approx") - col("exact")) / col("exact"), 6))
+        .orderBy(col("p"))
+    },
+    Some {
+      val est = Seq("0.5", "0.9", "0.99").map { p =>
+        s"""SELECT $p AS p, round(lo + (hi - lo) / 256.0 *
+            (b + ($p * n - cum_before) / cnt), 4) AS approx
+          FROM (SELECT * FROM cum WHERE cum >= $p * n ORDER BY b LIMIT 1)"""
+      }.mkString("\n        UNION ALL ")
+      s"""WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+      bounds AS (
+        SELECT min(x) AS lo, max(x) AS hi, CAST(count(*) AS BIGINT) AS n FROM v),
+      bins AS (
+        SELECT least(255, CAST(floor((x - lo) * 256.0 / (hi - lo)) AS INTEGER)) AS b,
+          lo, hi, n, CAST(count(*) AS BIGINT) AS cnt
+        FROM v, bounds GROUP BY 1, 2, 3, 4),
+      cum AS (
+        SELECT *, CAST(sum(cnt) OVER (ORDER BY b) AS BIGINT) AS cum,
+          CAST(sum(cnt) OVER (ORDER BY b) - cnt AS BIGINT) AS cum_before
+        FROM bins),
+      exact AS (
+        SELECT round(quantile_cont(x, 0.5), 4) AS e50,
+          round(quantile_cont(x, 0.9), 4) AS e90,
+          round(quantile_cont(x, 0.99), 4) AS e99
+        FROM v),
+      est AS (
+        $est)
+      SELECT p, approx,
+        CASE WHEN p = 0.5 THEN e50 WHEN p = 0.9 THEN e90 ELSE e99 END AS exact,
+        round(abs(approx - CASE WHEN p = 0.5 THEN e50 WHEN p = 0.9 THEN e90 ELSE e99 END), 4) AS abs_err,
+        round(abs(approx - CASE WHEN p = 0.5 THEN e50 WHEN p = 0.9 THEN e90 ELSE e99 END)
+          / (CASE WHEN p = 0.5 THEN e50 WHEN p = 0.9 THEN e90 ELSE e99 END), 6) AS rel_err
+      FROM est, exact ORDER BY p"""
+    })
+
   val all: Seq[Declared] = Seq(
     stats, percentiles, collects, minmax, boolBit, countDistinctQ, modeMedian,
     approxBound, hllSketch, cmsSketch, incrementalAgg, rollupQ, cubeQ,
-    groupingSets, multiDistinct, listAgg, histogram, moments, mad)
+    groupingSets, multiDistinct, listAgg, histogram, moments, mad,
+    approxQuantile)
 }

@@ -367,7 +367,73 @@ object Coverage3 {
                        ELSE value END), 2) AS total
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Parquet-native table VERSIONING — the time-travel/rollback primitive the
+    * container's missing Delta/Iceberg jars would otherwise provide (README
+    * documents that mapping; this op makes it runnable): each snapshot is a
+    * hive partition `v=N` of one table, so "read as of version 1" is a
+    * partition-pruned scan (PartitionFilters, no other version's files
+    * touched — rollback is a filter, not a restore job) and the version DIFF
+    * is a keyed self-join between two partitions. v2 applies a deterministic
+    * price bump (%97 keys, computed in integer CENTS — `cents * 110 DIV 100`
+    * truncates identically in both engines on the non-negative domain) and a
+    * delete (%101 keys). Per-version metrics fold cents as exact longs; the
+    * oracle recomputes both versions from the base table, so a single row
+    * mangled anywhere in the write→partition→read path breaks the match.
+    * At 100 TB each version writes only its own partition directory and the
+    * manifest-free layout stays listable by any engine.
+    */
+  val tableVersioning = Declared(
+    "op_table_versioning",
+    (s, dir) => {
+      val out = Tables.scratch("table_versions")
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v2 = base.filter(col("k") % 101 =!= 0)
+        .select(col("k"),
+          when(col("k") % 97 === 0, expr("cents * 110 DIV 100"))
+            .otherwise(col("cents")).as("cents"))
+      base.withColumn("v", lit(1)).unionByName(v2.withColumn("v", lit(2)))
+        .write.mode("overwrite").partitionBy("v").parquet(out)
+      val versions = s.read.parquet(out)
+      val metrics = versions.groupBy(col("v"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sc"))
+      val d = versions.filter(col("v") === 1)
+        .select(col("k"), col("cents").as("c1"))
+        .join(versions.filter(col("v") === 2)
+          .select(col("k"), col("cents").as("c2")), Seq("k"), "left")
+        .agg(
+          sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("c2").isNotNull && col("c2") =!= col("c1"), 1L)
+            .otherwise(0L)).as("n_changed"))
+      metrics.crossJoin(broadcast(d))
+        .select(col("v").cast("int").as("version"), col("n_rows"),
+          round(col("sc") / 100.0, 2).as("total_price"),
+          when(col("v") === 1, 0L).otherwise(col("n_changed")).as("n_changed_vs_prev"),
+          when(col("v") === 1, 0L).otherwise(col("n_deleted")).as("n_deleted_vs_prev"))
+        .orderBy(col("version"))
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      v2 AS (
+        SELECT k, CASE WHEN k % 97 = 0 THEN cents * 110 // 100 ELSE cents END AS cents
+        FROM base WHERE k % 101 <> 0),
+      m1 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(cents) AS BIGINT) AS sc FROM base),
+      m2 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(cents) AS BIGINT) AS sc FROM v2),
+      d AS (
+        SELECT
+          CAST(sum(CASE WHEN v2.cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+          CAST(sum(CASE WHEN v2.cents IS NOT NULL AND v2.cents <> base.cents THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+        FROM base LEFT JOIN v2 USING (k))
+      SELECT 1 AS version, n_rows, round(sc / 100.0, 2) AS total_price,
+        CAST(0 AS BIGINT) AS n_changed_vs_prev, CAST(0 AS BIGINT) AS n_deleted_vs_prev
+      FROM m1
+      UNION ALL
+      SELECT 2, n_rows, round(sc / 100.0, 2), n_changed, n_deleted FROM m2, d
+      ORDER BY version"""))
+
   val all: Seq[Declared] = Seq(
     notInNulls, embedQuantize, simMips, zorderLayout, scd2Build, mergeUpsert,
-    compactFiles, describeOp, eventsFunnel, dynamicOverwrite)
+    compactFiles, describeOp, eventsFunnel, dynamicOverwrite, tableVersioning)
 }

@@ -412,13 +412,24 @@ object ExtrasQ {
     * 63 comparisons reflect brightness gradients and cluster VISUAL
     * near-dups — the plumbing is what this query proves.
     */
+  /** dHash-shaped 63-bit fingerprint over the hex rendering in column `h` —
+    * shared by [[mmPhash]] and [[mmCaptionPairs]]. */
+  private def phashBits: org.apache.spark.sql.Column =
+    (0 until 63).map { i =>
+      (substring(col("h"), 2 * i + 1, 2) < substring(col("h"), 2 * i + 3, 2))
+        .cast("long") * lit(1L << i)
+    }.reduce(_ + _)
+
+  /** DuckDB mirror of [[phashBits]]. */
+  private def phashBitsSql: String =
+    (0 until 63)
+      .map(i => s"(substr(h, ${2 * i + 1}, 2) < substr(h, ${2 * i + 3}, 2))::BIGINT * ${1L << i}")
+      .mkString(" + ")
+
   val mmPhash = Declared(
     "mm_phash_dedup",
     (s, dir) => {
-      val bits = (0 until 63).map { i =>
-        (substring(col("h"), 2 * i + 1, 2) < substring(col("h"), 2 * i + 3, 2))
-          .cast("long") * lit(1L << i)
-      }.reduce(_ + _)
+      val bits = phashBits
       Multimodal.catalog(t(s, dir, "documents"))
         .select(col("doc_id"), upper(hex(col("blob"))).as("h"))
         .select(col("doc_id"), bits.as("phash"))
@@ -429,16 +440,98 @@ object ExtrasQ {
         .orderBy(col("phash"))
     },
     Some {
-      val bits = (0 until 63)
-        .map(i => s"(substr(h, ${2 * i + 1}, 2) < substr(h, ${2 * i + 3}, 2))::BIGINT * ${1L << i}")
-        .mkString(" + ")
       s"""WITH cat AS (
         SELECT doc_id,
           upper(md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')) AS h
         FROM documents),
-      ph AS (SELECT doc_id, $bits AS phash FROM cat)
+      ph AS (SELECT doc_id, $phashBitsSql AS phash FROM cat)
       SELECT phash, CAST(count(*) AS BIGINT) AS n_copies, min(doc_id) AS keeper
       FROM ph GROUP BY phash ORDER BY phash"""
+    })
+
+  /** Image–caption training-pair curation (the CLIP/LAION data shape): the
+    * media catalog joins its caption table 1:1 on the id key, then each pair
+    * runs the full curation gauntlet with ATTRIBUTED outcomes — caption gate
+    * (word count in [5, 200], mean word length ≤ 12 — the boilerplate/
+    * garbage caption screen), image gate (min dimension ≥ 64 from the typed
+    * metadata, no decode needed), and perceptual dedup (keep-one per
+    * [[phashBits]] fingerprint, elected among gated survivors only, so a
+    * junk copy never outranks a clean one). Output is the per-language
+    * funnel ledger (status × count + share) a curation run reports before
+    * anyone trains. One co-keyed join + one phash aggregate join — the
+    * corpus is scanned once per side; at 100 TB the keeper election is the
+    * same hash-aggregate discipline as dedup_url (never a window over the
+    * catalog).
+    */
+  val mmCaptionPairs = Declared(
+    "mm_caption_pairs",
+    (s, dir) => {
+      val img = Multimodal.catalog(t(s, dir, "documents"))
+        .select(col("doc_id"), upper(hex(col("blob"))).as("h"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .select(col("doc_id"), phashBits.as("phash"),
+          (least(col("width"), col("height")) >= 64).as("image_ok"))
+      val cap = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(graft.functions.TextFns.words(col("text"))).cast("long").as("nw"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nc"))
+        .select(col("doc_id"), col("lang"),
+          (col("nw").between(5L, 200L) &&
+            col("nc") <= col("nw") * 12L).as("caption_ok"))
+      val pairs = img.join(cap, "doc_id")
+      val keepers = pairs.filter(col("caption_ok") && col("image_ok"))
+        .groupBy(col("phash")).agg(min(col("doc_id")).as("keeper"))
+      pairs.join(broadcast(keepers), Seq("phash"), "left")
+        .select(col("lang"),
+          when(!col("caption_ok"), "caption_fail")
+            .when(!col("image_ok"), "image_fail")
+            .when(col("doc_id") =!= col("keeper"), "dup_dropped")
+            .otherwise("kept").as("status"))
+        .groupBy(col("lang"), col("status")).agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))), 6))
+        .orderBy(col("lang"), col("status"))
+    },
+    Some {
+      s"""WITH cat AS (
+        SELECT doc_id,
+          upper(md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')) AS h,
+          ${graft.functions.Hashing.md5Hash60Sql("text")} AS mh
+        FROM documents),
+      img AS (
+        SELECT doc_id, $phashBitsSql AS phash,
+          least(CAST(32 + mh % 448 AS INTEGER),
+                CAST(32 + (mh // 448) % 448 AS INTEGER)) >= 64 AS image_ok
+        FROM cat),
+      cap AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nw,
+          CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nc
+        FROM documents),
+      capg AS (
+        SELECT doc_id, lang,
+          (nw BETWEEN 5 AND 200 AND nc <= nw * 12) AS caption_ok
+        FROM cap),
+      pairs AS (
+        SELECT i.doc_id, i.phash, i.image_ok, c.lang, c.caption_ok
+        FROM img i JOIN capg c USING (doc_id)),
+      keepers AS (
+        SELECT phash, min(doc_id) AS keeper FROM pairs
+        WHERE caption_ok AND image_ok GROUP BY phash),
+      tagged AS (
+        SELECT p.lang,
+          CASE WHEN NOT p.caption_ok THEN 'caption_fail'
+               WHEN NOT p.image_ok THEN 'image_fail'
+               WHEN p.doc_id <> k.keeper THEN 'dup_dropped'
+               ELSE 'kept' END AS status
+        FROM pairs p LEFT JOIN keepers k USING (phash)),
+      m AS (
+        SELECT lang, status, CAST(count(*) AS BIGINT) AS n
+        FROM tagged GROUP BY lang, status)
+      SELECT lang, status, n,
+        round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6) AS share
+      FROM m ORDER BY lang, status"""
     })
 
   /** Streaming NEAR-dup gate ([[StreamingOps.simhashDedupStream]]): incoming
@@ -585,7 +678,7 @@ object ExtrasQ {
   val all: Seq[Declared] = Seq(
     streamDriftPsi,
     mmShardManifest,
-    mmPhash,
+    mmPhash, mmCaptionPairs,
     mmCatalog, mmFrames, mmBlob, mmDecode, mmResize, rollingHashQ, streamWindow,
     streamWindowSliding, streamWindowAppend, streamDedup, streamStaticJoin,
     streamStreamJoin, streamStreamOuter, streamSessionize,

@@ -476,7 +476,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "bpe_encode",        // 1-row broadcast elected merge pair, once per round
     "events_sequence_mining", // 1-row broadcast distinct-user total
     "dedup_cluster_stats", // 1-row broadcast doc-count scalar
-    "split_leakage_free" // two 1-row policy aggregates stacked into the ledger
+    "split_leakage_free", // two 1-row policy aggregates stacked into the ledger
+    "q_approx_quantile"  // 1-row broadcast bounds / exact-percentile scalars
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
@@ -504,7 +505,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * count at any data size.
     */
   private val allowedGlobalWindow = Set(
-    "corpus_zipf" // rank over a TakeOrderedAndProject'd top-100 term list
+    "corpus_zipf", // rank over a TakeOrderedAndProject'd top-100 term list
+    "q_approx_quantile" // cumulative walk over the 256-row bin table
   )
 
   test("no unpartitioned (single-reducer) window operators anywhere") {
