@@ -75,16 +75,25 @@ object MinHashLsh {
     * [[BucketJoin.saltedCandidatePairs]] (shared with the sign-LSH dedup
     * queries); SkewSaltingSpec pins pair-set equality salted vs unsalted.
     */
-  def candidatePairs(
-      sigs: DataFrame, idCol: String, bucketCap: Int = 100000): DataFrame = {
+  /** Band the signature table at an arbitrary (bands × rowsPerBand) split of
+    * the K hashes and return the skew-salted candidate pairs — the
+    * primitive dedup_lsh_tuning sweeps configs over. */
+  def bandedCandidates(
+      sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
+      bucketCap: Int = 100000): DataFrame = {
+    require(bands * rowsPerBand == K, s"bands*rows must equal $K")
     val banded = sigs.select(
       col(idCol),
       posexplode(expr(
-        s"transform(sequence(0, ${BANDS - 1}), b -> xxhash64(slice(signature, b * $ROWS + 1, $ROWS)))"))
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(signature, b * $rowsPerBand + 1, $rowsPerBand)))"))
         .as(Seq("band", "band_hash")))
-
-    val cand = BucketJoin.saltedCandidatePairs(
+    BucketJoin.saltedCandidatePairs(
       banded, idCol, Seq("band", "band_hash"), bucketCap)
+  }
+
+  def candidatePairs(
+      sigs: DataFrame, idCol: String, bucketCap: Int = 100000): DataFrame = {
+    val cand = bandedCandidates(sigs, idCol, BANDS, ROWS, bucketCap)
 
     val s1 = sigs.select(col(idCol).as("id1"), col("signature").as("sig1"))
     val s2 = sigs.select(col(idCol).as("id2"), col("signature").as("sig2"))
@@ -118,22 +127,16 @@ object MinHashLsh {
     * Spark buckets on xxhash64 of the slice — the same candidate set modulo
     * 64-bit hash collisions.
     */
-  def oracleSql(threshold: Double, idCol: String = "doc_id", textCol: String = "text"): String = {
+  /** The w/hs/sig CTE chain (64 `sig_k` columns over `documents`) shared by
+    * [[oracleSql]] and the dedup_lsh_tuning oracle. */
+  def sigCtesSql(idCol: String = "doc_id", textCol: String = "text"): String = {
     val p = graft.functions.MinHashSignatureAgg.P
     val h1 = graft.functions.Hashing.md5Hash32DuckSql("x", 1)
     val h2 = graft.functions.Hashing.md5Hash32DuckSql("x", 9)
     val sigCols = (0 until K).map(k =>
       s"list_min(list_transform(range(len(h1s)), i -> (h1s[i + 1] + $k * h2s[i + 1]) % $p)) AS sig_$k")
       .mkString(",\n          ")
-    val bandSelects = (0 until BANDS).map { b =>
-      val key = (0 until ROWS).map(r => s"CAST(sig_${b * ROWS + r} AS VARCHAR)")
-        .mkString(" || ',' || ")
-      s"SELECT $idCol, $b AS band, $key AS bkey FROM sig"
-    }.mkString("\n        UNION ALL ")
-    val estSum = (0 until K)
-      .map(k => s"(CASE WHEN s1.sig_$k = s2.sig_$k THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH w AS (
+    s"""w AS (
         SELECT $idCol, list_distinct(list_transform(
             range(1, greatest(len(ws) - 2, 1) + 1),
             i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS sh
@@ -146,7 +149,22 @@ object MinHashLsh {
       sig AS (
         SELECT $idCol,
           $sigCols
-        FROM hs),
+        FROM hs)"""
+  }
+
+  /** 64-term signature-position match count between join aliases s1/s2. */
+  def estSumSql: String = (0 until K)
+    .map(k => s"(CASE WHEN s1.sig_$k = s2.sig_$k THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
+  def oracleSql(threshold: Double, idCol: String = "doc_id", textCol: String = "text"): String = {
+    val bandSelects = (0 until BANDS).map { b =>
+      val key = (0 until ROWS).map(r => s"CAST(sig_${b * ROWS + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT $idCol, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n        UNION ALL ")
+    val estSum = estSumSql
+    s"""WITH ${sigCtesSql(idCol, textCol)},
       banded AS (
         $bandSelects),
       cand AS (

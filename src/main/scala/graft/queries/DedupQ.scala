@@ -747,6 +747,87 @@ object DedupQ {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.35),
     Some(MinHashLsh.oracleSql(threshold = 0.35)))
 
+  /** The three (bands, rows) splits of the K=64 hashes [[lshTuning]] sweeps. */
+  private val lshConfigs = Seq(32 -> 2, 16 -> 4, 8 -> 8)
+
+  /** Analytic S-curve midpoint (1/b)^(1/r), rounded once in Scala so both
+    * engines carry the identical literal. */
+  private def sCurveThreshold(b: Int, r: Int): Double =
+    BigDecimal(math.pow(1.0 / b, 1.0 / r))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** LSH band-configuration sweep — the S-curve tuning readout an engineer
+    * reads before fixing (bands, rows): the SAME 64-hash signature table
+    * (built once, checkpointed — at 100 TB this is the persisted signature
+    * table, and a re-band is signature-sized work, never a corpus re-shingle)
+    * is banded three ways (32×2 loose, 16×4 production, 8×8 strict), and
+    * each config reports its candidate volume plus the mean signature-
+    * estimated Jaccard of what it surfaced — recall-vs-verify-cost made
+    * visible: loose banding floods the verifier with low-similarity pairs,
+    * strict banding starves it. threshold_est is the analytic S-curve
+    * midpoint (1/b)^(1/r), inlined as the same literal on both engines.
+    * Match counts fold as exact integers (est-Jaccard = matches/64 only at
+    * readout).
+    */
+  val lshTuning = Declared(
+    "dedup_lsh_tuning",
+    (s, dir) => {
+      val sigs = MinHashLsh
+        .signatures(t(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint()
+      val s1 = sigs.select(col("doc_id").as("id1"), col("signature").as("sig1"))
+      val s2 = sigs.select(col("doc_id").as("id2"), col("signature").as("sig2"))
+      lshConfigs.map { case (b, r) =>
+        MinHashLsh.bandedCandidates(sigs, "doc_id", b, r)
+          .join(s1, "id1").join(s2, "id2")
+          .select(expr(
+            "aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)")
+            .as("m"))
+          .agg(count(lit(1)).as("n_candidates"),
+            coalesce(sum(col("m")), lit(0L)).as("sm"))
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            lit(sCurveThreshold(b, r)).as("threshold_est"),
+            col("n_candidates"),
+            round(col("sm").cast("double") /
+              (greatest(col("n_candidates"), lit(1L)) * 64.0), 6)
+              .as("mean_est_jaccard"))
+      }.reduce(_ unionByName _).orderBy(col("bands").desc)
+    },
+    Some {
+      val estSum = MinHashLsh.estSumSql
+      val cfg = lshConfigs.map { case (b, r) =>
+        val bandSelects = (0 until b).map { i =>
+          val key = (0 until r).map(j => s"CAST(sig_${i * r + j} AS VARCHAR)")
+            .mkString(" || ',' || ")
+          s"SELECT doc_id, $i AS band, $key AS bkey FROM sig"
+        }.mkString("\n        UNION ALL ")
+        s"""banded_$b AS (
+        $bandSelects),
+      cand_$b AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM banded_$b a JOIN banded_$b b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      m_$b AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+          CAST(coalesce(sum($estSum), 0) AS BIGINT) AS sm
+        FROM cand_$b
+        JOIN sig s1 ON s1.doc_id = cand_$b.id1
+        JOIN sig s2 ON s2.doc_id = cand_$b.id2)"""
+      }.mkString(",\n      ")
+      val rows = lshConfigs.map { case (b, r) =>
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+          ${sCurveThreshold(b, r)} AS threshold_est, n_candidates,
+          round(CAST(sm AS DOUBLE) / (greatest(n_candidates, 1) * 64.0), 6)
+            AS mean_est_jaccard
+        FROM m_$b"""
+      }.mkString("\n        UNION ALL ")
+      s"""WITH ${MinHashLsh.sigCtesSql()},
+      $cfg
+      SELECT * FROM (
+        $rows)
+      ORDER BY bands DESC"""
+    })
+
   /** Portable SimHash fingerprints — oracle-checked bit-for-bit. */
   val simhash = Declared(
     "dedup_simhash",
@@ -1450,5 +1531,5 @@ object DedupQ {
     incremental, incrementalBloom, minhash, simhash, simhashBuckets,
     embedCosine, temporal, winnow, minhashAccuracy, urlDedup, semantic,
     fuzzyLink, decontaminateFuzzy, dedupCurve, bitext, substringDedup,
-    canonicalize, clusterStats, splitLeakageFree)
+    canonicalize, clusterStats, splitLeakageFree, lshTuning)
 }

@@ -675,8 +675,33 @@ object ExtrasQ {
         round(sum(term_nano) / 1e9, 6) > 0.1 AS drifted
       FROM terms GROUP BY event_type ORDER BY event_type"""))
 
+  /** Streaming CEP pattern detection ([[StreamingOps.patternDetect]]): first
+    * strictly-ordered view → click → purchase per user through a custom
+    * flatMapGroupsWithState machine (O(1) state per key, idempotent emission
+    * via the done flag). Greedy first-match ≡ events_funnel's per-user
+    * logic, so the batch SQL adjudicates the stream; the microsecond
+    * conversion delay folds through exact integer division on both sides.
+    */
+  val streamPatternDetect = Declared(
+    "stream_pattern_detect",
+    (s, dir) => StreamingOps.patternDetectStream(s, dir),
+    Some("""WITH v AS (
+        SELECT user_id, min(ts) AS vt FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS ct FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS pt FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY e.user_id)
+      SELECT p.user_id, v.vt AS view_ts, c.ct AS click_ts, p.pt AS purchase_ts,
+        CAST(date_diff('microsecond', v.vt, p.pt) // 1000000 AS BIGINT)
+          AS secs_to_convert
+      FROM p JOIN c USING (user_id) JOIN v USING (user_id)
+      ORDER BY user_id"""))
+
   val all: Seq[Declared] = Seq(
-    streamDriftPsi,
+    streamDriftPsi, streamPatternDetect,
     mmShardManifest,
     mmPhash, mmCaptionPairs,
     mmCatalog, mmFrames, mmBlob, mmDecode, mmResize, rollingHashQ, streamWindow,

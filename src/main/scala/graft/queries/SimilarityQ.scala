@@ -1564,10 +1564,88 @@ object SimilarityQ {
         round(CAST(sum(hits5) AS DOUBLE) / (count(*) * 5.0), 6) AS p_at_5
       FROM per_probe GROUP BY qlabel ORDER BY label"""))
 
+  /** NDCG@10 per label — the graded companion to [[retrievalMrr]] (same
+    * probe batch, same single corpus scan, same engine-identical rounded-
+    * cosine ranking): discounted gains fold as integer NANO-units
+    * (round(1e9/log2(rank+1)) — no float summation order anywhere), the
+    * ideal DCG folds the same units over sequence(1, min(n_rel, 10)), and
+    * each probe's ratio is re-scaled to a long before the per-label mean so
+    * the aggregate stays exact. A probe with no recurring label scores 0.
+    */
+  val retrievalNdcg = Declared(
+    "eval_retrieval_ndcg",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val win = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val ranked = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .withColumn("rn", row_number().over(win))
+      ranked.groupBy(col("qid"), col("qlabel"))
+        .agg(
+          sum(when(col("label") === col("qlabel") && col("rn") <= 10,
+            expr("CAST(round(1e9 / log2(rn + 1)) AS BIGINT)")).otherwise(0L))
+            .as("dcg_nano"),
+          sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+            .as("n_rel"))
+        .withColumn("idcg_nano", when(col("n_rel") > 0, expr(
+          """aggregate(sequence(1L, least(n_rel, 10L)), 0L,
+             (acc, i) -> acc + CAST(round(1e9 / log2(i + 1)) AS BIGINT))"""))
+          .otherwise(lit(0L)))
+        .withColumn("s", when(col("idcg_nano") > 0,
+          round(lit(1e9) * col("dcg_nano") / col("idcg_nano")).cast("long"))
+          .otherwise(lit(0L)))
+        .groupBy(col("qlabel").as("label"))
+        .agg(
+          count(lit(1)).as("n_probes"),
+          round(sum(col("s")) / count(lit(1)) / 1e9, 6).as("ndcg10"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH probes AS (
+        SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+        FROM embeddings WHERE vec_id % 50 = 0),
+      scored AS (
+        SELECT p.qid, p.qlabel, e.vec_id, e.label,
+          round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+            CAST(p.qv AS DOUBLE[])), 6) AS cos
+        FROM embeddings e CROSS JOIN probes p
+        WHERE e.vec_id <> p.qid),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        FROM scored),
+      per_probe AS (
+        SELECT qid, qlabel,
+          CAST(sum(CASE WHEN label = qlabel AND rn <= 10
+            THEN CAST(round(1e9 / log2(rn + 1)) AS BIGINT) ELSE 0 END) AS BIGINT)
+            AS dcg_nano,
+          CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_rel
+        FROM ranked GROUP BY 1, 2),
+      idcg AS (
+        SELECT *, CASE WHEN n_rel = 0 THEN 0 ELSE
+          list_sum(list_transform(range(1, least(n_rel, 10) + 1),
+            i -> CAST(round(1e9 / log2(i + 1)) AS BIGINT))) END AS idcg_nano
+        FROM per_probe),
+      scaled AS (
+        SELECT qlabel, CASE WHEN idcg_nano > 0
+          THEN CAST(round(1e9 * dcg_nano / idcg_nano) AS BIGINT)
+          ELSE 0 END AS s
+        FROM idcg)
+      SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_probes,
+        round(sum(s) / count(*) / 1e9, 6) AS ndcg10
+      FROM scaled GROUP BY qlabel ORDER BY label"""))
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
       ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower,
       streamAnnProbe, ivfPqAppend, matryoshka, clusterSilhouette, hardnegMine,
-      knnGraph, bucketBalance, retrievalMrr)
+      knnGraph, bucketBalance, retrievalMrr, retrievalNdcg)
 }

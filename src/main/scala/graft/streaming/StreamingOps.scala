@@ -555,6 +555,98 @@ object StreamingOps {
       .orderBy(col("event_type"))
   }
 
+  /** Per-user CEP progress: earliest view, earliest click after it, and a
+    * done flag so a completion emits exactly once across micro-batches. */
+  case class PatternState(viewUs: Option[Long], clickUs: Option[Long], done: Boolean)
+  case class PatternOut(
+      user_id: Long, view_ts: java.sql.Timestamp, click_ts: java.sql.Timestamp,
+      purchase_ts: java.sql.Timestamp, secs_to_convert: Long)
+
+  /** Streaming pattern detection (the MATCH_RECOGNIZE / CEP shape Structured
+    * Streaming expresses through custom state): per user, detect the first
+    * strictly-ordered view → click → purchase and emit ONE completion row —
+    * the conversion-path alert a growth team pages on, evaluated on the
+    * ingest stream instead of a nightly batch. State per key is O(1) (two
+    * optional timestamps + a done flag), carried by flatMapGroupsWithState
+    * across micro-batches; rows are folded in event-time order within each
+    * delivered batch (the finite-replay convention [[sessionize]]
+    * documents), and the done flag makes the emission idempotent however
+    * the replay is batched once per-key delivery is in ts order. The greedy
+    * first-match semantics are exactly events_funnel's per-user logic, so
+    * the batch SQL adjudicates the stream.
+    */
+  def patternDetect(
+      events: Dataset[(Long, java.sql.Timestamp, String)]): Dataset[PatternOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PatternState, PatternOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[PatternState]) =>
+          val st0 = state.getOption.getOrElse(PatternState(None, None, done = false))
+          if (st0.done) { Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => tsMicros(e._2))
+            val (st, out) = sorted.foldLeft(
+              (st0, Option.empty[PatternOut])) { case ((s, o), e) =>
+              if (o.nonEmpty || s.done) (s, o)
+              else {
+                val t = tsMicros(e._2)
+                e._3 match {
+                  case "view" if s.viewUs.isEmpty =>
+                    (s.copy(viewUs = Some(t)), o)
+                  case "click" if s.viewUs.exists(_ < t) && s.clickUs.isEmpty =>
+                    (s.copy(clickUs = Some(t)), o)
+                  case "purchase" if s.clickUs.exists(_ < t) =>
+                    (s.copy(done = true), Some(PatternOut(
+                      userId, microsTs(s.viewUs.get), microsTs(s.clickUs.get),
+                      microsTs(t),
+                      Math.floorDiv(t - s.viewUs.get, 1000000L))))
+                  case _ => (s, o)
+                }
+              }
+            }
+            state.update(st)
+            out.iterator
+          }
+      }
+  }
+
+  /** Drive [[patternDetect]] as a real streaming query over the events file;
+    * output timestamps return to NTZ (UTC-pinned session) per the fixture
+    * convention.
+    */
+  def patternDetectStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
+    val stream = streamTable(spark, sfDir, "events", rawSchema)
+      .select(
+        col("user_id"),
+        Tables.eventTsCol(rawSchema, "timestamp").as("ts"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+    val name = "graft_stream_pattern_sink"
+    runTuned(spark, scanParts) {
+      val q = patternDetect(stream).writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .select(
+        col("user_id"),
+        expr("CAST(view_ts AS TIMESTAMP_NTZ)").as("view_ts"),
+        expr("CAST(click_ts AS TIMESTAMP_NTZ)").as("click_ts"),
+        expr("CAST(purchase_ts AS TIMESTAMP_NTZ)").as("purchase_ts"),
+        col("secs_to_convert"))
+      .orderBy(col("user_id"))
+  }
+
   case class SessionState(start: Long, end: Long, n: Long, value: Double)
   case class SessionOut(
       user_id: Long, session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,

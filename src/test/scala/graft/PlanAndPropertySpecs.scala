@@ -477,7 +477,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_sequence_mining", // 1-row broadcast distinct-user total
     "dedup_cluster_stats", // 1-row broadcast doc-count scalar
     "split_leakage_free", // two 1-row policy aggregates stacked into the ledger
-    "q_approx_quantile"  // 1-row broadcast bounds / exact-percentile scalars
+    "q_approx_quantile", // 1-row broadcast bounds / exact-percentile scalars
+    "eval_retrieval_ndcg" // 10-row broadcast probe batch (retrieval-eval shape)
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

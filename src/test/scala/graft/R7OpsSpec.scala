@@ -482,6 +482,51 @@ class R7OpsSpec extends AnyFunSuite {
     assert(rs.map(_.getAs[Long]("n")).sum == 4L)
   }
 
+  test("stream_pattern_detect: completions equal the batch funnel's purchase stage") {
+    val rs = run("stream_pattern_detect").collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val v = r.getAs[java.time.LocalDateTime]("view_ts")
+      val c = r.getAs[java.time.LocalDateTime]("click_ts")
+      val p = r.getAs[java.time.LocalDateTime]("purchase_ts")
+      assert(v.isBefore(c) && c.isBefore(p), s"pattern order violated: $v $c $p")
+      assert(r.getAs[Long]("secs_to_convert") >= 0L)
+    }
+    // the stream's one-completion-per-user count must equal events_funnel's
+    // final-stage user count — same greedy semantics, two independent paths
+    val funnel = run("events_funnel").collect()(0)
+    assert(rs.length.toLong == funnel.getAs[Long]("n_purchase"))
+  }
+
+  test("eval_retrieval_ndcg: bounded metrics, probes accounted for") {
+    val rs = run("eval_retrieval_ndcg").collect()
+    assert(rs.nonEmpty)
+    val expected = Tables.t(spark, TestSpark.sf, "embeddings")
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(rs.map(_.getAs[Long]("n_probes")).sum == expected)
+    rs.foreach(r => assert(r.getAs[Double]("ndcg10") >= 0.0 &&
+      r.getAs[Double]("ndcg10") <= 1.0))
+  }
+
+  test("dedup_lsh_tuning: nested bands give nested candidate sets") {
+    val rs = run("dedup_lsh_tuning").collect()
+    assert(rs.length == 3)
+    // band boundaries nest (2 | 4 | 8), so a stricter config's candidates
+    // are a subset of the looser one's: counts must be non-increasing
+    val byBands = rs.map(r => r.getAs[Int]("bands") -> r.getAs[Long]("n_candidates")).toMap
+    assert(byBands(32) >= byBands(16) && byBands(16) >= byBands(8),
+      s"candidate counts not nested: $byBands")
+    rs.foreach { r =>
+      val b = r.getAs[Int]("bands"); val rr = r.getAs[Int]("rows_per_band")
+      assert(b * rr == 64)
+      val expect = BigDecimal(math.pow(1.0 / b, 1.0 / rr))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("threshold_est") == expect)
+      val mean = r.getAs[Double]("mean_est_jaccard")
+      assert(mean >= 0.0 && mean <= 1.0)
+    }
+  }
+
   test("events_seasonality: buckets valid, top-3 ordered, shares bounded") {
     val rs = run("events_seasonality").collect()
     assert(rs.nonEmpty)
