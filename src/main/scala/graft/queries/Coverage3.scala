@@ -131,6 +131,64 @@ object Coverage3 {
       FROM (SELECT ${zDims(0)} AS px, ${zDims(1)} AS sx FROM lineitem)
       GROUP BY zcell ORDER BY zcell"""))
 
+  /** Layout-pruning A/B report — the MEASURED benefit [[zorderLayout]]'s
+    * rectangle audit predicts: the same lineitem slice lands twice, once
+    * partitioned by its coarse Morton cell (zkey >> 12 → 16 dirs) and once
+    * by a hash of the unrelated order key (the "ingestion order" layout),
+    * and a 16×16 box predicate on (px, sx) is scored against both: how many
+    * partition directories contain qualifying rows. Under z-order the box
+    * lives in ONE cell (top two bits of each dimension pin it) → 15/16
+    * pruned; under the hash layout locality is destroyed → every directory
+    * touched. This is the audit a 100 TB layout decision reads: identical
+    * row counts, 16× difference in data touched, and the oracle recomputes
+    * both partition functions straight from the base table so the physical
+    * write path is fully adjudicated.
+    */
+  val layoutPruning = Declared(
+    "op_layout_pruning_report",
+    (s, dir) => {
+      val out = Tables.scratch("layout_pruning")
+      val li = t(s, dir, "lineitem").select(
+        expr(zDims(0)).as("px"), expr(zDims(1)).as("sx"), col("l_orderkey"))
+      li.withColumn("part",
+          shiftright(ZOrder.zKey(Seq(col("px"), col("sx")), 8), 12).cast("int"))
+        .write.mode("overwrite").partitionBy("part").parquet(s"$out/zorder")
+      li.withColumn("part", (col("l_orderkey") % 16).cast("int"))
+        .write.mode("overwrite").partitionBy("part").parquet(s"$out/linear")
+      def pred = col("px").between(32, 47) && col("sx").between(96, 111)
+      def report(layout: String) =
+        s.read.parquet(s"$out/$layout")
+          .agg(
+            countDistinct(col("part")).as("n_partitions"),
+            countDistinct(when(pred, col("part"))).as("parts_touched"),
+            sum(when(pred, 1L).otherwise(0L)).as("rows_matched"))
+          .select(lit(layout).as("layout"), col("n_partitions"),
+            col("parts_touched"), col("rows_matched"),
+            round(lit(1.0) - col("parts_touched").cast("double") /
+              col("n_partitions"), 4).as("prune_frac"))
+      report("linear").unionByName(report("zorder")).orderBy(col("layout"))
+    },
+    Some {
+      val pred = "px BETWEEN 32 AND 47 AND sx BETWEEN 96 AND 111"
+      s"""WITH li AS (
+        SELECT ${zDims(0)} AS px, ${zDims(1)} AS sx, l_orderkey FROM lineitem),
+      tagged AS (
+        SELECT 'zorder' AS layout, px, sx,
+          CAST(${ZOrder.zOrderSql(Seq("px", "sx"), 8)} >> 12 AS INTEGER) AS part
+        FROM li
+        UNION ALL
+        SELECT 'linear', px, sx, CAST(l_orderkey % 16 AS INTEGER) FROM li),
+      m AS (
+        SELECT layout,
+          CAST(count(DISTINCT part) AS BIGINT) AS n_partitions,
+          CAST(count(DISTINCT CASE WHEN $pred THEN part END) AS BIGINT) AS parts_touched,
+          CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS rows_matched
+        FROM tagged GROUP BY layout)
+      SELECT layout, n_partitions, parts_touched, rows_matched,
+        round(1.0 - CAST(parts_touched AS DOUBLE) / n_partitions, 4) AS prune_frac
+      FROM m ORDER BY layout"""
+    })
+
   /** Merge/upsert (CDC apply) without a table format: full-outer join of the
     * target snapshot with a changeset, COALESCE picking the changed value.
     * This is the scale shape of MERGE INTO — one shuffle on the merge key,
@@ -435,5 +493,6 @@ object Coverage3 {
 
   val all: Seq[Declared] = Seq(
     notInNulls, embedQuantize, simMips, zorderLayout, scd2Build, mergeUpsert,
-    compactFiles, describeOp, eventsFunnel, dynamicOverwrite, tableVersioning)
+    compactFiles, describeOp, eventsFunnel, dynamicOverwrite, tableVersioning,
+    layoutPruning)
 }

@@ -1186,10 +1186,102 @@ object EventsQ {
         round(CAST(s AS DOUBLE) / n_days, 4) AS cusum, n_days
       FROM r WHERE rn = 1 ORDER BY event_type"""))
 
+  /** STL-lite decomposition — seasonal-strength per event type (Cleveland's
+    * trend/seasonal/residual split, reduced to the one statistic an anomaly
+    * pipeline keys on: 1 − var(residual)/var(detrended)): trend is a
+    * centered 7-day moving sum over the daily fold (interior days only, so
+    * the window always holds exactly 7 rows and detrended = 7n − Σwin is an
+    * EXACT long — no division until the readout); the day-of-week seasonal
+    * mean stays rational (det·cnt_dow − Σ_dow over 7·cnt_dow) and converts
+    * to milli-longs in one deterministic round — provably tie-free: the
+    * denominators 21/28 are incommensurate with halves — so both variances
+    * fold from exact integer sums. Day-of-week is epoch-day mod 7 (both
+    * engines agree; the named dayofweek() functions do NOT share an origin).
+    * O(types × days) state throughout; milli scaling documented: daily
+    * counts up to ~10⁶ keep the squared sums inside a long — normalize
+    * counts first beyond that.
+    */
+  val stlDecompose = Declared(
+    "events_stl_decompose",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val det = daily
+        .withColumn("sum_win", sum(col("n")).over(wOrd.rowsBetween(-3, 3)))
+        .withColumn("cnt_win", count(lit(1)).over(wOrd.rowsBetween(-3, 3)))
+        .filter(col("cnt_win") === 7)
+        .withColumn("det7", col("n") * 7L - col("sum_win"))
+        .withColumn("dow", datediff(col("d"), lit("1970-01-01")) % 7)
+      val dowMeans = det.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("cnt_dow"), sum(col("det7")).as("sum_dow"))
+      det.join(dowMeans, Seq("event_type", "dow"))
+        .withColumn("det_milli",
+          round(col("det7") * 1000.0 / 7.0).cast("long"))
+        .withColumn("res_milli",
+          round((col("det7") * col("cnt_dow") - col("sum_dow")) * 1000.0 /
+            (lit(7.0) * col("cnt_dow"))).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("det_milli")).as("sd"),
+          sum(col("det_milli") * col("det_milli")).as("ssd"),
+          sum(col("res_milli")).as("sr"),
+          sum(col("res_milli") * col("res_milli")).as("ssr"))
+        .select(col("event_type"), col("n_days"),
+          round((col("n_days") * col("ssd") - col("sd") * col("sd"))
+            .cast("double") / (col("n_days") * col("n_days")) / 1e6, 4)
+            .as("var_detrended"),
+          round(greatest(lit(0.0), lit(1.0) -
+            (col("n_days") * col("ssr") - col("sr") * col("sr")).cast("double") /
+              greatest((col("n_days") * col("ssd") - col("sd") * col("sd"))
+                .cast("double"), lit(1.0))), 4).as("seasonal_strength"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      win AS (
+        SELECT event_type, d, n,
+          CAST(sum(n) OVER w AS BIGINT) AS sum_win,
+          CAST(count(*) OVER w AS BIGINT) AS cnt_win
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      det AS (
+        SELECT event_type, d, n * 7 - sum_win AS det7,
+          (d - DATE '1970-01-01') % 7 AS dow
+        FROM win WHERE cnt_win = 7),
+      dm AS (
+        SELECT event_type, dow, CAST(count(*) AS BIGINT) AS cnt_dow,
+          CAST(sum(det7) AS BIGINT) AS sum_dow
+        FROM det GROUP BY 1, 2),
+      scored AS (
+        SELECT det.event_type,
+          CAST(round(det7 * 1000.0 / 7.0) AS BIGINT) AS det_milli,
+          CAST(round((det7 * cnt_dow - sum_dow) * 1000.0 / (7.0 * cnt_dow))
+            AS BIGINT) AS res_milli
+        FROM det JOIN dm USING (event_type, dow)),
+      agg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(det_milli) AS BIGINT) AS sd,
+          CAST(sum(det_milli * det_milli) AS BIGINT) AS ssd,
+          CAST(sum(res_milli) AS BIGINT) AS sr,
+          CAST(sum(res_milli * res_milli) AS BIGINT) AS ssr
+        FROM scored GROUP BY event_type)
+      SELECT event_type, n_days,
+        round(CAST(n_days * ssd - sd * sd AS DOUBLE) / (n_days * n_days) / 1e6, 4)
+          AS var_detrended,
+        round(greatest(0.0, 1.0 - CAST(n_days * ssr - sr * sr AS DOUBLE) /
+          greatest(CAST(n_days * ssd - sd * sd AS DOUBLE), 1.0)), 4)
+          AS seasonal_strength
+      FROM agg ORDER BY event_type"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
     rfm, interpolate, asofTolerance, botDetection, survival, seasonality,
-    sequenceMining, changepoint)
+    sequenceMining, changepoint, stlDecompose)
 }

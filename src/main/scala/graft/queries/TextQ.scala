@@ -437,6 +437,82 @@ object TextQ {
         round(max(nll), 6) AS max_nll
       FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** CCNet-style perplexity banding — the head/middle/tail split a
+    * pretraining pipeline actually FILTERS on (Wenzek et al. 2020: keep the
+    * head/middle, drop the tail; [[unigramNll]] publishes the raw score,
+    * this takes the decision): each doc's mean unigram NLL folds in integer
+    * NANO-units (per-word nano longs summed exactly, one truncating DIV by
+    * the word count — non-negative domain, so Spark div ≡ DuckDB //), then
+    * per-language tertiles via ntile(3) over a (nll, doc_id)-total-ordered
+    * per-lang window — banding is relative to each language's own
+    * distribution, the CCNet detail naive global cutoffs get wrong. Output
+    * per (lang, band): doc count, mean NLL, and the token share the band
+    * carries — the budget readout for "drop the tail". The per-lang windows
+    * are partitioned (bounded state); the frequency table is vocab-bounded
+    * and broadcast.
+    */
+  val perplexityBand = Declared(
+    "text_perplexity_band",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(TextFns.words(col("text"))).as("w"))
+      val freq = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).cast("double").as("n"))
+      val perDoc = words.join(broadcast(freq), "w")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("lang"),
+          expr("CAST(round(-ln(CAST(c AS DOUBLE) / n) * 1e9) AS BIGINT)").as("nano"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_words"), sum(col("nano")).as("sum_nano"))
+        .withColumn("doc_nll_nano", expr("sum_nano DIV n_words"))
+      val wBand = Window.partitionBy(col("lang"))
+        .orderBy(col("doc_nll_nano"), col("doc_id"))
+      val wLang = Window.partitionBy(col("lang"))
+      perDoc
+        .withColumn("band", ntile(3).over(wBand))
+        .groupBy(col("lang"), col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("doc_nll_nano")) / count(lit(1)) / 1e9, 6).as("mean_nll"),
+          sum(col("n_words")).as("band_tokens"))
+        .withColumn("token_share",
+          round(col("band_tokens").cast("double") /
+            sum(col("band_tokens")).over(wLang), 6))
+        .select(col("lang"),
+          when(col("band") === 1, "head").when(col("band") === 2, "middle")
+            .otherwise("tail").as("band"),
+          col("n_docs"), col("mean_nll"), col("token_share"))
+        .orderBy(col("lang"), col("mean_nll"))
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents),
+      freq AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+      perdoc AS (
+        SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(CAST(round(-ln(CAST(f.c AS DOUBLE) / t.n) * 1e9) AS BIGINT)) AS BIGINT)
+            AS sum_nano
+        FROM w JOIN freq f USING (w) CROSS JOIN tot t
+        GROUP BY doc_id, lang),
+      banded AS (
+        SELECT lang, n_words, sum_nano // n_words AS doc_nll_nano,
+          ntile(3) OVER (PARTITION BY lang
+            ORDER BY sum_nano // n_words, doc_id) AS band
+        FROM perdoc),
+      m AS (
+        SELECT lang, band, CAST(count(*) AS BIGINT) AS n_docs,
+          round(sum(doc_nll_nano) / count(*) / 1e9, 6) AS mean_nll,
+          CAST(sum(n_words) AS BIGINT) AS band_tokens
+        FROM banded GROUP BY lang, band)
+      SELECT lang,
+        CASE WHEN band = 1 THEN 'head' WHEN band = 2 THEN 'middle'
+             ELSE 'tail' END AS band,
+        n_docs, mean_nll,
+        round(CAST(band_tokens AS DOUBLE) /
+          sum(band_tokens) OVER (PARTITION BY lang), 6) AS token_share
+      FROM m ORDER BY lang, mean_nll"""))
+
   /** TF-IDF top terms per document — the classic retrieval/vectorization
     * scoring step. One pass builds per-doc term counts, one small aggregate
     * the document frequencies; the df table rides a broadcast (a term
@@ -1557,5 +1633,5 @@ object TextQ {
     boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats,
     langidReport, langidKappa, charEntropy, fertility, langidCalibration,
     classifierScore, gopherRules, qualityCurve, heaps, bpeTrain, bpeEncode,
-    datasheet)
+    datasheet, perplexityBand)
 }

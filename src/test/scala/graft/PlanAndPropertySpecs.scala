@@ -478,7 +478,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_cluster_stats", // 1-row broadcast doc-count scalar
     "split_leakage_free", // two 1-row policy aggregates stacked into the ledger
     "q_approx_quantile", // 1-row broadcast bounds / exact-percentile scalars
-    "eval_retrieval_ndcg" // 10-row broadcast probe batch (retrieval-eval shape)
+    "eval_retrieval_ndcg", // 10-row broadcast probe batch (retrieval-eval shape)
+    "text_perplexity_band" // 1-row global token-total broadcast (unigram_nll's shape)
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

@@ -527,6 +527,57 @@ class R7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("op_layout_pruning_report: z-order prunes, linear doesn't, rows identical") {
+    val rs = run("op_layout_pruning_report").collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    assert(rs.keySet == Set("linear", "zorder"))
+    assert(rs("zorder").getAs[Long]("rows_matched") ==
+      rs("linear").getAs[Long]("rows_matched"),
+      "both layouts hold the same data")
+    assert(rs("zorder").getAs[Long]("parts_touched") <= 1L,
+      "the 16x16 box must live in at most one coarse Morton cell")
+    // at sf0.001 the box can be empty; the strict 1-cell + ordering claims
+    // only bind when rows matched (they hold at sf0.01+, where Verify runs)
+    if (rs("zorder").getAs[Long]("rows_matched") > 0L) {
+      assert(rs("zorder").getAs[Long]("parts_touched") == 1L)
+      assert(rs("zorder").getAs[Double]("prune_frac") >
+        rs("linear").getAs[Double]("prune_frac"))
+    }
+  }
+
+  test("text_perplexity_band: bands partition each language, NLL ordered") {
+    val rs = run("text_perplexity_band").collect()
+    val docsPerLang = Tables.t(spark, TestSpark.sf, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    rs.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == docsPerLang(lang),
+        s"$lang bands must partition the language")
+      val byBand = rows.map(r => r.getAs[String]("band") -> r.getAs[Double]("mean_nll")).toMap
+      assert(byBand("head") <= byBand("middle") && byBand("middle") <= byBand("tail"),
+        s"$lang NLL must rise head -> middle -> tail: $byBand")
+      val shares = rows.map(_.getAs[Double]("token_share")).sum
+      assert(math.abs(shares - 1.0) < 1e-3)
+    }
+  }
+
+  test("events_stl_decompose: strength bounded, interior-day accounting exact") {
+    val rs = run("events_stl_decompose").collect()
+    assert(rs.nonEmpty)
+    val daysPerType = Tables.t(spark, TestSpark.sf, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d")).distinct()
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    rs.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_days") == daysPerType(t) - 6,
+        "interior days = all days minus the 3-day edges")
+      val s = r.getAs[Double]("seasonal_strength")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(r.getAs[Double]("var_detrended") >= 0.0)
+    }
+  }
+
   test("events_seasonality: buckets valid, top-3 ordered, shares bounded") {
     val rs = run("events_seasonality").collect()
     assert(rs.nonEmpty)
