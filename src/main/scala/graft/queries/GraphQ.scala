@@ -243,5 +243,109 @@ object GraphQ {
       FROM e6 GROUP BY src ORDER BY degree DESC, node LIMIT 20"""
     })
 
-  val all: Seq[Declared] = Seq(pagerank, triangles, kcore)
+  /** Semi-supervised label propagation over the same customer–supplier
+    * trade graph [[pagerank]] ranks — the weak-supervision primitive a
+    * labeling pipeline runs when 10% of nodes carry ground truth and the
+    * graph must vote the rest (Zhu & Ghahramani 2002, hard-clamp variant):
+    * seeds (every 10th customer, labeled by nation) stay clamped; two
+    * propagation rounds give every node the MAJORITY label of its labeled
+    * neighbors (exact integer votes, ties to the smallest label — fully
+    * deterministic, no float weights). Round 1 labels suppliers from their
+    * seeded customers, round 2 flows those back to unlabeled customers —
+    * the bipartite diameter-2 shape that makes two rounds the natural
+    * budget. Each round is one shuffle-join + one vote aggregate + a
+    * per-node top-1 window (O(edges) work, O(nodes) state,
+    * localCheckpointed like the pagerank cadence). Output is the per-label
+    * coverage ledger plus the unlabeled remainder (label −1).
+    */
+  val labelSpread = Declared(
+    "graph_label_spread",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val eraw = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
+        .distinct()
+      val und = eraw
+        .select(col("c").as("src"), (col("su") + 1000000000L).as("dst"))
+        .union(eraw.select((col("su") + 1000000000L).as("src"), col("c").as("dst")))
+        .localCheckpoint()
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("node"),
+          col("c_nationkey").cast("long").as("label"))
+      var labels = seeds
+      for (_ <- 1 to 2) {
+        val votes = und
+          .join(labels.select(col("node").as("dst"), col("label")), "dst")
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("v"))
+        val wVote = Window.partitionBy(col("src"))
+          .orderBy(col("v").desc, col("label"))
+        val elected = votes.withColumn("rn", row_number().over(wVote))
+          .filter(col("rn") === 1)
+          .select(col("src").as("node"), col("label"))
+        labels = seeds.unionByName(
+          elected.join(seeds.select(col("node")), Seq("node"), "left_anti"))
+          .localCheckpoint()
+      }
+      val nodes = und.select(col("src").as("node")).distinct()
+      val total = nodes.agg(count(lit(1)).as("n_nodes"))
+      val labeled = nodes.join(labels, "node")
+      val unl = nodes.join(labels.select(col("node")), Seq("node"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit(-1L).as("label"), col("n"))
+      labeled.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .unionByName(unl)
+        .crossJoin(broadcast(total))
+        .select(col("label"), col("n"),
+          round(col("n").cast("double") / col("n_nodes"), 6).as("share"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH eraw AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS su
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      und AS (
+        SELECT c AS src, su + 1000000000 AS dst FROM eraw
+        UNION ALL
+        SELECT su + 1000000000 AS src, c AS dst FROM eraw),
+      seeds AS (
+        SELECT c_custkey AS node, CAST(c_nationkey AS BIGINT) AS label
+        FROM customer WHERE c_custkey % 10 = 0),
+      v1 AS (
+        SELECT und.src, l.label, count(*) AS v
+        FROM und JOIN seeds l ON l.node = und.dst GROUP BY 1, 2),
+      e1 AS (
+        SELECT src AS node, label FROM (
+          SELECT src, label,
+            row_number() OVER (PARTITION BY src ORDER BY v DESC, label) AS rn
+          FROM v1) WHERE rn = 1),
+      l1 AS (
+        SELECT * FROM seeds
+        UNION ALL
+        SELECT * FROM e1 WHERE node NOT IN (SELECT node FROM seeds)),
+      v2 AS (
+        SELECT und.src, l.label, count(*) AS v
+        FROM und JOIN l1 l ON l.node = und.dst GROUP BY 1, 2),
+      e2 AS (
+        SELECT src AS node, label FROM (
+          SELECT src, label,
+            row_number() OVER (PARTITION BY src ORDER BY v DESC, label) AS rn
+          FROM v2) WHERE rn = 1),
+      l2 AS (
+        SELECT * FROM seeds
+        UNION ALL
+        SELECT * FROM e2 WHERE node NOT IN (SELECT node FROM seeds)),
+      nodes AS (SELECT DISTINCT src AS node FROM und),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+      m AS (
+        SELECT l2.label, CAST(count(*) AS BIGINT) AS n
+        FROM nodes JOIN l2 USING (node) GROUP BY l2.label
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT)
+        FROM nodes WHERE node NOT IN (SELECT node FROM l2))
+      SELECT label, n, round(CAST(n AS DOUBLE) / tot.n_nodes, 6) AS share
+      FROM m CROSS JOIN tot ORDER BY label"""))
+
+  val all: Seq[Declared] = Seq(pagerank, triangles, kcore, labelSpread)
 }

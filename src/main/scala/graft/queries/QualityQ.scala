@@ -313,5 +313,57 @@ object QualityQ {
       ORDER BY column_name"""
     })
 
-  val all: Seq[Declared] = Seq(expectations, driftPsi, kAnonymity, profile)
+  /** Functional-dependency discovery — the constraint-MINING companion to
+    * [[expectations]]' declared rules (the profiler says what the columns
+    * are; this says how they determine each other, the metadata a schema
+    * designer or an anomaly detector reads): for each candidate A→B over
+    * orders, A→B holds iff |distinct A| = |distinct (A,B)|, and the
+    * difference IS the violation count (how many determinant values map to
+    * >1 dependent). All candidates fold in ONE aggregate over one projected
+    * scan (count-distincts ride the expand); adding a candidate adds two
+    * counters, never a pass. The fixture genuinely splits the ledger:
+    * key→attribute FDs hold, attribute→attribute ones fail with large
+    * violation counts — discovery, not rubber-stamping.
+    */
+  val fdDiscovery = Declared(
+    "dq_fd_discovery",
+    (s, dir) => {
+      val cands = Seq(
+        ("o_orderkey", "o_custkey"), ("o_orderkey", "o_orderstatus"),
+        ("o_custkey", "o_orderstatus"), ("o_orderstatus", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"))
+      val counters = cands.zipWithIndex.flatMap { case ((a, b), i) => Seq(
+        countDistinct(col(a)).as(s"da_$i"),
+        countDistinct(col(a), col(b)).as(s"dab_$i")) }
+      val stacked = cands.zipWithIndex.map { case ((a, b), i) =>
+        s"'$a', '$b', da_$i, dab_$i" }.mkString(", ")
+      t(s, dir, "orders")
+        .agg(counters.head, counters.tail: _*)
+        .selectExpr(s"stack(${cands.size}, $stacked) AS " +
+          "(determinant, dependent, n_det, n_pairs)")
+        .select(col("determinant"), col("dependent"), col("n_det"),
+          col("n_pairs"), (col("n_det") === col("n_pairs")).as("holds"),
+          (col("n_pairs") - col("n_det")).as("violations"))
+        .orderBy(col("determinant"), col("dependent"))
+    },
+    Some {
+      val cands = Seq(
+        ("o_orderkey", "o_custkey"), ("o_orderkey", "o_orderstatus"),
+        ("o_custkey", "o_orderstatus"), ("o_orderstatus", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"))
+      val rows = cands.map { case (a, b) =>
+        s"""SELECT '$a' AS determinant, '$b' AS dependent,
+          CAST(count(DISTINCT $a) AS BIGINT) AS n_det,
+          CAST(count(DISTINCT ($a, $b)) AS BIGINT) AS n_pairs
+        FROM orders"""
+      }.mkString("\n        UNION ALL ")
+      s"""SELECT determinant, dependent, n_det, n_pairs,
+        n_det = n_pairs AS holds, n_pairs - n_det AS violations
+      FROM (
+        $rows)
+      ORDER BY determinant, dependent"""
+    })
+
+  val all: Seq[Declared] = Seq(expectations, driftPsi, kAnonymity, profile,
+    fdDiscovery)
 }

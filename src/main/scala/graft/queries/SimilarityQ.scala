@@ -816,6 +816,51 @@ object SimilarityQ {
     * (StoredIndexPruningSpec pins the PartitionFilters). Result — and
     * oracle — identical to [[ivfPq]] by construction.
     */
+  /** DELETE from the persisted IVF-PQ index — the lifecycle verb the
+    * train → encode → persist → probe → append chain was missing: the codes
+    * table stays IMMUTABLE (rewriting a billion-vector index per delete
+    * batch is the anti-pattern) and deletions land as a per-cell tombstone
+    * id-list — the Iceberg/Lance delete-file pattern — merged at probe time
+    * by a left-anti join that, like the codes scan itself, touches only the
+    * probed cells' partitions. Here every vec_id ≡ 3 (mod 7) is deleted
+    * (~14%); the probe result is provably tombstone-free and the oracle is
+    * the inline index's SQL with the same id predicate — so a tombstone
+    * leaking through ANY layer breaks the hash match. Compaction (folding
+    * tombstones into rewritten cells) is the background job this layout
+    * defers to, exactly as the lakehouse formats do.
+    */
+  val ivfPqDelete = Declared(
+    "sim_ivfpq_delete",
+    (s, dir) => {
+      val idx = ivfpqIndexDir(s, dir)
+      val cc = s.read.parquet(s"$idx/coarse")
+      val cb = s.read.parquet(s"$idx/codebook")
+      val e = embTable(s, dir)
+      val tombPath = Tables.scratch("ivfpq_tombstones")
+      s.read.parquet(s"$idx/codes")
+        .filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id"), col("cell")).distinct()
+        .write.mode("overwrite").partitionBy("cell").parquet(tombPath)
+      val probed = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
+        .crossJoin(broadcast(cc))
+        .select(col("cell"), round(sqd("qemb", "ccent"), 6).as("d"))
+        .orderBy(col("d"), col("cell")).limit(2)
+        .collect().map(_.getLong(0))
+      val cellFilter = (c: org.apache.spark.sql.Column) =>
+        c.isin(probed.map(java.lang.Long.valueOf): _*)
+      val codes = s.read.parquet(s"$idx/codes")
+        .filter(cellFilter(col("cell")))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("m"), col("code"))
+      val tombs = s.read.parquet(tombPath)
+        .filter(cellFilter(col("cell")))
+        .select(col("vec_id"))
+      ivfpqProbe(e, cc, cb, codes.join(tombs, Seq("vec_id"), "left_anti"))
+    },
+    Some(ivfPq.oracle.get.replace(
+      "WHERE e.vec_id <> 0",
+      "WHERE e.vec_id <> 0 AND e.vec_id % 7 <> 3")))
+
   val ivfPqStored = Declared(
     "sim_ivfpq_stored",
     (s, dir) => {
@@ -1647,5 +1692,5 @@ object SimilarityQ {
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
       ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower,
       streamAnnProbe, ivfPqAppend, matryoshka, clusterSilhouette, hardnegMine,
-      knnGraph, bucketBalance, retrievalMrr, retrievalNdcg)
+      knnGraph, bucketBalance, retrievalMrr, retrievalNdcg, ivfPqDelete)
 }

@@ -479,7 +479,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "split_leakage_free", // two 1-row policy aggregates stacked into the ledger
     "q_approx_quantile", // 1-row broadcast bounds / exact-percentile scalars
     "eval_retrieval_ndcg", // 10-row broadcast probe batch (retrieval-eval shape)
-    "text_perplexity_band" // 1-row global token-total broadcast (unigram_nll's shape)
+    "text_perplexity_band", // 1-row global token-total broadcast (unigram_nll's shape)
+    "sim_ivfpq_delete",  // same broadcast-probe shapes as sim_ivfpq_stored
+    "graph_label_spread" // 1-row broadcast node-count scalar
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

@@ -578,6 +578,44 @@ class R7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_ivfpq_delete: tombstoned ids never surface, top-k stays full") {
+    val rs = run("sim_ivfpq_delete").collect()
+    assert(rs.length == 10)
+    rs.foreach(r => assert(r.getAs[Long]("vec_id") % 7 != 3,
+      s"deleted id ${r.getAs[Long]("vec_id")} leaked through the tombstone join"))
+    // ADC ordering preserved
+    val ds = rs.map(_.getAs[Double]("adc_d"))
+    assert(ds.sameElements(ds.sorted))
+  }
+
+  test("graph_label_spread: ledger partitions the node set, shares sum to 1") {
+    val rs = run("graph_label_spread").collect()
+    val eraw = Tables.t(spark, TestSpark.sf, "lineitem")
+      .join(Tables.t(spark, TestSpark.sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct()
+    val nNodes = eraw.select(col("c")).distinct().count() +
+      eraw.select(col("su")).distinct().count()
+    assert(rs.map(_.getAs[Long]("n")).sum == nNodes,
+      "every graph node must appear exactly once across the label ledger")
+    assert(math.abs(rs.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+  }
+
+  test("dq_fd_discovery: holds iff zero violations, key FDs hold") {
+    val rs = run("dq_fd_discovery").collect()
+    assert(rs.length == 5)
+    rs.foreach { r =>
+      assert(r.getAs[Boolean]("holds") == (r.getAs[Long]("violations") == 0L))
+      assert(r.getAs[Long]("violations") >= 0L)
+    }
+    // the primary key determines everything
+    rs.filter(_.getAs[String]("determinant") == "o_orderkey")
+      .foreach(r => assert(r.getAs[Boolean]("holds")))
+    // and at least one non-key candidate genuinely fails
+    assert(rs.exists(r => !r.getAs[Boolean]("holds")),
+      "the ledger must discover a failing dependency, not rubber-stamp")
+  }
+
   test("events_seasonality: buckets valid, top-3 ordered, shares bounded") {
     val rs = run("events_seasonality").collect()
     assert(rs.nonEmpty)
