@@ -491,8 +491,51 @@ object Coverage3 {
       SELECT 2, n_rows, round(sc / 100.0, 2), n_changed, n_deleted FROM m2, d
       ORDER BY version"""))
 
+  /** Key pseudonymization — the privacy primitive [[graft.queries.TextQ]]'s
+    * redact_pii applies to VALUES, applied to JOIN KEYS: customer and orders
+    * are re-written with every c_custkey/o_custkey replaced by a salted-hash
+    * pseudonym (md5 over a pepper + the key — deterministic, so referential
+    * integrity survives by construction), and the analytics run on the
+    * MASKED tables alone. The oracle computes the same per-nation rollup
+    * from the RAW join — so a hash match proves the pseudonymized pipeline
+    * loses nothing: row counts, revenue cents, and customer cardinality all
+    * survive the masking. The map-side hash costs one codegen'd expression
+    * per row; the join shape (shuffle on the pseudonym instead of the key)
+    * is identical at any scale. n_customers doubles as the collision audit:
+    * a pseudonym collision would merge two customers and break the match.
+    */
+  val pseudonymize = Declared(
+    "op_pseudonymize",
+    (s, dir) => {
+      val out = Tables.scratch("pseudonymized")
+      val pid = (c: org.apache.spark.sql.Column) =>
+        md5(concat(lit("pep1:"), c.cast("string")))
+      t(s, dir, "customer")
+        .select(pid(col("c_custkey")).as("pid"), col("c_nationkey"))
+        .write.mode("overwrite").parquet(s"$out/customer")
+      t(s, dir, "orders")
+        .select(pid(col("o_custkey")).as("pid"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").parquet(s"$out/orders")
+      val mc = s.read.parquet(s"$out/customer")
+      val mo = s.read.parquet(s"$out/orders")
+      mo.join(mc, "pid")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("revenue_cents"),
+          countDistinct(col("pid")).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""SELECT c.c_nationkey,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS revenue_cents,
+        CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey ORDER BY c.c_nationkey"""))
+
   val all: Seq[Declared] = Seq(
     notInNulls, embedQuantize, simMips, zorderLayout, scd2Build, mergeUpsert,
     compactFiles, describeOp, eventsFunnel, dynamicOverwrite, tableVersioning,
-    layoutPruning)
+    layoutPruning, pseudonymize)
 }

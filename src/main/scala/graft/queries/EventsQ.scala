@@ -1278,10 +1278,65 @@ object EventsQ {
           AS seasonal_strength
       FROM agg ORDER BY event_type"""))
 
+  /** Interval–interval OVERLAP join (q_range_join covers point-in-interval;
+    * this joins two interval SETS — "which user activity windows overlapped
+    * an error burst", the incident-attribution query): user-day activity
+    * intervals [first event, last event] against error-burst hours (hours
+    * with ≥ 3 errors, half-open [h, h+1)). The scale discipline is
+    * BUCKETING, the standard interval-join decomposition: each activity
+    * interval explodes to its covered hour buckets (≤ 24 per day — bounded
+    * fan-out), bursts sit in exactly their own bucket, the join is a plain
+    * equi-join on the bucket, and the exact overlap predicate then dedups
+    * the candidates — never an unbounded theta join. The oracle IS the
+    * naive theta join, so the decomposition's exactness (superset +
+    * filter ≡ overlap) is hash-checked.
+    */
+  val intervalOverlap = Declared(
+    "q_interval_overlap_join",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val act = e.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(min(col("ts")).as("a_start"), max(col("ts")).as("a_end"))
+      val bursts = e.filter(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("b_start"))
+        .agg(count(lit(1)).as("nb")).filter(col("nb") >= 3)
+        .select(col("b_start"),
+          (col("b_start") + expr("INTERVAL 1 HOUR")).as("b_end"))
+      val aBuck = act.select(col("user_id"), col("a_start"), col("a_end"),
+        explode(expr(
+          "sequence(date_trunc('hour', a_start), date_trunc('hour', a_end), INTERVAL 1 HOUR)"))
+          .as("h"))
+      val cand = aBuck.join(bursts.withColumn("h", col("b_start")), "h")
+        .filter(col("a_start") < col("b_end") && col("a_end") >= col("b_start"))
+        .select(col("user_id"), col("a_start"), col("b_start")).distinct()
+      cand.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          countDistinct(col("b_start")).as("n_bursts"),
+          min(col("b_start")).as("first_burst"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH act AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+          min(ts) AS a_start, max(ts) AS a_end
+        FROM events GROUP BY 1, 2),
+      bursts AS (
+        SELECT date_trunc('hour', ts) AS b_start,
+          date_trunc('hour', ts) + INTERVAL 1 HOUR AS b_end
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1 HAVING count(*) >= 3),
+      pairs AS (
+        SELECT DISTINCT a.user_id, a.a_start, b.b_start
+        FROM act a JOIN bursts b
+          ON a.a_start < b.b_end AND a.a_end >= b.b_start)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+        CAST(count(DISTINCT b_start) AS BIGINT) AS n_bursts,
+        min(b_start) AS first_burst
+      FROM pairs GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
     rfm, interpolate, asofTolerance, botDetection, survival, seasonality,
-    sequenceMining, changepoint, stlDecompose)
+    sequenceMining, changepoint, stlDecompose, intervalOverlap)
 }

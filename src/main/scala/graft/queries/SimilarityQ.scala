@@ -816,6 +816,121 @@ object SimilarityQ {
     * (StoredIndexPruningSpec pins the PartitionFilters). Result — and
     * oracle — identical to [[ivfPq]] by construction.
     */
+  /** nprobe sweep — the serving-latency dial every IVF deployment tunes
+    * ([[lshTuning]]'s counterpart for the vector index, and the curve behind
+    * sim_ivfpq_recall's single point): probe 1, 2, 3, then all 4 cells of
+    * the SAME built index and report, per setting, the candidate volume the
+    * ADC pass scans and recall@10 against the exact top-10 — the
+    * latency-vs-recall trade as one table. The encoded-codes table is
+    * checkpointed once and re-probed (probing is LUT-sized work; the index
+    * never rebuilds), the exact truth is computed once, and every readout
+    * row is a pair of 1-row aggregates. CANDIDATES are structurally
+    * non-decreasing (more cells ⊇ fewer, spec-pinned, and nprobe = kc scans
+    * the whole corpus); recall is NOT guaranteed monotone — extra cells add
+    * candidates whose noisy ADC distances can displace true hits from the
+    * top-10, and on this fixture's near-uniform vectors the curve honestly
+    * shows it (the same no-signal regime sim_ivfpq_recall reports). That
+    * non-monotonicity is itself the diagnostic: when probing more cells
+    * doesn't lift recall, the codebook — not the cell count — is the
+    * limiting factor.
+    */
+  val ivfNprobeCurve = Declared(
+    "sim_ivf_nprobe_curve",
+    (s, dir) => {
+      val (cc, cb, enc0) = ivfpqBuild(s, dir)
+      val enc = enc0.localCheckpoint()
+      val e = embTable(s, dir)
+      val qv = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
+        .localCheckpoint(true)
+      val exact10 = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), round(sqd("emb", "qemb"), 6).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select(col("vec_id")).localCheckpoint(true)
+      val cellRank = qv.crossJoin(broadcast(cc))
+        .select(col("cell"), col("ccent"), col("qemb"),
+          round(sqd("qemb", "ccent"), 6).as("d"))
+        .orderBy(col("d"), col("cell"))
+      (1 to IvfKc).map { n =>
+        val qcell = cellRank.limit(n)
+        val lut = qcell
+          .select(col("cell"),
+            expr("zip_with(qemb, ccent, (x, y) -> x - y)").as("qres"))
+          .select(col("cell"), posexplode(array((0 until PqM).map(m =>
+            slice(col("qres"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "qsv")))
+          .join(broadcast(cb), "m")
+          .select(col("cell"), col("m"), col("code"),
+            floor(round(sqd("qsv", "centroid"), 6) * 1e6 + 0.5).cast("long").as("qd"))
+        val adc10 = enc.filter(col("vec_id") =!= 0)
+          .join(broadcast(lut), Seq("cell", "m", "code"))
+          .groupBy(col("vec_id"))
+          .agg(round(sum(col("qd")) / 1e6, 6).as("adc_d"))
+          .orderBy(col("adc_d"), col("vec_id")).limit(10)
+        val nCand = enc.filter(col("vec_id") =!= 0)
+          .join(broadcast(qcell.select(col("cell"))), Seq("cell"))
+          .agg(countDistinct(col("vec_id")).as("n_candidates"))
+        val hits = adc10.join(exact10, "vec_id").agg(count(lit(1)).as("h"))
+        nCand.crossJoin(broadcast(hits))
+          .select(lit(n).as("nprobe"), col("n_candidates"),
+            col("h").as("hits_at_10"),
+            round(col("h") / 10.0, 4).as("recall_at_10"))
+      }.reduce(_ unionByName _).orderBy(col("nprobe"))
+    },
+    Some {
+      val perN = (1 to IvfKc).map { n =>
+        s"""qres_$n AS (
+        SELECT qc.cell,
+          list_transform(range(1, 65),
+            i -> q.emb[CAST(i AS INTEGER)] - qc.ccent[CAST(i AS INTEGER)]) AS res
+        FROM (SELECT cell, ccent FROM qrank WHERE rk <= $n) qc
+        CROSS JOIN (SELECT emb FROM ev WHERE vec_id = 0) q),
+      qsv_$n AS (
+        SELECT cell, CAST(m AS INTEGER) AS m,
+          res[CAST(m AS INTEGER)*16+1 : CAST(m AS INTEGER)*16+16] AS sv
+        FROM qres_$n CROSS JOIN generate_series(0, 3) t(m)),
+      lut_$n AS (
+        SELECT s.cell, s.m, c.code,
+          CAST(floor(round(list_distance(s.sv, c.centroid) ^ 2, 6) * 1e6 + 0.5)
+            AS BIGINT) AS qd
+        FROM qsv_$n s JOIN cb c ON s.m = c.m),
+      adc_$n AS (
+        SELECT e.vec_id FROM (
+          SELECT e.vec_id, round(sum(l.qd) / 1e6, 6) AS adc_d
+          FROM enc e JOIN lut_$n l
+            ON e.cell = l.cell AND e.m = l.m AND e.code = l.code
+          WHERE e.vec_id <> 0 GROUP BY e.vec_id
+          ORDER BY adc_d, e.vec_id LIMIT 10) e),
+      row_$n AS (
+        SELECT $n AS nprobe,
+          (SELECT CAST(count(DISTINCT enc.vec_id) AS BIGINT) FROM enc
+             WHERE enc.vec_id <> 0
+               AND enc.cell IN (SELECT cell FROM qrank WHERE rk <= $n))
+            AS n_candidates,
+          (SELECT CAST(count(*) AS BIGINT) FROM adc_$n JOIN exact10 USING (vec_id))
+            AS hits_at_10)"""
+      }.mkString(",\n      ")
+      val rows = (1 to IvfKc).map(n => s"SELECT * FROM row_$n")
+        .mkString("\n        UNION ALL ")
+      s"""WITH ${ivfpqIndexCtes()},
+      exact10 AS (
+        SELECT vec_id FROM (
+          SELECT ev.vec_id,
+            round(list_distance(ev.emb, q.emb) ^ 2, 6) AS d
+          FROM ev CROSS JOIN (SELECT emb FROM ev WHERE vec_id = 0) q
+          WHERE ev.vec_id <> 0 ORDER BY d, vec_id LIMIT 10)),
+      qrank AS (
+        SELECT cc.cell, cc.ccent,
+          row_number() OVER (
+            ORDER BY round(list_distance(q.emb, cc.ccent) ^ 2, 6), cc.cell) AS rk
+        FROM cc CROSS JOIN (SELECT emb FROM ev WHERE vec_id = 0) q),
+      $perN
+      SELECT nprobe, n_candidates, hits_at_10,
+        round(hits_at_10 / 10.0, 4) AS recall_at_10
+      FROM (
+        $rows)
+      ORDER BY nprobe"""
+    })
+
   /** DELETE from the persisted IVF-PQ index — the lifecycle verb the
     * train → encode → persist → probe → append chain was missing: the codes
     * table stays IMMUTABLE (rewriting a billion-vector index per delete
@@ -1692,5 +1807,6 @@ object SimilarityQ {
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
       ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower,
       streamAnnProbe, ivfPqAppend, matryoshka, clusterSilhouette, hardnegMine,
-      knnGraph, bucketBalance, retrievalMrr, retrievalNdcg, ivfPqDelete)
+      knnGraph, bucketBalance, retrievalMrr, retrievalNdcg, ivfPqDelete,
+      ivfNprobeCurve)
 }

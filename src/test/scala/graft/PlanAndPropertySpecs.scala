@@ -481,7 +481,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "eval_retrieval_ndcg", // 10-row broadcast probe batch (retrieval-eval shape)
     "text_perplexity_band", // 1-row global token-total broadcast (unigram_nll's shape)
     "sim_ivfpq_delete",  // same broadcast-probe shapes as sim_ivfpq_stored
-    "graph_label_spread" // 1-row broadcast node-count scalar
+    "graph_label_spread", // 1-row broadcast node-count scalar
+    "sim_ivf_nprobe_curve" // 1-row broadcast probe vector + per-n 1-row scalars
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

@@ -616,6 +616,54 @@ class R7OpsSpec extends AnyFunSuite {
       "the ledger must discover a failing dependency, not rubber-stamp")
   }
 
+  test("sim_ivf_nprobe_curve: candidates monotone, full sweep scans the corpus") {
+    val rs = run("sim_ivf_nprobe_curve").collect()
+    assert(rs.length == 4)
+    val cand = rs.sortBy(_.getAs[Int]("nprobe")).map(_.getAs[Long]("n_candidates"))
+    assert(cand.zip(cand.tail).forall { case (a, b) => a <= b },
+      s"candidate counts must be non-decreasing in nprobe: ${cand.toSeq}")
+    val corpus = Tables.t(spark, TestSpark.sf, "embeddings").count()
+    assert(cand.last == corpus - 1,
+      "probing all cells must scan every encoded vector except the query")
+    rs.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("hits_at_10") <= 10L)
+    }
+  }
+
+  test("op_pseudonymize: masked pipeline preserves cardinality per nation") {
+    val rs = run("op_pseudonymize").collect()
+    assert(rs.nonEmpty)
+    // pseudonym distinctness: total distinct pids across nations equals the
+    // distinct raw customers with orders (a collision would shrink it)
+    val rawCustomers = Tables.t(spark, TestSpark.sf, "orders")
+      .select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(rs.map(_.getAs[Long]("n_customers")).sum == rawCustomers)
+    val rawOrders = Tables.t(spark, TestSpark.sf, "orders").count()
+    assert(rs.map(_.getAs[Long]("n_orders")).sum == rawOrders)
+  }
+
+  test("q_interval_overlap_join: bucketed decomposition equals the naive theta join") {
+    val got = run("q_interval_overlap_join")
+    // recompute via the naive theta join (the oracle's shape) in Spark
+    val e = Tables.t(spark, TestSpark.sf, "events")
+    val act = e.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(min(col("ts")).as("a_start"), max(col("ts")).as("a_end"))
+    val bursts = e.filter(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("b_start"))
+      .agg(count(lit(1)).as("nb")).filter(col("nb") >= 3)
+      .select(col("b_start"), (col("b_start") + expr("INTERVAL 1 HOUR")).as("b_end"))
+    val naive = act.join(bursts,
+        col("a_start") < col("b_end") && col("a_end") >= col("b_start"))
+      .select(col("user_id"), col("a_start"), col("b_start")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_overlaps"))
+    val diff = got.select(col("user_id"), col("n_overlaps"))
+      .exceptAll(naive).count() + naive.exceptAll(
+        got.select(col("user_id"), col("n_overlaps"))).count()
+    assert(diff == 0L, "bucket+filter must be exactly the theta-join result")
+  }
+
   test("events_seasonality: buckets valid, top-3 ordered, shares bounded") {
     val rs = run("events_seasonality").collect()
     assert(rs.nonEmpty)
