@@ -258,51 +258,44 @@ object GraphQ {
     * localCheckpointed like the pagerank cadence). Output is the per-label
     * coverage ledger plus the unlabeled remainder (label −1).
     */
-  val labelSpread = Declared(
-    "graph_label_spread",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val eraw = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
-        .distinct()
-      val und = eraw
-        .select(col("c").as("src"), (col("su") + 1000000000L).as("dst"))
-        .union(eraw.select((col("su") + 1000000000L).as("src"), col("c").as("dst")))
+  /** The undirected trade graph + final 2-round propagated labels shared by
+    * [[labelSpread]] (coverage ledger) and [[modularity]] (partition
+    * quality). */
+  private def tradeLabelSpread(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val eraw = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
+      .distinct()
+    val und = eraw
+      .select(col("c").as("src"), (col("su") + 1000000000L).as("dst"))
+      .union(eraw.select((col("su") + 1000000000L).as("src"), col("c").as("dst")))
+      .localCheckpoint()
+    val seeds = t(s, dir, "customer")
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("node"),
+        col("c_nationkey").cast("long").as("label"))
+    var labels = seeds
+    for (_ <- 1 to 2) {
+      val votes = und
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("v"))
+      val wVote = Window.partitionBy(col("src"))
+        .orderBy(col("v").desc, col("label"))
+      val elected = votes.withColumn("rn", row_number().over(wVote))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+      labels = seeds.unionByName(
+        elected.join(seeds.select(col("node")), Seq("node"), "left_anti"))
         .localCheckpoint()
-      val seeds = t(s, dir, "customer")
-        .filter(col("c_custkey") % 10 === 0)
-        .select(col("c_custkey").as("node"),
-          col("c_nationkey").cast("long").as("label"))
-      var labels = seeds
-      for (_ <- 1 to 2) {
-        val votes = und
-          .join(labels.select(col("node").as("dst"), col("label")), "dst")
-          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("v"))
-        val wVote = Window.partitionBy(col("src"))
-          .orderBy(col("v").desc, col("label"))
-        val elected = votes.withColumn("rn", row_number().over(wVote))
-          .filter(col("rn") === 1)
-          .select(col("src").as("node"), col("label"))
-        labels = seeds.unionByName(
-          elected.join(seeds.select(col("node")), Seq("node"), "left_anti"))
-          .localCheckpoint()
-      }
-      val nodes = und.select(col("src").as("node")).distinct()
-      val total = nodes.agg(count(lit(1)).as("n_nodes"))
-      val labeled = nodes.join(labels, "node")
-      val unl = nodes.join(labels.select(col("node")), Seq("node"), "left_anti")
-        .agg(count(lit(1)).as("n"))
-        .select(lit(-1L).as("label"), col("n"))
-      labeled.groupBy(col("label")).agg(count(lit(1)).as("n"))
-        .unionByName(unl)
-        .crossJoin(broadcast(total))
-        .select(col("label"), col("n"),
-          round(col("n").cast("double") / col("n_nodes"), 6).as("share"))
-        .orderBy(col("label"))
-    },
-    Some("""WITH eraw AS (
+    }
+    (und, labels)
+  }
+
+  /** The eraw/und/seeds/v1..l2 CTE chain both spread oracles share. */
+  private val spreadCtesSql: String = """eraw AS (
         SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS su
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
       und AS (
@@ -335,7 +328,26 @@ object GraphQ {
       l2 AS (
         SELECT * FROM seeds
         UNION ALL
-        SELECT * FROM e2 WHERE node NOT IN (SELECT node FROM seeds)),
+        SELECT * FROM e2 WHERE node NOT IN (SELECT node FROM seeds))"""
+
+  val labelSpread = Declared(
+    "graph_label_spread",
+    (s, dir) => {
+      val (und, labels) = tradeLabelSpread(s, dir)
+      val nodes = und.select(col("src").as("node")).distinct()
+      val total = nodes.agg(count(lit(1)).as("n_nodes"))
+      val labeled = nodes.join(labels, "node")
+      val unl = nodes.join(labels.select(col("node")), Seq("node"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit(-1L).as("label"), col("n"))
+      labeled.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .unionByName(unl)
+        .crossJoin(broadcast(total))
+        .select(col("label"), col("n"),
+          round(col("n").cast("double") / col("n_nodes"), 6).as("share"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH $spreadCtesSql,
       nodes AS (SELECT DISTINCT src AS node FROM und),
       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
       m AS (
@@ -347,5 +359,56 @@ object GraphQ {
       SELECT label, n, round(CAST(n AS DOUBLE) / tot.n_nodes, 6) AS share
       FROM m CROSS JOIN tot ORDER BY label"""))
 
-  val all: Seq[Declared] = Seq(pagerank, triangles, kcore, labelSpread)
+  /** Modularity of the propagated partition — the quality score that says
+    * whether [[labelSpread]]'s communities are REAL structure or noise
+    * (Newman's Q: Σ_c [in_c/2m − (deg_c/2m)²], positive when communities
+    * hold more internal edges than a degree-preserving random graph would):
+    * one pass over the labeled edge list folds per-community internal-edge
+    * and degree totals (the undirected list carries both directions, so 2m
+    * is simply its row count and every sum is an exact long), and each
+    * community's Q term is one deterministic double expression over those
+    * longs. O(edges) total, readout O(communities); unlabeled endpoints
+    * fold into community −1 rather than silently dropping edges.
+    */
+  val modularity = Declared(
+    "graph_modularity",
+    (s, dir) => {
+      val (und, labels) = tradeLabelSpread(s, dir)
+      val tagged = und
+        .join(labels.select(col("node").as("src"), col("label").as("sl")),
+          Seq("src"), "left")
+        .join(labels.select(col("node").as("dst"), col("label").as("dl")),
+          Seq("dst"), "left")
+        .select(coalesce(col("sl"), lit(-1L)).as("sl"),
+          coalesce(col("dl"), lit(-1L)).as("dl"))
+      val total = tagged.agg(count(lit(1)).as("n2m"))
+      tagged.groupBy(col("sl").as("label"))
+        .agg(count(lit(1)).as("deg_sum"),
+          sum(when(col("sl") === col("dl"), 1L).otherwise(0L)).as("in_ordered"))
+        .crossJoin(broadcast(total))
+        .select(col("label"),
+          expr("in_ordered DIV 2").as("in_edges"),
+          col("deg_sum"),
+          round(col("in_ordered").cast("double") / col("n2m") -
+            pow(col("deg_sum").cast("double") / col("n2m"), 2), 6).as("q_term"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH $spreadCtesSql,
+      tagged AS (
+        SELECT coalesce(ls.label, -1) AS sl, coalesce(ld.label, -1) AS dl
+        FROM und
+        LEFT JOIN l2 ls ON ls.node = und.src
+        LEFT JOIN l2 ld ON ld.node = und.dst),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n2m FROM tagged),
+      m AS (
+        SELECT sl AS label, CAST(count(*) AS BIGINT) AS deg_sum,
+          CAST(sum(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS BIGINT) AS in_ordered
+        FROM tagged GROUP BY sl)
+      SELECT label, in_ordered // 2 AS in_edges, deg_sum,
+        round(CAST(in_ordered AS DOUBLE) / tot.n2m -
+          (CAST(deg_sum AS DOUBLE) / tot.n2m) ^ 2, 6) AS q_term
+      FROM m CROSS JOIN tot ORDER BY label"""))
+
+  val all: Seq[Declared] = Seq(pagerank, triangles, kcore, labelSpread,
+    modularity)
 }

@@ -364,6 +364,99 @@ object QualityQ {
       ORDER BY determinant, dependent"""
     })
 
+  /** Disclosure-controlled release — the census-style mechanism downstream
+    * of [[kAnonymity]]'s audit (the audit says which groups are risky; this
+    * RELEASES the table safely): per (nation, segment) counts with small
+    * groups (< 10) suppressed outright and surviving counts perturbed then
+    * rounded to base 5 — the two standard statistical-disclosure-control
+    * primitives (cell suppression + controlled rounding). The perturbation
+    * here is a salted-hash offset in {−1, 0, 1}: DETERMINISTIC by design so
+    * the oracle can replay it — an honest stand-in for the mechanism's
+    * shape, documented as such (real differential privacy requires
+    * calibrated fresh randomness, which no hash provides). One group fold,
+    * one map-side expression per row; the release never touches row-level
+    * data twice.
+    */
+  val dpRelease = Declared(
+    "dq_dp_release",
+    (s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("nation"), col("segment"),
+          when(col("n") >= 10,
+            expr(s"((n + (${graft.functions.Hashing.md5Hash32SparkSql(
+              "concat(cast(nation AS string), ':', segment)")} % 3 - 1) + 2) DIV 5) * 5"))
+            .as("n_released"),
+          (col("n") < 10).as("suppressed"))
+        .orderBy(col("nation"), col("segment"))
+    },
+    Some {
+      val h = graft.functions.Hashing.md5Hash32DuckSql("nation || ':' || segment")
+      s"""WITH g AS (
+        SELECT c_nationkey AS nation, c_mktsegment AS segment,
+          CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2)
+      SELECT nation, segment,
+        CASE WHEN n >= 10 THEN ((n + ($h % 3 - 1) + 2) // 5) * 5 END AS n_released,
+        n < 10 AS suppressed
+      FROM g ORDER BY nation, segment"""
+    })
+
+  /** Referential-integrity sweep over the full FK graph — [[expectations]]
+    * checks one FK; this audits EVERY edge of the star schema in one ledger
+    * (the nightly load gate a warehouse actually runs): per edge, child row
+    * count, orphan count (child keys with no parent), and the orphan
+    * fraction. Each edge is one left join + conditional sum — a single
+    * keyed shuffle (broadcast when the dim is small, Catalyst's call);
+    * adding an edge adds a row, never a table rescan elsewhere.
+    */
+  val orphanReport = Declared(
+    "dq_orphan_report",
+    (s, dir) => {
+      val edges = Seq(
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"))
+      edges.map { case (ct, ck, pt, pk) =>
+        t(s, dir, ct).select(col(ck))
+          .join(t(s, dir, pt).select(col(pk)).distinct(),
+            col(ck) === col(pk), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(s"$ct.$ck").as("fk"), lit(s"$pt.$pk").as("references"),
+            col("n_rows"), col("n_orphans"),
+            round(col("n_orphans").cast("double") / col("n_rows"), 6)
+              .as("orphan_frac"))
+      }.reduce(_ unionByName _).orderBy(col("fk"), col("references"))
+    },
+    Some {
+      val edges = Seq(
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"))
+      val rows = edges.map { case (ct, ck, pt, pk) =>
+        s"""SELECT '$ct.$ck' AS fk, '$pt.$pk' AS "references",
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_orphans
+        FROM $ct c LEFT JOIN (SELECT DISTINCT $pk FROM $pt) p
+          ON c.$ck = p.$pk"""
+      }.mkString("\n        UNION ALL ")
+      s"""SELECT fk, "references", n_rows, n_orphans,
+        round(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_frac
+      FROM (
+        $rows)
+      ORDER BY fk, "references""""
+    })
+
   val all: Seq[Declared] = Seq(expectations, driftPsi, kAnonymity, profile,
-    fdDiscovery)
+    fdDiscovery, dpRelease, orphanReport)
 }

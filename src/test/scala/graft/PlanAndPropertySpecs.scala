@@ -482,7 +482,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_perplexity_band", // 1-row global token-total broadcast (unigram_nll's shape)
     "sim_ivfpq_delete",  // same broadcast-probe shapes as sim_ivfpq_stored
     "graph_label_spread", // 1-row broadcast node-count scalar
-    "sim_ivf_nprobe_curve" // 1-row broadcast probe vector + per-n 1-row scalars
+    "sim_ivf_nprobe_curve", // 1-row broadcast probe vector + per-n 1-row scalars
+    "graph_modularity"   // 1-row broadcast edge-count scalar
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

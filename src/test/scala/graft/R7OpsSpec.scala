@@ -664,6 +664,53 @@ class R7OpsSpec extends AnyFunSuite {
     assert(diff == 0L, "bucket+filter must be exactly the theta-join result")
   }
 
+  test("graph_modularity: degree accounting exact, Q bounded") {
+    val rs = run("graph_modularity").collect()
+    assert(rs.nonEmpty)
+    // Σ deg_sum over communities = 2m = both directions of every edge
+    val eraw = Tables.t(spark, TestSpark.sf, "lineitem")
+      .join(Tables.t(spark, TestSpark.sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().count()
+    assert(rs.map(_.getAs[Long]("deg_sum")).sum == 2 * eraw)
+    rs.foreach { r =>
+      assert(2 * r.getAs[Long]("in_edges") <= r.getAs[Long]("deg_sum"),
+        "internal edge endpoints are a subset of the community's degree")
+    }
+    val q = rs.map(_.getAs[Double]("q_term")).sum
+    assert(q >= -1.0 && q <= 1.0, s"modularity $q out of range")
+  }
+
+  test("dq_dp_release: suppression threshold enforced, released counts base-5") {
+    val rs = run("dq_dp_release").collect()
+    val raw = Tables.t(spark, TestSpark.sf, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment")).count().collect()
+      .map(r => (r.getAs[Long]("c_nationkey"), r.getAs[String]("c_mktsegment")) ->
+        r.getAs[Long]("count")).toMap
+    rs.foreach { r =>
+      val n = raw((r.getAs[Long]("nation"), r.getAs[String]("segment")))
+      assert(r.getAs[Boolean]("suppressed") == (n < 10))
+      if (r.getAs[Boolean]("suppressed"))
+        assert(r.isNullAt(r.fieldIndex("n_released")),
+          "suppressed cells must release nothing")
+      else {
+        val rel = r.getAs[Long]("n_released")
+        assert(rel % 5 == 0, "controlled rounding to base 5")
+        assert(math.abs(rel - n) <= 5, "perturbation + rounding moves a count by at most 5")
+      }
+    }
+  }
+
+  test("dq_orphan_report: covers every FK edge with exact child counts") {
+    val rs = run("dq_orphan_report").collect()
+    assert(rs.length == 6)
+    val li = Tables.t(spark, TestSpark.sf, "lineitem").count()
+    rs.filter(_.getAs[String]("fk").startsWith("lineitem."))
+      .foreach(r => assert(r.getAs[Long]("n_rows") == li,
+        "left join must neither drop nor duplicate child rows"))
+    rs.foreach(r => assert(r.getAs[Long]("n_orphans") >= 0L))
+  }
+
   test("events_seasonality: buckets valid, top-3 ordered, shares bounded") {
     val rs = run("events_seasonality").collect()
     assert(rs.nonEmpty)
