@@ -1333,10 +1333,58 @@ object EventsQ {
         min(b_start) AS first_burst
       FROM pairs GROUP BY user_id ORDER BY user_id"""))
 
+  /** Incident extraction + MTTR — the ops readout built on
+    * [[intervalOverlap]]'s burst definition: hours whose error count
+    * exceeds 2× the average hourly error rate (a broadcast scalar, so the
+    * threshold adapts to scale instead of hard-coding a count) merge into
+    * INCIDENTS via gaps-and-islands (island key = hour − row_number hours,
+    * one ordered window over the tiny burst-hour table), and each incident
+    * reports its span and peak. This is sessionization's exact shape on the
+    * monitoring domain — the state is O(burst hours), never O(events) —
+    * and the mean-time-to-recovery the pager report quotes is one aggregate
+    * over the incident table.
+    */
+  val mttr = Declared(
+    "events_mttr",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .filter(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val thr = hourly.agg((sum(col("n")) * 2.0 / count(lit(1))).as("thr"))
+      val bursts = hourly.crossJoin(broadcast(thr))
+        .filter(col("n") > col("thr"))
+      val w = Window.orderBy(col("h"))
+      bursts
+        .withColumn("island",
+          col("h") - expr("make_interval(0, 0, 0, 0, CAST(row_number() OVER (ORDER BY h) AS INT), 0, 0)"))
+        .groupBy(col("island"))
+        .agg(min(col("h")).as("start_hour"),
+          max(col("h")).as("end_hour"),
+          count(lit(1)).as("n_hours"),
+          max(col("n")).as("peak_errors"))
+        .drop("island")
+        .orderBy(col("start_hour"))
+    },
+    Some("""WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE event_type = 'error' GROUP BY 1),
+      thr AS (SELECT sum(n) * 2.0 / count(*) AS thr FROM hourly),
+      bursts AS (
+        SELECT h, n FROM hourly CROSS JOIN thr WHERE n > thr.thr),
+      isl AS (
+        SELECT h, n,
+          h - to_hours(row_number() OVER (ORDER BY h)) AS island
+        FROM bursts)
+      SELECT min(h) AS start_hour, max(h) AS end_hour,
+        CAST(count(*) AS BIGINT) AS n_hours,
+        CAST(max(n) AS BIGINT) AS peak_errors
+      FROM isl GROUP BY island ORDER BY start_hour"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
     rfm, interpolate, asofTolerance, botDetection, survival, seasonality,
-    sequenceMining, changepoint, stlDecompose, intervalOverlap)
+    sequenceMining, changepoint, stlDecompose, intervalOverlap, mttr)
 }

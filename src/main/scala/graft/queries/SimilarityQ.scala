@@ -816,6 +816,54 @@ object SimilarityQ {
     * (StoredIndexPruningSpec pins the PartitionFilters). Result — and
     * oracle — identical to [[ivfPq]] by construction.
     */
+  /** Binary sign-bit retrieval — the 32×-compressed first stage a memory-
+    * bound vector store runs before any float math ([[matryoshka]] shrinks
+    * DIMENSIONS; this shrinks PRECISION to one bit per dim): each 64-dim
+    * vector packs into ONE long (bit i = sign of dim i, folded with bitwise
+    * OR so bit 63 can't overflow either engine), the query's Hamming
+    * distance is a single `bit_count(xor)` per row — no array math at all —
+    * and the top-10 rides a TakeOrderedAndProject with the exact cosine
+    * attached so the bit-stage's fidelity is visible per row. 63 bits —
+    * dim 64's bit stays clear so neither engine's signed left-shift can
+    * overflow (mm_phash_dedup's convention). At scale the packed column is
+    * 8 bytes/vector: the whole corpus's first stage fits where 1% of the
+    * floats would, which is the entire point.
+    */
+  val hammingTopk = Declared(
+    "sim_hamming_topk",
+    (s, dir) => {
+      val packed = expr(
+        """aggregate(sequence(0, 62), 0L,
+           (acc, i) -> acc | IF(element_at(embedding, CAST(i + 1 AS INT)) > CAST(0 AS FLOAT),
+                                shiftleft(1L, CAST(i AS INT)), 0L))""")
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .withColumn("bits", packed)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("bits").as("qbits"), col("embedding").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          expr("bit_count(bits ^ qbits)").cast("int").as("hamming"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH packed AS (
+        SELECT vec_id, embedding,
+          list_aggregate(list_transform(range(0, 63),
+            i -> CASE WHEN embedding[CAST(i AS INTEGER) + 1] > 0
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                 ELSE 0 END), 'bit_or') AS bits
+        FROM embeddings),
+      q AS (SELECT bits AS qbits, embedding AS qv FROM packed WHERE vec_id = 0)
+      SELECT p.vec_id,
+        CAST(bit_count(xor(p.bits, q.qbits)) AS INTEGER) AS hamming,
+        round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+          CAST(q.qv AS DOUBLE[])), 6) AS cos
+      FROM packed p CROSS JOIN q
+      WHERE p.vec_id <> 0
+      ORDER BY hamming, vec_id LIMIT 10"""))
+
   /** nprobe sweep — the serving-latency dial every IVF deployment tunes
     * ([[lshTuning]]'s counterpart for the vector index, and the curve behind
     * sim_ivfpq_recall's single point): probe 1, 2, 3, then all 4 cells of
@@ -1808,5 +1856,5 @@ object SimilarityQ {
       ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower,
       streamAnnProbe, ivfPqAppend, matryoshka, clusterSilhouette, hardnegMine,
       knnGraph, bucketBalance, retrievalMrr, retrievalNdcg, ivfPqDelete,
-      ivfNprobeCurve)
+      ivfNprobeCurve, hammingTopk)
 }

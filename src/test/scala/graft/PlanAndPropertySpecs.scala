@@ -483,7 +483,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivfpq_delete",  // same broadcast-probe shapes as sim_ivfpq_stored
     "graph_label_spread", // 1-row broadcast node-count scalar
     "sim_ivf_nprobe_curve", // 1-row broadcast probe vector + per-n 1-row scalars
-    "graph_modularity"   // 1-row broadcast edge-count scalar
+    "graph_modularity",  // 1-row broadcast edge-count scalar
+    "sim_hamming_topk",  // 1-row broadcast packed query vector
+    "events_mttr"        // 1-row broadcast burst-threshold scalar
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
@@ -512,7 +514,8 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val allowedGlobalWindow = Set(
     "corpus_zipf", // rank over a TakeOrderedAndProject'd top-100 term list
-    "q_approx_quantile" // cumulative walk over the 256-row bin table
+    "q_approx_quantile", // cumulative walk over the 256-row bin table
+    "events_mttr" // islands walk over the calendar-bounded burst-hour table
   )
 
   test("no unpartitioned (single-reducer) window operators anywhere") {

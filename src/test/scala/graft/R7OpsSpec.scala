@@ -711,6 +711,45 @@ class R7OpsSpec extends AnyFunSuite {
     rs.foreach(r => assert(r.getAs[Long]("n_orphans") >= 0L))
   }
 
+  test("sim_hamming_topk: packing is faithful — top hit's distance recomputes") {
+    val rs = run("sim_hamming_topk").collect()
+    assert(rs.length == 10)
+    val hs = rs.map(_.getAs[Int]("hamming"))
+    assert(hs.sameElements(hs.sorted) && hs.forall(h => h >= 0 && h <= 63))
+    // recompute the winner's Hamming distance driver-side from raw floats
+    val top = rs.head.getAs[Long]("vec_id")
+    val e = Tables.t(spark, TestSpark.sf, "embeddings")
+    val Array(qv, tv) = e.filter(col("vec_id").isin(0L, top))
+      .orderBy(col("vec_id")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding"))
+    val expected = (0 until 63).count(i => (qv(i) > 0) != (tv(i) > 0))
+    assert(rs.head.getAs[Int]("hamming") == expected,
+      s"bit-pack distance ${rs.head.getAs[Int]("hamming")} != recomputed $expected")
+  }
+
+  test("events_mttr: incidents are maximal runs of consecutive burst hours") {
+    val rs = run("events_mttr").collect()
+    assert(rs.nonEmpty)
+    val hour = 3600L * 1000000L // micros
+    def us(r: org.apache.spark.sql.Row, c: String) = {
+      val i = r.getAs[java.sql.Timestamp](c).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    rs.foreach { r =>
+      assert(us(r, "end_hour") - us(r, "start_hour") ==
+        (r.getAs[Long]("n_hours") - 1) * hour,
+        "an incident spans exactly its consecutive hours")
+      assert(r.getAs[Long]("peak_errors") > 0L)
+    }
+    // maximality: incidents are separated by at least one calm hour
+    rs.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(us(b, "start_hour") - us(a, "end_hour") >= 2 * hour,
+          "adjacent incidents would have merged into one island")
+      case _ =>
+    }
+  }
+
   test("events_seasonality: buckets valid, top-3 ordered, shares bounded") {
     val rs = run("events_seasonality").collect()
     assert(rs.nonEmpty)
