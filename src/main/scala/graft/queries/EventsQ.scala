@@ -1312,7 +1312,9 @@ object EventsQ {
       cand.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_overlaps"),
           countDistinct(col("b_start")).as("n_bursts"),
-          min(col("b_start")).as("first_burst"))
+          // UTC-pinned session ⇒ the NTZ cast is value-preserving (the
+          // fixture timestamp convention; CI bans session-tz outputs)
+          expr("CAST(min(b_start) AS TIMESTAMP_NTZ)").as("first_burst"))
         .orderBy(col("user_id"))
     },
     Some("""WITH act AS (
@@ -1359,8 +1361,11 @@ object EventsQ {
         .withColumn("island",
           col("h") - expr("make_interval(0, 0, 0, 0, CAST(row_number() OVER (ORDER BY h) AS INT), 0, 0)"))
         .groupBy(col("island"))
-        .agg(min(col("h")).as("start_hour"),
-          max(col("h")).as("end_hour"),
+        .agg(
+          // UTC-pinned session ⇒ NTZ casts are value-preserving (fixture
+          // timestamp convention; CI bans session-tz outputs)
+          expr("CAST(min(h) AS TIMESTAMP_NTZ)").as("start_hour"),
+          expr("CAST(max(h) AS TIMESTAMP_NTZ)").as("end_hour"),
           count(lit(1)).as("n_hours"),
           max(col("n")).as("peak_errors"))
         .drop("island")

@@ -732,7 +732,7 @@ class R7OpsSpec extends AnyFunSuite {
     assert(rs.nonEmpty)
     val hour = 3600L * 1000000L // micros
     def us(r: org.apache.spark.sql.Row, c: String) = {
-      val i = r.getAs[java.sql.Timestamp](c).toInstant
+      val i = r.getAs[java.time.LocalDateTime](c).toInstant(java.time.ZoneOffset.UTC)
       i.getEpochSecond * 1000000L + i.getNano / 1000L
     }
     rs.foreach { r =>
