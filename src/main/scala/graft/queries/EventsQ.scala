@@ -1386,10 +1386,83 @@ object EventsQ {
         CAST(max(n) AS BIGINT) AS peak_errors
       FROM isl GROUP BY island ORDER BY start_hour"""))
 
+  /** Lagged autocorrelation of hourly event volume — the periodicity
+    * DETECTOR upstream of [[seasonality]]'s profile and [[forecastSma]]'s
+    * horizon choice: per event type, the Pearson correlation between the
+    * hourly series and itself shifted by 24 h (daily rhythm) and 168 h
+    * (weekly rhythm). A strong r_24 says hour-of-day features/windows are
+    * the right model; r≈0 says the volume is memoryless at that lag.
+    *
+    * Scale shape: the fact table folds ONCE to the O(types × hours) hourly
+    * grid; each lag is then an equi-join of that tiny series against its
+    * exact timestamp shift (never a window over a dense spine — missing
+    * hours simply pair nowhere, the standard irregular-series treatment),
+    * and each (type, lag) folds to one row of exact integer sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²). r is computed from those longs in one
+    * fixed IEEE sequence — n·Σxy−Σx·Σy over sqrt of the two matching
+    * variance terms — so no floating accumulation order exists anywhere;
+    * degenerate lags (either side constant) emit NULL rather than a 0/0.
+    */
+  val autocorr = Declared(
+    "events_autocorr",
+    (s, dir) => {
+      val hourlyN = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // O(types × hours); joined against itself per lag
+      val lagged = Seq(24, 168).map { lag =>
+        hourlyN.select(col("event_type"), col("h"), col("n").as("x"))
+          .join(hourlyN.select(col("event_type"),
+            (col("h") - expr(s"INTERVAL $lag HOURS")).as("h"),
+            col("n").as("y")), Seq("event_type", "h"))
+          .withColumn("lag_hours", lit(lag))
+      }.reduce(_ union _)
+      lagged.groupBy(col("event_type"), col("lag_hours"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("lag_hours"), col("n_pairs"),
+          round(
+            (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt(nullif(
+                (col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                  (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"),
+                lit(0.0))),
+            6).as("r"))
+        .orderBy(col("event_type"), col("lag_hours"))
+    },
+    Some("""WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      lagged AS (
+        SELECT a.event_type, CAST(24 AS INT) AS lag_hours, a.n AS x, b.n AS y
+        FROM hourly a JOIN hourly b
+          ON a.event_type = b.event_type AND a.h = b.h - INTERVAL 24 HOURS
+        UNION ALL
+        SELECT a.event_type, CAST(168 AS INT) AS lag_hours, a.n AS x, b.n AS y
+        FROM hourly a JOIN hourly b
+          ON a.event_type = b.event_type AND a.h = b.h - INTERVAL 168 HOURS),
+      sums AS (
+        SELECT event_type, lag_hours, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(y * y) AS BIGINT) AS syy
+        FROM lagged GROUP BY 1, 2)
+      SELECT event_type, lag_hours, n_pairs,
+        round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+          sqrt(nullif(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
+            CAST(n_pairs * syy - sy * sy AS DOUBLE), 0.0)), 6) AS r
+      FROM sums ORDER BY event_type, lag_hours"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
     rfm, interpolate, asofTolerance, botDetection, survival, seasonality,
-    sequenceMining, changepoint, stlDecompose, intervalOverlap, mttr)
+    sequenceMining, changepoint, stlDecompose, intervalOverlap, mttr,
+    autocorr)
 }

@@ -409,6 +409,78 @@ object GraphQ {
           (CAST(deg_sum AS DOUBLE) / tot.n2m) ^ 2, 6) AS q_term
       FROM m CROSS JOIN tot ORDER BY label"""))
 
+  /** Link prediction over the part co-purchase graph (the "parts bought
+    * together but never yet in the same basket pair" recommender readout):
+    * each non-adjacent pair (x, y) scored by the Resource-Allocation index
+    * RA = Σ_{z ∈ Γ(x)∩Γ(y)} 1/deg(z) (Zhou et al. 2009) — the
+    * common-neighbor family's member whose terms are exact rationals, so
+    * the whole score lives in integer NANO-UNITS via `1e9 div deg` and no
+    * float summation order exists in either engine (Adamic–Adar's 1/ln(deg)
+    * would drag libm in). Candidate generation is the wedge join: both
+    * oriented copies of the edge list joined on the shared neighbor z, the
+    * x<y filter canonicalizes pairs, and a LEFT ANTI join against the edge
+    * list keeps only NON-edges — prediction, not re-discovery.
+    *
+    * Scale shape: wedge fan-out through z is deg(z)², so super-hubs are
+    * capped out (deg ≤ 64) BEFORE the self-join — the standard RA truncation
+    * (a hub's per-wedge contribution is ≤ 1/65 while its cost is quadratic;
+    * dropping it changes scores by at most the tail mass it carried, and the
+    * cap is part of the declared semantics, applied identically in the
+    * oracle). Everything else is keyed joins + one hash aggregate over the
+    * bounded wedge set; top-20 is TakeOrderedAndProject.
+    */
+  val linkPredict = Declared(
+    "graph_link_predict",
+    (s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e0 = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("p1"), col("p2"))
+        .localCheckpoint() // consumed by degrees, wedges, and the anti probe
+      val und = e0.select(col("p1").as("z"), col("p2").as("v"))
+        .union(e0.select(col("p2").as("z"), col("p1").as("v")))
+      val deg = und.groupBy(col("z")).agg(count(lit(1)).as("d"))
+      val hub = und.join(deg.filter(col("d") <= 64), "z")
+      val cand = hub.select(col("z"), col("d"), col("v").as("x"))
+        .join(hub.select(col("z"), col("v").as("y")), "z")
+        .filter(col("x") < col("y"))
+        .groupBy(col("x"), col("y"))
+        .agg(sum(expr("1000000000L div d")).as("ra_nano"),
+          count(lit(1)).as("n_common"))
+      cand
+        .join(e0.select(col("p1").as("x"), col("p2").as("y")),
+          Seq("x", "y"), "left_anti")
+        .orderBy(col("ra_nano").desc, col("x"), col("y"))
+        .limit(20)
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      und AS (
+        SELECT p1 AS z, p2 AS v FROM e0
+        UNION ALL SELECT p2 AS z, p1 AS v FROM e0),
+      deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY z),
+      hub AS (SELECT und.z, und.v, deg.d FROM und
+        JOIN deg ON und.z = deg.z AND deg.d <= 64),
+      cand AS (
+        SELECT a.v AS x, b.v AS y,
+          CAST(sum(1000000000 // a.d) AS BIGINT) AS ra_nano,
+          CAST(count(*) AS BIGINT) AS n_common
+        FROM hub a JOIN hub b ON a.z = b.z AND a.v < b.v
+        GROUP BY 1, 2)
+      SELECT x, y, ra_nano, n_common FROM cand
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e0 WHERE e0.p1 = cand.x AND e0.p2 = cand.y)
+      ORDER BY ra_nano DESC, x, y LIMIT 20"""))
+
   val all: Seq[Declared] = Seq(pagerank, triangles, kcore, labelSpread,
-    modularity)
+    modularity, linkPredict)
 }

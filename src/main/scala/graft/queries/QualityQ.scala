@@ -457,6 +457,84 @@ object QualityQ {
       ORDER BY fk, "references""""
     })
 
+  /** Benford's-law first-digit audit over order totals — the classic
+    * fabricated-numbers screen (synthetic or tampered financial data drifts
+    * from the logarithmic first-digit distribution real multiplicative
+    * processes follow). One conditional fold: the fact scan reduces to the
+    * 9-row digit histogram in a single hash aggregate, every readout is
+    * arithmetic over that tiny table — O(9) state at any table size.
+    *
+    * Determinism: the first digit is extracted from integer CENTS via a
+    * string-length power-of-ten division (never log10 of a double, whose
+    * last-ulp at exact powers of ten could flip a digit between engines);
+    * the expected Benford shares are literal integer nano-fractions
+    * (log10(1+1/d) pre-rounded, not recomputed in either engine's libm);
+    * the chi-square statistic folds per-digit terms already rounded to
+    * nano-units, so no float summation order exists. The deviation column
+    * makes the verdict per-digit attributable; chi2_nano is the one-number
+    * gate (fixture reads high — uniform-ish synthetic prices are exactly
+    * what Benford flags).
+    */
+  val benford = Declared(
+    "dq_benford",
+    (s, dir) => {
+      val cents = t(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+        .filter(col("c") > 0)
+      val digits = cents
+        .select(expr(
+          "c div CAST(pow(10, length(CAST(c AS STRING)) - 1) AS BIGINT)")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val expNano = expr("""CASE digit
+        WHEN 1 THEN 301029996L WHEN 2 THEN 176091259L WHEN 3 THEN 124938737L
+        WHEN 4 THEN 96910013L WHEN 5 THEN 79181246L WHEN 6 THEN 66946790L
+        WHEN 7 THEN 57991947L WHEN 8 THEN 51152522L ELSE 45757491L END""")
+      val tot = digits.agg(sum(col("n_obs")).as("n_total"))
+      val perDigit = digits.crossJoin(broadcast(tot))
+        .withColumn("exp_nano", expNano)
+        .withColumn("obs_nano",
+          expr("CAST(round(n_obs * 1e9 / n_total) AS BIGINT)"))
+        .withColumn("chi_term_nano", expr(
+          """CAST(round(CAST((obs_nano - exp_nano) AS DOUBLE) *
+             (obs_nano - exp_nano) / exp_nano) AS BIGINT)"""))
+      val chi2 = perDigit.agg(sum(col("chi_term_nano")).as("chi2_nano"))
+      perDigit.crossJoin(broadcast(chi2))
+        .select(col("digit"), col("n_obs"),
+          round(col("obs_nano") / 1e9, 6).as("obs_frac"),
+          round(col("exp_nano") / 1e9, 6).as("exp_frac"),
+          (col("obs_nano") - col("exp_nano")).as("dev_nano"),
+          col("chi2_nano"))
+        .orderBy(col("digit"))
+    },
+    Some("""WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders WHERE round(o_totalprice * 100) > 0),
+      digits AS (
+        SELECT c // CAST(pow(10, length(CAST(c AS VARCHAR)) - 1) AS BIGINT)
+          AS digit, CAST(count(*) AS BIGINT) AS n_obs
+        FROM cents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM digits),
+      pd AS (
+        SELECT digit, n_obs,
+          CASE digit
+            WHEN 1 THEN 301029996 WHEN 2 THEN 176091259 WHEN 3 THEN 124938737
+            WHEN 4 THEN 96910013 WHEN 5 THEN 79181246 WHEN 6 THEN 66946790
+            WHEN 7 THEN 57991947 WHEN 8 THEN 51152522 ELSE 45757491
+          END AS exp_nano,
+          CAST(round(n_obs * 1e9 / n_total) AS BIGINT) AS obs_nano
+        FROM digits CROSS JOIN tot),
+      pd2 AS (
+        SELECT *, CAST(round(CAST(obs_nano - exp_nano AS DOUBLE) *
+            (obs_nano - exp_nano) / exp_nano) AS BIGINT) AS chi_term_nano
+        FROM pd),
+      chi AS (SELECT CAST(sum(chi_term_nano) AS BIGINT) AS chi2_nano FROM pd2)
+      SELECT digit, n_obs,
+        round(obs_nano / 1e9, 6) AS obs_frac,
+        round(exp_nano / 1e9, 6) AS exp_frac,
+        obs_nano - exp_nano AS dev_nano, chi.chi2_nano
+      FROM pd2 CROSS JOIN chi ORDER BY digit"""))
+
   val all: Seq[Declared] = Seq(expectations, driftPsi, kAnonymity, profile,
-    fdDiscovery, dpRelease, orphanReport)
+    fdDiscovery, dpRelease, orphanReport, benford)
 }

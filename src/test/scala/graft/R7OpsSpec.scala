@@ -765,4 +765,74 @@ class R7OpsSpec extends AnyFunSuite {
         s"type $t: counts not non-increasing over rank")
     }
   }
+
+  test("dq_benford: digits partition the positive-total orders; one chi2") {
+    val rs = run("dq_benford").collect()
+    assert(rs.map(_.getAs[Long]("digit")).sorted.sameElements(1L to 9L),
+      "exactly one row per first digit 1..9")
+    val nPos = Tables.t(spark, TestSpark.sf, "orders")
+      .filter(expr("CAST(round(o_totalprice * 100) AS BIGINT) > 0")).count()
+    assert(rs.map(_.getAs[Long]("n_obs")).sum == nPos,
+      "digit histogram partitions the audited rows")
+    assert(rs.map(_.getAs[Long]("chi2_nano")).distinct.length == 1,
+      "chi2 is one statistic broadcast to every row")
+    val fracSum = rs.map(_.getAs[Double]("obs_frac")).sum
+    assert(math.abs(fracSum - 1.0) < 1e-4, s"obs shares sum to 1, got $fracSum")
+    rs.foreach { r =>
+      // obs_frac/exp_frac are the 6-dp display of the same nano values, so
+      // the reconstruction agrees to within the dropped 3 digits
+      val approx = math.round(r.getAs[Double]("obs_frac") * 1e9) -
+        math.round(r.getAs[Double]("exp_frac") * 1e9)
+      assert(math.abs(r.getAs[Long]("dev_nano") - approx) < 1000L,
+        "deviation column is obs - exp in nano units")
+    }
+  }
+
+  test("graph_link_predict: predictions are non-edges with bounded RA terms") {
+    val rs = run("graph_link_predict").collect()
+    assert(rs.nonEmpty)
+    // recompute the co-purchase edge set independently and prove disjointness
+    val items = Tables.t(spark, TestSpark.sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("p1"), col("p2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rs.foreach { r =>
+      val (x, y) = (r.getAs[Long]("x"), r.getAs[Long]("y"))
+      assert(x < y, "pairs canonicalized low < high")
+      assert(!edges.contains((x, y)), s"($x,$y) is already an edge — not a prediction")
+      val ra = r.getAs[Long]("ra_nano"); val nc = r.getAs[Long]("n_common")
+      assert(nc >= 1L)
+      // every common neighbor has 2 <= deg <= 64 (hub cap), so each term
+      // is in [1e9 div 64, 1e9 div 2]
+      assert(ra >= nc * 15625000L && ra <= nc * 500000000L,
+        s"RA score $ra outside the per-term bounds for $nc common neighbors")
+    }
+    val scores = rs.map(_.getAs[Long]("ra_nano"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "top-20 ordered by score desc")
+  }
+
+  test("events_autocorr: one row per (type, lag), |r| <= 1, longer lag fewer pairs") {
+    val rs = run("events_autocorr").collect()
+    val byType = rs.groupBy(_.getString(0))
+    byType.foreach { case (t, g) =>
+      assert(g.map(_.getAs[Int]("lag_hours")).sorted.sameElements(Array(24, 168)),
+        s"type $t: exactly lags 24 and 168")
+      val p24 = g.find(_.getAs[Int]("lag_hours") == 24).get.getAs[Long]("n_pairs")
+      val p168 = g.find(_.getAs[Int]("lag_hours") == 168).get.getAs[Long]("n_pairs")
+      assert(p24 > p168, s"type $t: the 168 h shift must overlap fewer hours")
+    }
+    rs.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") > 0L)
+      if (!r.isNullAt(r.fieldIndex("r"))) {
+        val v = r.getAs[Double]("r")
+        assert(v >= -1.0 && v <= 1.0, s"correlation $v out of range")
+      }
+    }
+  }
 }
