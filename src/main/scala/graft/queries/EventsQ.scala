@@ -1458,11 +1458,102 @@ object EventsQ {
             CAST(n_pairs * syy - sy * sy AS DOUBLE), 0.0)), 6) AS r
       FROM sums ORDER BY event_type, lag_hours"""))
 
+  /** CUPED variance reduction (Deng et al. 2013) — the follow-up [[abTest]]
+    * needs in practice: the experiment's outcome metric (post-period
+    * purchases per user) is adjusted by each user's PRE-period covariate
+    * (total events before the split date), removing the between-user
+    * variance the covariate explains. θ = cov(x, y)/var(x) is fitted pooled
+    * (the covariate predates the treatment, so pooling is unbiased), the
+    * adjusted arm difference is diff_raw − θ·(x̄_a − x̄_b) (the x̄_all
+    * terms cancel), and ρ² is the variance fraction removed — the readout
+    * that says how much smaller the experiment could have been.
+    *
+    * Scale shape: one per-user conditional fold (x, y per user in a single
+    * hash aggregate over the fact scan), then ONE global aggregate folds
+    * every moment and both arms' sums into a single row — two shuffles at
+    * any event volume, the [[abTest]] discipline. Determinism: all sums are
+    * exact longs; θ, the means, and ρ² are computed from those longs in one
+    * fixed IEEE sequence mirrored operand-for-operand in the oracle (ρ²'s
+    * numerator squares in double — the long square would overflow).
+    */
+  val cuped = Declared(
+    "events_cuped",
+    (s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+        .agg(
+          sum(when(expr("ts < TIMESTAMP '2024-01-16 00:00:00'"), 1L)
+            .otherwise(0L)).as("x"),
+          sum(when(expr("ts >= TIMESTAMP '2024-01-16 00:00:00'") &&
+            col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val wide = perUser.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("x")).otherwise(0L)).as("sxa"),
+        sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sya"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("x")).otherwise(0L)).as("sxb"),
+        sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("syb"))
+      val covNum = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val varY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      val theta = covNum / varX
+      val diffRaw = col("sya").cast("double") / col("n_a") -
+        col("syb").cast("double") / col("n_b")
+      val diffX = col("sxa").cast("double") / col("n_a") -
+        col("sxb").cast("double") / col("n_b")
+      wide.select(
+        col("n_a"), col("n_b"),
+        round(diffRaw, 6).as("diff_raw"),
+        round(theta, 6).as("theta"),
+        round(diffRaw - theta * diffX, 6).as("diff_cuped"),
+        round(covNum * covNum / (varX * varY), 6).as("rho2"))
+    },
+    Some("""WITH per_user AS (
+        SELECT user_id % 2 AS variant, user_id,
+          CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+            THEN 1 ELSE 0 END) AS BIGINT) AS x,
+          CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+            AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      wide AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(y * y) AS BIGINT) AS syy,
+          CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+          CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+          CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+          CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS syb
+        FROM per_user)
+      SELECT n_a, n_b,
+        round(CAST(sya AS DOUBLE) / n_a - CAST(syb AS DOUBLE) / n_b, 6)
+          AS diff_raw,
+        round(CAST(n * sxy - sx * sy AS DOUBLE) /
+          CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+        round((CAST(sya AS DOUBLE) / n_a - CAST(syb AS DOUBLE) / n_b) -
+          (CAST(n * sxy - sx * sy AS DOUBLE) /
+            CAST(n * sxx - sx * sx AS DOUBLE)) *
+          (CAST(sxa AS DOUBLE) / n_a - CAST(sxb AS DOUBLE) / n_b), 6)
+          AS diff_cuped,
+        round(CAST(n * sxy - sx * sy AS DOUBLE) *
+          CAST(n * sxy - sx * sy AS DOUBLE) /
+          (CAST(n * sxx - sx * sx AS DOUBLE) *
+            CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho2
+      FROM wide"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
     rfm, interpolate, asofTolerance, botDetection, survival, seasonality,
     sequenceMining, changepoint, stlDecompose, intervalOverlap, mttr,
-    autocorr)
+    autocorr, cuped)
 }

@@ -1850,11 +1850,84 @@ object SimilarityQ {
         round(sum(s) / count(*) / 1e9, 6) AS ndcg10
       FROM scaled GROUP BY qlabel ORDER BY label"""))
 
+  /** Reciprocal-Rank Fusion (Cormack et al. 2009) of two retrievers — the
+    * hybrid-search merge every production vector+lexical stack runs: here
+    * the 32×-compressed sign-bit Hamming ranking ([[hammingTopk]]'s first
+    * stage) fused with the exact-cosine ranking, RRF(d) = Σ 1/(60 + rank_i)
+    * over the lists containing d. Fusion needs only RANKS, never comparable
+    * scores — exactly why it survives heterogeneous retrievers.
+    *
+    * Scale shape: each ranking is a TakeOrderedAndProject top-30 over one
+    * corpus scan (the packed bits + cosine are computed in the same pass;
+    * Spark runs the scan once per ranking — map-side work, no shuffle);
+    * the rank window then runs over the LIMITed 30 rows, so the global
+    * window touches a fixed row count at any corpus size. The fusion join
+    * is a 30×30 full outer on vec_id. Determinism: RRF terms are
+    * `1e9 div (60 + rank)` integer nano-units — exact rationals summed as
+    * longs, no float anywhere; absent ranks contribute 0 (standard RRF).
+    */
+  val rrfFusion = Declared(
+    "sim_rrf_fusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val packed = expr(
+        """aggregate(sequence(0, 62), 0L,
+           (acc, i) -> acc | IF(element_at(embedding, CAST(i + 1 AS INT)) > CAST(0 AS FLOAT),
+                                shiftleft(1L, CAST(i AS INT)), 0L))""")
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .withColumn("bits", packed)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("bits").as("qbits"), col("embedding").as("qv"))
+      val scored = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          expr("bit_count(bits ^ qbits)").cast("int").as("hamming"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+      val topH = scored.orderBy(col("hamming"), col("vec_id")).limit(30)
+        .withColumn("rank_h",
+          row_number().over(Window.orderBy(col("hamming"), col("vec_id"))))
+      val topC = scored.orderBy(col("cos").desc, col("vec_id")).limit(30)
+        .withColumn("rank_c",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      topH.select(col("vec_id"), col("rank_h"))
+        .join(topC.select(col("vec_id"), col("rank_c")), Seq("vec_id"), "full_outer")
+        .select(col("vec_id"), col("rank_h"), col("rank_c"),
+          (coalesce(expr("1000000000L div (60 + rank_h)"), lit(0L)) +
+            coalesce(expr("1000000000L div (60 + rank_c)"), lit(0L))).as("rrf_nano"))
+        .orderBy(col("rrf_nano").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH packed AS (
+        SELECT vec_id, embedding,
+          list_aggregate(list_transform(range(0, 63),
+            i -> CASE WHEN embedding[CAST(i AS INTEGER) + 1] > 0
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                 ELSE 0 END), 'bit_or') AS bits
+        FROM embeddings),
+      q AS (SELECT bits AS qbits, embedding AS qv FROM packed WHERE vec_id = 0),
+      scored AS (
+        SELECT p.vec_id,
+          CAST(bit_count(xor(p.bits, q.qbits)) AS INTEGER) AS hamming,
+          round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+            CAST(q.qv AS DOUBLE[])), 6) AS cos
+        FROM packed p CROSS JOIN q WHERE p.vec_id <> 0),
+      th AS (SELECT vec_id,
+          CAST(row_number() OVER (ORDER BY hamming, vec_id) AS INTEGER) AS rank_h
+        FROM scored ORDER BY hamming, vec_id LIMIT 30),
+      tc AS (SELECT vec_id,
+          CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS rank_c
+        FROM scored ORDER BY cos DESC, vec_id LIMIT 30)
+      SELECT coalesce(th.vec_id, tc.vec_id) AS vec_id, rank_h, rank_c,
+        coalesce(CAST(1000000000 AS BIGINT) // (60 + rank_h), 0) +
+          coalesce(CAST(1000000000 AS BIGINT) // (60 + rank_c), 0) AS rrf_nano
+      FROM th FULL OUTER JOIN tc ON th.vec_id = tc.vec_id
+      ORDER BY rrf_nano DESC, vec_id LIMIT 10"""))
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
       ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower,
       streamAnnProbe, ivfPqAppend, matryoshka, clusterSilhouette, hardnegMine,
       knnGraph, bucketBalance, retrievalMrr, retrievalNdcg, ivfPqDelete,
-      ivfNprobeCurve, hammingTopk)
+      ivfNprobeCurve, hammingTopk, rrfFusion)
 }

@@ -164,8 +164,47 @@ object SqlSurface {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""")
 
+  /** Recursive CTE (SQL:1999 WITH RECURSIVE, landed in Spark 4): bounded
+    * multi-hop reachability from a 10-customer seed set over the
+    * customer–supplier trade graph, the SAME query text executing on both
+    * engines — the strongest possible dialect-parity statement for the
+    * feature. The recursion is UNION ALL path enumeration capped at hop < 2
+    * (each level joins the frontier to the edge list), then min(hop) folds
+    * paths to distances and the readout is the O(3 × 2) distance × kind
+    * census. Scope stated plainly: UNION ALL recursion enumerates PATHS, so
+    * its cost is Σ deg^hops of the seed set — fine for bounded-hop
+    * neighborhood queries like this one; UNBOUNDED traversal at scale
+    * belongs to the iterative checkpoint loop ([[graft.queries.GraphQ]]
+    * label spread / pagerank), which dedups the frontier every round.
+    */
+  val recursiveCte = both(
+    "q_recursive_cte",
+    """WITH RECURSIVE e AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000000 AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT DISTINCT l.l_suppkey + 1000000000 AS src, o.o_custkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      reach AS (
+        SELECT c_custkey AS node, 0 AS hop
+        FROM customer WHERE c_custkey <= 10
+        UNION ALL
+        SELECT e.dst AS node, r.hop + 1 AS hop
+        FROM reach r JOIN e ON e.src = r.node
+        WHERE r.hop < 2),
+      agg AS (
+        SELECT node, min(hop) AS dist, CAST(count(*) AS BIGINT) AS n_paths
+        FROM reach GROUP BY node)
+      SELECT dist,
+        CASE WHEN node >= 1000000000 THEN 'supplier' ELSE 'customer' END AS kind,
+        CAST(count(*) AS BIGINT) AS n_nodes,
+        CAST(sum(n_paths) AS BIGINT) AS n_paths
+      FROM agg
+      GROUP BY 1, 2
+      ORDER BY dist, kind""")
+
   val all: Seq[Declared] = Seq(
     cte, subqueryScalar, subqueryIn, subqueryCorrelated, valuesQ, having,
     subqueryExists, decimalAgg, groupByAll, likePatterns, lateralJoin, tryArith,
-    aggFilter)
+    aggFilter, recursiveCte)
 }

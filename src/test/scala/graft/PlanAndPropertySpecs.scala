@@ -485,7 +485,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_nprobe_curve", // 1-row broadcast probe vector + per-n 1-row scalars
     "graph_modularity",  // 1-row broadcast edge-count scalar
     "sim_hamming_topk",  // 1-row broadcast packed query vector
-    "events_mttr"        // 1-row broadcast burst-threshold scalar
+    "events_mttr",       // 1-row broadcast burst-threshold scalar
+    "sim_rrf_fusion",    // 1-row broadcast packed query vector (two rankings)
+    "dq_benford"         // 1-row broadcast total / chi2 scalars
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
@@ -515,7 +517,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val allowedGlobalWindow = Set(
     "corpus_zipf", // rank over a TakeOrderedAndProject'd top-100 term list
     "q_approx_quantile", // cumulative walk over the 256-row bin table
-    "events_mttr" // islands walk over the calendar-bounded burst-hour table
+    "events_mttr", // islands walk over the calendar-bounded burst-hour table
+    "sim_rrf_fusion" // rank over each TakeOrderedAndProject'd top-30 list
   )
 
   test("no unpartitioned (single-reducer) window operators anywhere") {

@@ -835,4 +835,58 @@ class R7OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_recursive_cte: hop census alternates kinds on the bipartite graph") {
+    val rs = run("q_recursive_cte").collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val dist = r.getAs[Int]("dist")
+      assert(dist >= 0 && dist <= 2, "recursion bounded at hop < 2")
+      val expected = if (dist % 2 == 0) "customer" else "supplier"
+      assert(r.getAs[String]("kind") == expected,
+        s"bipartite hops must alternate kinds at dist $dist")
+      assert(r.getAs[Long]("n_paths") >= r.getAs[Long]("n_nodes"),
+        "every node has at least one path")
+    }
+    val seeds = rs.find(_.getAs[Int]("dist") == 0).get
+    val nSeeds = Tables.t(spark, TestSpark.sf, "customer")
+      .filter(col("c_custkey") <= 10).count()
+    assert(seeds.getAs[Long]("n_nodes") == nSeeds,
+      "dist-0 census is exactly the seed set")
+    // UNION ALL recursion enumerates PATHS: hop-2 back-edges revisit the
+    // seeds, so the dist-0 bucket carries more paths than nodes
+    assert(seeds.getAs[Long]("n_paths") >= seeds.getAs[Long]("n_nodes"))
+  }
+
+  test("sim_rrf_fusion: scores recompute from ranks; ranks bounded") {
+    val rs = run("sim_rrf_fusion").collect()
+    assert(rs.length == 10)
+    rs.foreach { r =>
+      val h = if (r.isNullAt(r.fieldIndex("rank_h"))) None
+              else Some(r.getAs[Int]("rank_h"))
+      val c = if (r.isNullAt(r.fieldIndex("rank_c"))) None
+              else Some(r.getAs[Int]("rank_c"))
+      assert(h.isDefined || c.isDefined, "fused row came from neither list")
+      (h.toSeq ++ c.toSeq).foreach(rk => assert(rk >= 1 && rk <= 30))
+      val expected = h.map(rk => 1000000000L / (60 + rk)).getOrElse(0L) +
+        c.map(rk => 1000000000L / (60 + rk)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_nano") == expected,
+        "RRF score is exactly the sum of reciprocal-rank nano terms")
+    }
+    val scores = rs.map(_.getAs[Long]("rrf_nano"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("events_cuped: one-row readout with bounded variance reduction") {
+    val rs = run("events_cuped").collect()
+    assert(rs.length == 1)
+    val r = rs.head
+    assert(r.getAs[Long]("n_a") > 0L && r.getAs[Long]("n_b") > 0L)
+    val users = Tables.t(spark, TestSpark.sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users,
+      "arms partition the user population")
+    val rho2 = r.getAs[Double]("rho2")
+    assert(rho2 >= 0.0 && rho2 <= 1.0, s"rho2 $rho2 outside [0,1]")
+  }
 }
