@@ -1549,11 +1549,120 @@ object EventsQ {
             CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho2
       FROM wide"""))
 
+  /** OHLC bar resampling — the finance-style open/high/low/close roll-up of
+    * the event value series per (type, hour), the standard reduction that
+    * turns a raw tick stream into chartable/modellable bars. Open/close are
+    * POSITIONAL (first/last value by time), which is where distributed
+    * determinism usually leaks; here they ride two STACKED hash aggregates:
+    * the first folds each exact timestamp to its (event_id-tiebroken) first
+    * and last value via min_by/max_by — so duplicate timestamps resolve
+    * deterministically — and the second picks per-hour open/close by
+    * timestamp via min_by/max_by again (arg_min/arg_max in the oracle).
+    * No window pass, no sort of the fact table, exact double pass-through
+    * (values are selected, never summed). High/low/n ride the same folds.
+    */
+  val ohlc = Declared(
+    "events_ohlc",
+    (s, dir) => {
+      val byTs = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          col("ts"))
+        .agg(
+          min_by(col("value"), col("event_id")).as("vf"),
+          max_by(col("value"), col("event_id")).as("vl"),
+          max(col("value")).as("hi"), min(col("value")).as("lo"),
+          count(lit(1)).as("n"))
+      byTs.groupBy(col("event_type"), col("h"))
+        .agg(
+          min_by(col("vf"), col("ts")).as("open"),
+          max(col("hi")).as("high"), min(col("lo")).as("low"),
+          max_by(col("vl"), col("ts")).as("close"),
+          sum(col("n")).as("n_events"))
+        .select(col("event_type"), col("h").cast("timestamp_ntz").as("h"),
+          col("open"), col("high"), col("low"), col("close"), col("n_events"))
+        .orderBy(col("event_type"), col("h"))
+    },
+    Some("""WITH by_ts AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, ts,
+          arg_min(value, event_id) AS vf, arg_max(value, event_id) AS vl,
+          max(value) AS hi, min(value) AS lo,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3)
+      SELECT event_type, h,
+        arg_min(vf, ts) AS open, max(hi) AS high, min(lo) AS low,
+        arg_max(vl, ts) AS close, CAST(sum(n) AS BIGINT) AS n_events
+      FROM by_ts GROUP BY 1, 2
+      ORDER BY event_type, h"""))
+
+  /** Experiment power analysis — the design readout [[abTest]] and
+    * [[cuped]] feed into: from the observed arm sizes and pooled conversion
+    * rate, (a) the minimum detectable absolute effect at 80% power / 5%
+    * two-sided α with the CURRENT sample, and (b) the per-arm sample size a
+    * 2-point absolute lift would require — the "how long must this test
+    * run" number. Same two-stacked-aggregate fold as abTest (per-user
+    * conversion, then one row of exact longs); the z quantiles are literal
+    * constants (1.959964, 0.841621 — never an engine's inverse-normal), so
+    * every double op is one fixed IEEE sequence over exact integers.
+    */
+  val power = Declared(
+    "events_power",
+    (s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14, 1L)
+          .otherwise(0L).as("conv"))
+      val wide = perUser.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("x_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("x_b"))
+      // z_{0.975} + z_{0.80} pre-summed as ONE literal (2.801585): an
+      // engine-side double ADDITION of the two quantiles could differ in
+      // the last ulp from the parsed sum; a single decimal→double literal
+      // conversion cannot
+      val zsum = lit(2.801585)
+      val pp = (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b"))
+      wide.select(
+        col("n_a"), col("n_b"),
+        round(pp, 6).as("pooled_rate"),
+        round(zsum * sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("mde_abs"),
+        expr("""CAST(ceil(CAST(2.801585 AS DOUBLE) * CAST(2.801585 AS DOUBLE) *
+          CAST(2.0 AS DOUBLE) * (CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+          (CAST(1.0 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) /
+          CAST(0.0004 AS DOUBLE)) AS BIGINT)""")
+          .as("n_req_per_arm"))
+    },
+    Some("""WITH per_user AS (
+        SELECT user_id % 2 AS variant, user_id,
+          CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+               THEN 1 ELSE 0 END AS conv
+        FROM events GROUP BY 1, 2),
+      wide AS (
+        SELECT
+          CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+          CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        FROM per_user)
+      SELECT n_a, n_b,
+        round(CAST(x_a + x_b AS DOUBLE) / (n_a + n_b), 6) AS pooled_rate,
+        round(CAST(2.801585 AS DOUBLE) *
+          sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+            (CAST(1.0 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+            (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)), 6)
+          AS mde_abs,
+        CAST(ceil(CAST(2.801585 AS DOUBLE) * CAST(2.801585 AS DOUBLE) *
+          CAST(2.0 AS DOUBLE) * (CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+          (CAST(1.0 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) /
+          CAST(0.0004 AS DOUBLE)) AS BIGINT) AS n_req_per_arm
+      FROM wide"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
     rfm, interpolate, asofTolerance, botDetection, survival, seasonality,
     sequenceMining, changepoint, stlDecompose, intervalOverlap, mttr,
-    autocorr, cuped)
+    autocorr, cuped, ohlc, power)
 }

@@ -1627,11 +1627,101 @@ object TextQ {
       FROM perdoc"""
     })
 
+  /** RAKE keyword extraction (Rose et al. 2010) — unsupervised corpus
+    * keyphrases for dataset cards and topic audits: candidate phrases are
+    * maximal stopword-free word runs (capped at 4 words — the cap bounds
+    * every downstream fan-out and long runs in stopword-poor text are
+    * word salad, not keyphrases), each word is scored deg/freq over the
+    * candidate set (deg = Σ phrase length per occurrence, with
+    * multiplicity — co-occurrence degree; freq = occurrences), and a
+    * phrase scores the sum of its member word scores.
+    *
+    * Scale shape: phrase assembly is one per-doc partitioned window
+    * (pos − row_number islands over the non-stopword positions — the
+    * gaps-and-islands discipline, state one doc's words per partition)
+    * plus one hash aggregate; word stats fold the phrase table to the
+    * vocabulary; phrase scoring joins the DISTINCT phrase texts (not
+    * occurrences) to word scores on the word key. Word scores are
+    * `(1e9·deg) div freq` integer nano-units and phrase scores sum those
+    * longs — exact rationals end-to-end, no float order anywhere.
+    */
+  val rakeKeywords = Declared(
+    "text_rake_keywords",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val en = stopwords.toMap.apply("en")
+      val stopArr = array(en.map(lit): _*)
+      val pw = t(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"), posexplode(TextFns.words(col("text"))).as(Seq("pos", "w")))
+        .filter(!array_contains(stopArr, col("w")))
+        .withColumn("island",
+          col("pos") - row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      val phrases = pw.groupBy(col("doc_id"), col("island"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)")
+          .as("pws"))
+        .filter(size(col("pws")) <= 4)
+        .select(array_join(col("pws"), " ").as("phrase"),
+          size(col("pws")).as("plen"))
+      val wordStats = phrases
+        .select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("w"), expr("(1000000000L * deg) div freq").as("wscore_nano"))
+      val distinctPhrases = phrases.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occur"), max(col("plen")).as("n_words"))
+      distinctPhrases
+        .select(col("phrase"), col("n_occur"), col("n_words"),
+          explode(split(col("phrase"), " ")).as("w"))
+        .join(wordStats, "w")
+        .groupBy(col("phrase"), col("n_occur"), col("n_words"))
+        .agg(sum(col("wscore_nano")).as("score_nano"))
+        .orderBy(col("score_nano").desc, col("phrase"))
+        .limit(15)
+    },
+    Some("""WITH pw0 AS (
+        SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+          SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+            i -> {'pos': CAST(i AS INTEGER),
+                  'w': ws[CAST(i + 1 AS INTEGER)]})) AS u
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                FROM documents WHERE lang = 'en'))),
+      pw AS (
+        SELECT doc_id, pos, w,
+          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM pw0
+        WHERE NOT list_contains(['the','a','of','and','to','in','is','it'], w)),
+      phrases AS (
+        SELECT string_agg(w, ' ' ORDER BY pos) AS phrase,
+          CAST(count(*) AS BIGINT) AS plen
+        FROM pw GROUP BY doc_id, island
+        HAVING count(*) <= 4),
+      word_stats AS (
+        SELECT u.w AS w,
+          (1000000000 * CAST(sum(plen) AS BIGINT)) // CAST(count(*) AS BIGINT)
+            AS wscore_nano
+        FROM (SELECT plen, unnest(string_split(phrase, ' ')) AS w
+              FROM phrases) u
+        GROUP BY u.w),
+      dp AS (
+        SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur,
+          CAST(max(plen) AS INTEGER) AS n_words
+        FROM phrases GROUP BY phrase),
+      pwords AS (
+        SELECT dp.phrase, dp.n_occur, dp.n_words,
+          unnest(string_split(dp.phrase, ' ')) AS w
+        FROM dp)
+      SELECT p.phrase, p.n_occur, p.n_words,
+        CAST(sum(ws.wscore_nano) AS BIGINT) AS score_nano
+      FROM pwords p JOIN word_stats ws ON p.w = ws.w
+      GROUP BY p.phrase, p.n_occur, p.n_words
+      ORDER BY score_nano DESC, phrase LIMIT 15"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
     boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats,
     langidReport, langidKappa, charEntropy, fertility, langidCalibration,
     classifierScore, gopherRules, qualityCurve, heaps, bpeTrain, bpeEncode,
-    datasheet, perplexityBand)
+    datasheet, perplexityBand, rakeKeywords)
 }

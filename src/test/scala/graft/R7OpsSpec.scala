@@ -889,4 +889,53 @@ class R7OpsSpec extends AnyFunSuite {
     val rho2 = r.getAs[Double]("rho2")
     assert(rho2 >= 0.0 && rho2 <= 1.0, s"rho2 $rho2 outside [0,1]")
   }
+
+  test("events_ohlc: bars bracket open/close; bar counts partition events") {
+    val rs = run("events_ohlc").collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h, s"open $o outside [low $l, high $h]")
+      assert(l <= c && c <= h, s"close $c outside [low $l, high $h]")
+      assert(r.getAs[Long]("n_events") > 0L)
+    }
+    val total = Tables.t(spark, TestSpark.sf, "events").count()
+    assert(rs.map(_.getAs[Long]("n_events")).sum == total,
+      "bars partition the event stream")
+  }
+
+  test("events_power: readouts recompute from the arm sums") {
+    val r = run("events_power").collect().head
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val pp = r.getAs[Double]("pooled_rate")
+    assert(pp > 0.0 && pp < 1.0)
+    val mde = r.getAs[Double]("mde_abs")
+    val expectMde = 2.801585 * math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(mde - expectMde) < 1e-5,
+      s"mde $mde != recomputed $expectMde (pooled_rate is rounded, so ~)")
+    val nReq = r.getAs[Long]("n_req_per_arm")
+    val expectN = math.ceil(2.801585 * 2.801585 * 2.0 * pp * (1 - pp) / 0.0004)
+    assert(math.abs(nReq - expectN) <= 1.0,
+      s"required n $nReq != recomputed $expectN")
+  }
+
+  test("text_rake_keywords: stopword-free phrases with bounded word scores") {
+    val rs = run("text_rake_keywords").collect()
+    assert(rs.length == 15)
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    rs.foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(words.nonEmpty && words.length <= 4)
+      assert(words.forall(w => !stop.contains(w)),
+        s"phrase '${r.getAs[String]("phrase")}' contains a stopword")
+      assert(r.getAs[Int]("n_words") == words.length)
+      // each member word scores deg/freq >= 1 (deg counts its own phrase
+      // lengths, each >= 1 per occurrence), so the phrase floor is n_words
+      assert(r.getAs[Long]("score_nano") >= words.length * 1000000000L)
+      assert(r.getAs[Long]("n_occur") >= 1L)
+    }
+    val scores = rs.map(_.getAs[Long]("score_nano"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
 }
