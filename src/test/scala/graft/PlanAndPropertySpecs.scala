@@ -518,7 +518,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "corpus_zipf", // rank over a TakeOrderedAndProject'd top-100 term list
     "q_approx_quantile", // cumulative walk over the 256-row bin table
     "events_mttr", // islands walk over the calendar-bounded burst-hour table
-    "sim_rrf_fusion" // rank over each TakeOrderedAndProject'd top-30 list
+    "sim_rrf_fusion", // rank over each TakeOrderedAndProject'd top-30 list
+    "q_skyline_pareto" // running min over the ≤|size-domain|-row fold
   )
 
   test("no unpartitioned (single-reducer) window operators anywhere") {

@@ -938,4 +938,64 @@ class R7OpsSpec extends AnyFunSuite {
     val scores = rs.map(_.getAs[Long]("score_nano"))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q_pit_join: validity intervals tile — every lineitem matches once") {
+    val rs = run("q_pit_join").collect()
+    assert(rs.nonEmpty)
+    val totalItems = rs.map(_.getAs[Long]("n_items")).sum
+    // base = the FACT side (inner join drops the fixture's deliberate FK
+    // orphans — the rows dq_orphan_report exists to count)
+    val factCount = Tables.t(spark, TestSpark.sf, "lineitem")
+      .join(Tables.t(spark, TestSpark.sf, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(totalItems == factCount,
+      s"PIT lookup emitted $totalItems rows for $factCount facts — " +
+        "every fact row must be accounted for exactly once")
+    rs.foreach { r =>
+      assert(r.getAs[Long]("n_tier_drifted") <= r.getAs[Long]("n_items"))
+      if (r.getAs[String]("tier") == "NO-HISTORY")
+        assert(r.getAs[Long]("n_tier_drifted") == 0L,
+          "pre-history rows cannot drift — they matched no version")
+    }
+  }
+
+  test("q_skyline_pareto: no returned point is dominated; front is maximal") {
+    val rs = run("q_skyline_pareto").collect()
+    assert(rs.nonEmpty)
+    // independent recompute of the per-size fold
+    val bySize = Tables.t(spark, TestSpark.sf, "part")
+      .groupBy(col("p_size"))
+      .agg(min(expr("CAST(round(p_retailprice * 100) AS BIGINT)")).as("bc"))
+      .collect().map(r => (r.getAs[Int]("p_size"), r.getAs[Long]("bc"))).toMap
+    val sky = rs.map(r => (r.getAs[Int]("p_size"),
+      math.round(r.getAs[Double]("best_price") * 100)))
+    sky.foreach { case (sz, pc) =>
+      assert(bySize(sz) == pc, s"size $sz best price drifted")
+      val dominated = bySize.exists { case (sz2, pc2) =>
+        sz2 >= sz && pc2 <= pc && (sz2 > sz || pc2 < pc)
+      }
+      assert(!dominated, s"($sz, $pc) is dominated — not Pareto-optimal")
+    }
+    // maximality: every non-returned size is dominated by some skyline point
+    bySize.keys.filterNot(sky.map(_._1).toSet).foreach { sz =>
+      val pc = bySize(sz)
+      assert(sky.exists { case (s2, p2) =>
+        s2 >= sz && p2 <= pc && (s2 > sz || p2 < pc)
+      }, s"size $sz omitted but not dominated")
+    }
+  }
+
+  test("op_vacuum_versions: old partition dirs physically gone, latest intact") {
+    val r = run("op_vacuum_versions").collect().head
+    assert(r.getAs[Int]("survivor_version") == 3)
+    assert(r.getAs[Long]("n_versions_after") == 1L)
+    assert(r.getAs[Long]("n_rows_dropped") > r.getAs[Long]("n_rows_latest"),
+      "v1+v2 together exceed the surviving snapshot")
+    val root = new java.io.File(Tables.scratch("vacuum_versions"))
+    val vdirs = root.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(vdirs.sameElements(Array("v=3")),
+      s"expected only v=3 to survive the vacuum, found ${vdirs.mkString(",")}")
+    assert(new java.io.File(root, "v=3").listFiles()
+      .exists(_.getName.endsWith(".parquet")), "surviving snapshot lost its files")
+  }
 }
