@@ -725,8 +725,111 @@ object Coverage3 {
         (SELECT CAST(count(*) AS BIGINT) FROM base) +
           (SELECT CAST(count(*) AS BIGINT) FROM v2) AS n_rows_dropped"""))
 
+  /** Distributed synthetic data generation — the dsdgen/dbgen shape as a
+    * SOURCE: `spark.range` is an embarrassingly parallel generator (each
+    * slice materializes its id span independently — at cluster scale the
+    * 100 TB test corpus is generated in place, never shipped), and every
+    * derived column is pure integer arithmetic on the id (Knuth
+    * multiplicative constant for value spread, modulus for group skew) so
+    * any engine regenerates bit-identical content from the same recipe —
+    * the property that makes generated fixtures a cross-system contract.
+    * Readout: per group-band counts plus a position-weighted checksum that
+    * pins CONTENT, not just counts, without materializing a single row to
+    * the driver.
+    */
+  val syntheticGen = Declared(
+    "q_synthetic_gen",
+    (s, _) => {
+      s.range(100000).toDF("id")
+        .select(col("id"),
+          (col("id") % 97).as("grp"),
+          ((col("id") * 2654435761L) % 1000000L).as("cents"))
+        .groupBy((col("grp") % 8).as("band"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          sum(col("cents") * (col("id") % 7 + 1)).as("checksum"))
+        .orderBy(col("band"))
+    },
+    Some("""WITH gen AS (
+        SELECT range AS id, range % 97 AS grp,
+          (range * 2654435761) % 1000000 AS cents
+        FROM range(0, 100000))
+      SELECT grp % 8 AS band, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(cents) AS BIGINT) AS sum_cents,
+        CAST(min(cents) AS BIGINT) AS min_cents,
+        CAST(max(cents) AS BIGINT) AS max_cents,
+        CAST(sum(cents * (id % 7 + 1)) AS BIGINT) AS checksum
+      FROM gen GROUP BY 1 ORDER BY band"""))
+
+  /** Rule-enforced write split (quarantine pattern) — the APPLY half of
+    * dq_expectations' report: every lineitem row is routed to the CLEAN
+    * table or the QUARANTINE table with its first violated rule attached
+    * (fixed rule priority, so attribution is deterministic), both sides
+    * written to parquet, and the ledger is recomputed FROM THE READBACK so
+    * a match proves the physical split, not just the plan. Rules: quantity
+    * present and in [1, 50], discount in [0, 0.1], duplicate
+    * (orderkey, linenumber) keys (ALL copies quarantined — keep-first would
+    * be order-dependent), FK orphans against orders. One keyed window for
+    * the dup count + one distinct-key left join for the FK probe; the row
+    * routing itself is map-side.
+    */
+  val quarantineWrite = Declared(
+    "op_quarantine_write",
+    (s, dir) => {
+      val out = Tables.scratch("quarantine_split")
+      val dupW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"), col("l_linenumber"))
+      val okeys = t(s, dir, "orders").select(col("o_orderkey")).distinct()
+      val tagged = t(s, dir, "lineitem")
+        .withColumn("dupn", count(lit(1)).over(dupW))
+        .join(okeys, col("l_orderkey") === col("o_orderkey"), "left")
+        .withColumn("reason",
+          when(col("l_quantity").isNull, "null_quantity")
+            .when(col("l_quantity") < 1 || col("l_quantity") > 50, "quantity_range")
+            .when(col("l_discount") < 0 || col("l_discount") > 0.1, "discount_range")
+            .when(col("dupn") > 1, "duplicate_key")
+            .when(col("o_orderkey").isNull, "fk_orphan"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("reason"))
+      tagged.filter(col("reason").isNull).drop("reason")
+        .write.mode("overwrite").parquet(s"$out/clean")
+      tagged.filter(col("reason").isNotNull)
+        .write.mode("overwrite").parquet(s"$out/quarantine")
+      val clean = s.read.parquet(s"$out/clean")
+        .agg(count(lit(1)).as("n_rows")).select(lit("clean").as("status"),
+          lit("-").as("reason"), col("n_rows"))
+      val quar = s.read.parquet(s"$out/quarantine")
+        .groupBy(col("reason")).agg(count(lit(1)).as("n_rows"))
+        .select(lit("quarantine").as("status"), col("reason"), col("n_rows"))
+      clean.unionByName(quar).orderBy(col("status"), col("reason"))
+    },
+    Some("""WITH tagged AS (
+        SELECT l.l_orderkey, l.l_quantity, l.l_discount,
+          count(*) OVER (PARTITION BY l.l_orderkey, l.l_linenumber) AS dupn,
+          o.o_orderkey
+        FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey),
+      reasons AS (
+        SELECT CASE
+          WHEN l_quantity IS NULL THEN 'null_quantity'
+          WHEN l_quantity < 1 OR l_quantity > 50 THEN 'quantity_range'
+          WHEN l_discount < 0 OR l_discount > 0.1 THEN 'discount_range'
+          WHEN dupn > 1 THEN 'duplicate_key'
+          WHEN o_orderkey IS NULL THEN 'fk_orphan'
+        END AS reason FROM tagged)
+      SELECT 'clean' AS status, '-' AS reason,
+        CAST(count(*) AS BIGINT) AS n_rows
+      FROM reasons WHERE reason IS NULL
+      UNION ALL
+      SELECT 'quarantine', reason, CAST(count(*) AS BIGINT)
+      FROM reasons WHERE reason IS NOT NULL GROUP BY reason
+      ORDER BY status, reason"""))
+
   val all: Seq[Declared] = Seq(
     notInNulls, embedQuantize, simMips, zorderLayout, scd2Build, mergeUpsert,
     compactFiles, describeOp, eventsFunnel, dynamicOverwrite, tableVersioning,
-    layoutPruning, pseudonymize, pitJoin, skyline, vacuumVersions)
+    layoutPruning, pseudonymize, pitJoin, skyline, vacuumVersions,
+    syntheticGen, quarantineWrite)
 }

@@ -398,6 +398,25 @@ object ExtrasQ {
         CAST(n_events AS BIGINT) AS n_events
       FROM ranked WHERE rn = 1 ORDER BY user_id"""))
 
+  val streamCdcApply = Declared(
+    "stream_cdc_apply",
+    (s, dir) => StreamingOps.foreachBatchCdc(s, dir),
+    Some("""WITH ranked AS (
+        SELECT user_id,
+          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+          CAST(round(value * 100) AS BIGINT) AS cents,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT
+        CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_live_users,
+        round(CAST(sum(CASE WHEN op <> 'D' THEN cents ELSE 0 END) AS BIGINT)
+          / 100.0, 2) AS total_value,
+        CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tombstoned
+      FROM ranked WHERE rn = 1"""))
+
   /** Perceptual-hash-style media fingerprinting (dHash shape): a 63-bit
     * fingerprint from adjacent-byte brightness comparisons over the payload,
     * grouped into duplicate-media clusters — the image-dedup stage that
@@ -707,6 +726,6 @@ object ExtrasQ {
     mmCatalog, mmFrames, mmBlob, mmDecode, mmResize, rollingHashQ, streamWindow,
     streamWindowSliding, streamWindowAppend, streamDedup, streamStaticJoin,
     streamStreamJoin, streamStreamOuter, streamSessionize,
-    streamIncrementalDedup, streamTopk, streamUpsert, streamQualityGate,
-    streamHllUsers, streamSimhashDedup)
+    streamIncrementalDedup, streamTopk, streamUpsert, streamCdcApply,
+    streamQualityGate, streamHllUsers, streamSimhashDedup)
 }

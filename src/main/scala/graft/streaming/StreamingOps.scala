@@ -861,6 +861,76 @@ object StreamingOps {
       .getOrElse(spark.emptyDataFrame)
   }
 
+  // running CDC target maintained by foreachBatchCdc: (last merged batchId,
+  // per-key latest change INCLUDING delete tombstones). Same retention and
+  // replay contracts as the upsert sink.
+  @volatile private var cdcState: Option[(Long, DataFrame)] = None
+  private[graft] def cdcReset(): Unit = cdcState = None
+  private[graft] def cdcSnapshot: Option[DataFrame] = cdcState.map(_._2)
+
+  /** One CDC merge step: fold the batch to each key's LATEST change (argmax
+    * on (ts, event_id) carrying the op code and value), then merge into the
+    * target keeping the later of (existing state, batch delta) — crucially
+    * WITHOUT dropping deletes: a tombstone must beat every earlier upsert
+    * yet lose to a later one, which only works if 'D' rows stay IN the
+    * keyed state (the Kafka-compaction discipline) and the read path
+    * filters them. State is O(keys), the merge is one keyed union +
+    * re-aggregate, lineage stays one merge deep via localCheckpoint.
+    */
+  private[graft] def cdcStep(batchId: Long, batch: DataFrame): Unit =
+    cdcState match {
+      case Some((last, _)) if batchId <= last => // replayed batch: skip
+      case cur =>
+        val delta = batch.groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("op"), col("cents")))
+            .as("last"))
+        val merged = cur.map(_._2) match {
+          case Some(t) => t.unionByName(delta)
+            .groupBy(col("user_id")).agg(max(col("last")).as("last"))
+          case None => delta
+        }
+        cdcState = Some((batchId, merged.localCheckpoint(true)))
+    }
+
+  /** Streaming CDC apply with DELETE tombstones — the op-code the plain
+    * upsert sink ([[foreachBatchUpsert]]) never sees: the event stream is
+    * read as a changelog (error events are deletes of their user's row,
+    * everything else upserts the event's value), each micro-batch merges
+    * into the keyed target via [[cdcStep]], and the final readout counts
+    * live rows, their total value, and the tombstoned keys. Batching-
+    * invariant by construction (per-key argmax over a total (ts, event_id)
+    * order commutes with any stream chopping), so the batch changelog
+    * ranking adjudicates the stream — the oracle's check.
+    */
+  def foreachBatchCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
+    val stream = streamTable(spark, sfDir, "events", rawSchema)
+      .select(
+        col("user_id"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        Tables.eventTsCol(rawSchema, "timestamp_ntz").as("ts"))
+    cdcReset()
+    runTuned(spark, scanParts) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          cdcStep(batchId, batch.toDF())
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    cdcSnapshot
+      .map(_.agg(
+        sum(when(col("last.op") =!= "D", 1L).otherwise(0L)).as("n_live_users"),
+        round(sum(when(col("last.op") =!= "D", col("last.cents")).otherwise(0L)) / 100.0, 2)
+          .as("total_value"),
+        sum(when(col("last.op") === "D", 1L).otherwise(0L)).as("n_tombstoned")))
+      .getOrElse(spark.emptyDataFrame)
+  }
+
   // running per-rule violation ledger maintained by qualityGate's
   // foreachBatch: (last merged batchId, rule -> counters). Same replay
   // discipline as the upsert sink — additive counters double-count on a
