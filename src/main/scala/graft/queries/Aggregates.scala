@@ -652,9 +652,44 @@ object Aggregates {
       FROM est, exact ORDER BY p"""
     })
 
+  /** GROUPING()/grouping_id level attribution — the piece [[rollupQ]]'s
+    * coalesce-to-'ALL' trick papers over: when a grouping column's REAL
+    * values could include NULL, only the grouping function distinguishes
+    * "aggregated away" from "genuinely null", and downstream consumers of
+    * a cube (report layers, OLAP caches) key on the integer level id. Both
+    * engines bit-pack the same way (first listed column = MSB, verified by
+    * the declared result): level 0 = detail, 1 = priority folded, 2 =
+    * status folded, 3 = grand total. Same Expand-based plan as q_cube —
+    * the function costs nothing extra.
+    */
+  val groupingId = Declared(
+    "q_grouping_id",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_prio"),
+          grouping_id().cast("long").as("level_id"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("g_status").cast("int").as("g_status"),
+          col("g_prio").cast("int").as("g_prio"),
+          col("level_id"), col("n"))
+        .orderBy(col("level_id"), col("status"), col("prio")),
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        coalesce(o_orderpriority, 'ALL') AS prio,
+        CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS level_id,
+        CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY level_id, status, prio"""))
+
   val all: Seq[Declared] = Seq(
     stats, percentiles, collects, minmax, boolBit, countDistinctQ, modeMedian,
     approxBound, hllSketch, cmsSketch, incrementalAgg, rollupQ, cubeQ,
     groupingSets, multiDistinct, listAgg, histogram, moments, mad,
-    approxQuantile)
+    approxQuantile, groupingId)
 }

@@ -1658,11 +1658,135 @@ object EventsQ {
           CAST(0.0004 AS DOUBLE)) AS BIGINT) AS n_req_per_arm
       FROM wide"""))
 
+  /** DAU/MAU stickiness — the engagement ratio every consumer product
+    * reports: per calendar day, distinct daily actives over distinct
+    * trailing-30-day actives. Exact distinct counting over a sliding window
+    * is the trap (a naive distinct-over-range re-scans the fact table per
+    * day); the scale shape folds events ONCE to the (user, day) grid, then
+    * each user-day contributes itself to the ≤30 future report days whose
+    * MAU window contains it — a calendar-bounded explode of the FOLDED
+    * table (30×|user-days|, never touching raw events again) — and one
+    * distinct aggregate per report day closes it. Report days are the
+    * observed days (no spine padding), so both engines enumerate the same
+    * rows; stickiness is one double division of two exact longs.
+    */
+  val stickiness = Declared(
+    "events_stickiness",
+    (s, dir) => {
+      val userDays = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .localCheckpoint() // O(users × days); consumed by DAU and MAU
+      val dau = userDays.groupBy(col("day").as("d"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val mau = userDays
+        .select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 29))")).as("d"))
+        .join(dau.select(col("d")), "d") // only observed report days
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(mau, "d")
+        .select(col("d"), col("dau"), col("mau"),
+          round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+        .orderBy(col("d"))
+    },
+    Some("""WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      dau AS (
+        SELECT day AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM user_days GROUP BY 1),
+      spread AS (
+        SELECT u.user_id, CAST(unnest(generate_series(u.day, u.day + 29,
+          INTERVAL 1 DAY)) AS DATE) AS d
+        FROM user_days u),
+      mau AS (
+        SELECT s.d, CAST(count(DISTINCT s.user_id) AS BIGINT) AS mau
+        FROM spread s JOIN dau ON s.d = dau.d GROUP BY 1)
+      SELECT d, dau.dau, mau.mau,
+        round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+      FROM dau JOIN mau USING (d) ORDER BY d"""))
+
+  /** Linear multi-touch attribution — the equal-credit counterpart to
+    * [[attribution]]'s last-touch model: each purchase splits one unit of
+    * credit equally across the purchase-preceding touches by TYPE. The
+    * per-purchase state is NOT the touch list (that join is quadratic in
+    * user activity) but the per-type running counts: five conditional
+    * running sums share ONE user-keyed window pass, and at each purchase
+    * the type's credit is `(1e9·cnt_type) div cnt_total` — integer
+    * nano-units, so the final per-type fold sums exact longs. Purchases
+    * with no preceding touch credit 'direct'. Shares are each purchase's
+    * exact rational; Σ credit ≈ purchases × 1e9 (off only by per-purchase
+    * div truncation, spec-bounded).
+    */
+  val attributionLinear = Declared(
+    "events_attribution_linear",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touchTypes = Seq("click", "error", "signup", "view")
+      val counted = t(s, dir, "events")
+        .select(Seq(col("user_id"), col("ts"), col("event_id"), col("event_type")) ++
+          touchTypes.map(tt =>
+            // empty preceding frame (a user's first event) sums to NULL
+            coalesce(
+              sum(when(col("event_type") === tt, 1L).otherwise(0L)).over(w),
+              lit(0L)).as(s"c_$tt")): _*)
+        .filter(col("event_type") === "purchase")
+        .withColumn("c_total", touchTypes.map(tt => col(s"c_$tt")).reduce(_ + _))
+      val credits = touchTypes.map { tt =>
+        counted.select(lit(tt).as("touch"),
+          when(col("c_total") > 0,
+            expr(s"(1000000000L * c_$tt) div c_total")).otherwise(0L).as("credit"))
+      }.reduce(_ unionByName _)
+        .unionByName(counted.select(lit("direct").as("touch"),
+          when(col("c_total") === 0, 1000000000L).otherwise(0L).as("credit")))
+      credits.groupBy(col("touch"))
+        .agg(sum(col("credit")).as("credit_nano"),
+          sum(when(col("credit") > 0, 1L).otherwise(0L)).as("n_purchases_credited"))
+        .orderBy(col("touch"))
+    },
+    Some("""WITH counted AS (
+        SELECT event_type,
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            OVER w - CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c_click,
+          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            OVER w - CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS c_error,
+          sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            OVER w - CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS c_signup,
+          sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            OVER w - CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS c_view
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      purchases AS (
+        SELECT c_click, c_error, c_signup, c_view,
+          c_click + c_error + c_signup + c_view AS c_total
+        FROM counted WHERE event_type = 'purchase'),
+      credits AS (
+        SELECT 'click' AS touch, CASE WHEN c_total > 0
+          THEN (1000000000 * c_click) // c_total ELSE 0 END AS credit FROM purchases
+        UNION ALL
+        SELECT 'error', CASE WHEN c_total > 0
+          THEN (1000000000 * c_error) // c_total ELSE 0 END FROM purchases
+        UNION ALL
+        SELECT 'signup', CASE WHEN c_total > 0
+          THEN (1000000000 * c_signup) // c_total ELSE 0 END FROM purchases
+        UNION ALL
+        SELECT 'view', CASE WHEN c_total > 0
+          THEN (1000000000 * c_view) // c_total ELSE 0 END FROM purchases
+        UNION ALL
+        SELECT 'direct', CASE WHEN c_total = 0 THEN 1000000000 ELSE 0 END
+        FROM purchases)
+      SELECT touch, CAST(sum(credit) AS BIGINT) AS credit_nano,
+        CAST(sum(CASE WHEN credit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_purchases_credited
+      FROM credits GROUP BY touch ORDER BY touch"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
     rfm, interpolate, asofTolerance, botDetection, survival, seasonality,
     sequenceMining, changepoint, stlDecompose, intervalOverlap, mttr,
-    autocorr, cuped, ohlc, power)
+    autocorr, cuped, ohlc, power, stickiness, attributionLinear)
 }

@@ -1068,4 +1068,51 @@ class R7OpsSpec extends AnyFunSuite {
       col("l_orderkey") === col("o_orderkey"), "left_anti").count()
     assert(orphans == 0L, "an FK orphan escaped the quarantine")
   }
+
+  test("q_grouping_id: level ids bit-pack identically to the grouping flags") {
+    val rs = run("q_grouping_id").collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val (gs, gp) = (r.getAs[Int]("g_status"), r.getAs[Int]("g_prio"))
+      assert(r.getAs[Long]("level_id") == gs * 2L + gp,
+        "grouping_id must be the bit-pack of the per-column flags, status = MSB")
+      assert((r.getAs[String]("status") == "ALL") == (gs == 1),
+        "ALL rows are exactly the aggregated-away rows")
+    }
+    val grand = rs.filter(_.getAs[Long]("level_id") == 3L)
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") ==
+      Tables.t(spark, TestSpark.sf, "orders").count())
+  }
+
+  test("events_stickiness: ratio bounded, MAU >= DAU, MAU monotone early") {
+    val rs = run("events_stickiness").collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      assert(r.getAs[Long]("mau") >= r.getAs[Long]("dau"),
+        "a daily active is by definition a monthly active")
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0)
+    }
+    // within the first 30 observed days every prior user-day is still in
+    // the trailing window, so MAU can only grow
+    val maus = rs.sortBy(_.getAs[java.sql.Date]("d").toString)
+      .map(_.getAs[Long]("mau")).take(30)
+    assert(maus.zip(maus.tail).forall { case (a, b) => b >= a },
+      "MAU must be non-decreasing inside the first window span")
+  }
+
+  test("events_attribution_linear: credit mass accounts for every purchase") {
+    val rs = run("events_attribution_linear").collect()
+    val purchases = Tables.t(spark, TestSpark.sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    val totalCredit = rs.map(_.getAs[Long]("credit_nano")).sum
+    // each purchase distributes exactly 1e9 nano-units, minus at most
+    // 3 units of integer-div truncation across its 4 touch shares
+    assert(totalCredit <= purchases * 1000000000L)
+    assert(totalCredit >= purchases * 1000000000L - purchases * 3,
+      s"credit mass $totalCredit lost more than truncation allows")
+    assert(rs.map(_.getAs[String]("touch")).sorted.sameElements(
+      Array("click", "direct", "error", "signup", "view")))
+  }
 }
