@@ -739,6 +739,72 @@ object EventsQ {
       FROM fc WHERE nprev = 3
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** EWMA level tracking per event type — the exponentially-weighted
+    * counterpart of [[forecastSma]]'s flat moving average: the smoother
+    * every ops/monitoring stack actually runs (recent hours dominate, old
+    * history decays geometrically). An EWMA is an inherently SEQUENTIAL
+    * recurrence (s' = (1−α)s + αx), which a window function cannot express
+    * without a per-row power term in floats; instead each type's hourly
+    * series folds through ONE higher-order-function `aggregate` lambda in
+    * exact scaled integers — s' = (3s + x) div 4 on micro-units (α = 1/4) —
+    * so both engines execute the identical left fold (DuckDB `list_reduce`
+    * seeds with the first element; the Spark fold slices to match) and no
+    * float accumulation order exists anywhere.
+    *
+    * Scale shape: the event scan folds to O(types × hours) rows in one hash
+    * aggregate ([[anomaly]]'s discipline); each type's series is
+    * calendar-bounded (8.8k hours/year regardless of event volume), so the
+    * collect_list + fold is per-GROUP bounded work inside a distributed
+    * aggregate — never a driver loop, never a single-reducer sort. The
+    * spike flag compares the last hour against twice the EWMA of its
+    * prefix — both exact longs, so the boolean cannot split the engines.
+    * Gaps are skipped, not zero-filled (the [[autocorr]] irregular-series
+    * treatment); counts are non-negative so integer `div` ≡ `//`.
+    */
+  val ewma = Declared(
+    "events_ewma",
+    (s, dir) => {
+      val fold = "(s, x) -> (3L * s + x) div 4L"
+      t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("series"))
+        .select(col("event_type"),
+          expr("transform(series, p -> p.n * 1000000L)").as("arr"))
+        .select(
+          col("event_type"),
+          size(col("arr")).as("n_hours"),
+          expr("element_at(arr, -1) div 1000000L").as("last_n"),
+          expr(s"aggregate(slice(arr, 2, greatest(size(arr) - 1, 0)), element_at(arr, 1), $fold)")
+            .as("ewma_micro"),
+          expr(s"aggregate(slice(slice(arr, 1, greatest(size(arr) - 1, 1)), 2, greatest(size(arr) - 2, 0)), element_at(arr, 1), $fold)")
+            .as("prev_micro"))
+        .select(
+          col("event_type"), col("n_hours"), col("last_n"), col("ewma_micro"),
+          abs(col("last_n") * 1000000L - col("prev_micro")).as("dev_micro"),
+          (col("last_n") * 1000000L > col("prev_micro") * 2L).as("spike"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      series AS (
+        SELECT event_type, list(n * 1000000 ORDER BY h) AS arr
+        FROM hourly GROUP BY event_type),
+      folded AS (
+        SELECT event_type,
+          CAST(len(arr) AS INTEGER) AS n_hours,
+          CAST(arr[-1] // 1000000 AS BIGINT) AS last_n,
+          CAST(list_reduce(arr, (s, x) -> (3 * s + x) // 4) AS BIGINT) AS ewma_micro,
+          CAST(list_reduce(arr[1:greatest(len(arr) - 1, 1)],
+            (s, x) -> (3 * s + x) // 4) AS BIGINT) AS prev_micro
+        FROM series)
+      SELECT event_type, n_hours, last_n, ewma_micro,
+        CAST(abs(last_n * 1000000 - prev_micro) AS BIGINT) AS dev_micro,
+        (last_n * 1000000 > prev_micro * 2) AS spike
+      FROM folded ORDER BY event_type"""))
+
   /** RFM segmentation (recency / frequency / monetary): each purchasing user
     * scored 1–5 on all three axes against the population's exact quintile
     * cutoffs, rolled up to segment cells. The scalable shape deliberately
@@ -1788,5 +1854,5 @@ object EventsQ {
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
     rfm, interpolate, asofTolerance, botDetection, survival, seasonality,
     sequenceMining, changepoint, stlDecompose, intervalOverlap, mttr,
-    autocorr, cuped, ohlc, power, stickiness, attributionLinear)
+    autocorr, cuped, ohlc, power, stickiness, attributionLinear, ewma)
 }

@@ -824,9 +824,92 @@ object PipelineQ {
         round(e / d, 6) AS weight
       FROM e, d ORDER BY source"""))
 
+  /** DSIR data selection (Xie et al. 2023, arXiv:2302.03169): rank raw
+    * documents by an importance weight estimated from hashed-feature
+    * distributions — the published cheap alternative to a trained quality
+    * classifier. Every word hashes into one of D = 4096 buckets (portable
+    * md5, the [[graft.functions.Hashing]] convention); bucket counts under
+    * the TARGET distribution (here the `lang = 'en'` slice standing in for
+    * a curated target corpus) and the RAW distribution (everything) fold in
+    * ONE pass; a doc's log-importance is the sum of its words' per-bucket
+    * log-likelihood ratios, Laplace-smoothed (+1 / +D) as in the paper.
+    * Each ratio becomes an integer nano-unit once (`round(ln(...)·1e9)` on
+    * identical exact-integer-valued doubles — the text_unigram_nll
+    * discipline), so per-doc sums are order-free longs and the top-100
+    * selection cannot split the engines. The paper's Gumbel-noise sampling
+    * step is deliberately replaced by deterministic top-k (documented
+    * deviation — reproducible selection is what a production rerun wants);
+    * the length bias of summed ratios is the paper's own (§3).
+    *
+    * Scale shape: two corpus scans (feature fold, scoring join), the ratio
+    * table is D ≤ 4096 rows — broadcast-sized at any corpus scale — and the
+    * readout is the selected-mixture audit (per-lang doc/token mass of the
+    * top-k), which is what one actually inspects before committing a
+    * trillion-token selection. TakeOrderedAndProject bounds the top-k: the
+    * corpus never globally sorts.
+    */
+  val dsir = Declared(
+    "curate_dsir",
+    (s, dir) => {
+      val h = graft.functions.Hashing.md5Hash32SparkSql("w")
+      val feats = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(TextFns.words(col("text"))).as("w"))
+        .select(col("doc_id"), col("lang"), expr(s"$h % 4096").as("b"))
+      val counts = feats.groupBy(col("b")).agg(
+        count(lit(1)).as("rc"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+      val totals = counts.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
+      val ratio = counts.crossJoin(broadcast(totals))
+        .select(col("b"),
+          expr("""CAST(round((ln((tc + 1.0) / (tt + 4096.0))
+                 - ln((rc + 1.0) / (rt + 4096.0))) * 1e9) AS BIGINT)""")
+            .as("lr_nano"))
+      feats.join(broadcast(ratio), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lr_nano")).as("dsir_nano"))
+        .orderBy(col("dsir_nano").desc, col("doc_id"))
+        .limit(100)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_selected"),
+          sum(col("n_tokens")).as("sel_tokens"),
+          sum(col("dsir_nano")).as("sel_nano"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val h = graft.functions.Hashing.md5Hash32DuckSql("w")
+      s"""WITH feats AS (
+        SELECT doc_id, lang, $h % 4096 AS b
+        FROM (SELECT doc_id, lang,
+                unnest(string_split_regex(trim(text), '\\s+')) AS w
+              FROM documents)),
+      counts AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS rc,
+          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+        FROM feats GROUP BY b),
+      tot AS (SELECT CAST(sum(rc) AS BIGINT) AS rt,
+                     CAST(sum(tc) AS BIGINT) AS tt FROM counts),
+      ratio AS (
+        SELECT b, CAST(round((ln((tc + 1.0) / (tt + 4096.0))
+          - ln((rc + 1.0) / (rt + 4096.0))) * 1e9) AS BIGINT) AS lr_nano
+        FROM counts, tot),
+      scored AS (
+        SELECT f.doc_id, f.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(r.lr_nano) AS BIGINT) AS dsir_nano
+        FROM feats f JOIN ratio r USING (b)
+        GROUP BY 1, 2),
+      sel AS (SELECT * FROM scored ORDER BY dsir_nano DESC, doc_id LIMIT 100)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_selected,
+        CAST(sum(n_tokens) AS BIGINT) AS sel_tokens,
+        CAST(sum(dsir_nano) AS BIGINT) AS sel_nano
+      FROM sel GROUP BY lang ORDER BY lang"""
+    })
+
   val all: Seq[Declared] = Seq(
     decontaminate, packSequences, embedOutliers, corpusTerms, textRepetition,
     mixSample, chunkDocuments, sampleStratified, curriculumOrder,
     mixTemperature, heavyHitters, vocabCoverage, domainCap, mixEpochs,
-    sampleWeighted, splitTemporal, sourceOverlap, splitKfold, doremiWeights)
+    sampleWeighted, splitTemporal, sourceOverlap, splitKfold, doremiWeights,
+    dsir)
 }

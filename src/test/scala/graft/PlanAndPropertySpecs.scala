@@ -487,7 +487,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_hamming_topk",  // 1-row broadcast packed query vector
     "events_mttr",       // 1-row broadcast burst-threshold scalar
     "sim_rrf_fusion",    // 1-row broadcast packed query vector (two rankings)
-    "dq_benford"         // 1-row broadcast total / chi2 scalars
+    "dq_benford",        // 1-row broadcast total / chi2 scalars
+    "curate_dsir"        // 1-row broadcast feature-total scalar
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

@@ -1115,4 +1115,88 @@ class R7OpsSpec extends AnyFunSuite {
     assert(rs.map(_.getAs[String]("touch")).sorted.sameElements(
       Array("click", "direct", "error", "signup", "view")))
   }
+
+  test("graph_sssp: driver-side 4-round Bellman-Ford reproduces the top-20") {
+    // rebuild the co-purchase edge list exactly as the query declares it
+    val items = Tables.t(spark, TestSpark.sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e0 = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= 2)
+      .select(col("p1"), col("p2"), expr("1000000L div ns").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val adj = (e0.map { case (a, b, w) => (a, b, w) } ++
+      e0.map { case (a, b, w) => (b, a, w) })
+    val src = adj.map(_._1).min
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to 4) {
+      val relaxed = adj.flatMap { case (s, d, w) =>
+        dist.get(s).map(ds => (d, ds + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, ds) => (n, ds.map(_._2).min) }
+    }
+    val expected = dist.toSeq.sortBy { case (n, d) => (d, n) }.take(20)
+    val got = run("graph_sssp").collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("dist"))).toSeq
+    assert(got == expected, "distributed min-plus rounds must equal the fold")
+    assert(got.head == ((src, 0L)), "the source settles at distance 0")
+    assert(got.forall(_._2 >= 0L), "integer weights are positive: no negatives")
+  }
+
+  test("events_ewma: the array fold equals the sequential recurrence") {
+    import java.sql.Timestamp
+    // driver-side recompute: hourly counts per type, folded s' = (3s+x) div 4
+    val hourly = Tables.t(spark, TestSpark.sf, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getAs[Timestamp](1).getTime, r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (ty, rows) =>
+        val arr = rows.sortBy(_._2).map(_._3 * 1000000L)
+        def fold(xs: Seq[Long]) = xs.tail.foldLeft(xs.head)((s, x) =>
+          Math.floorDiv(3L * s + x, 4L))
+        val prev = if (arr.length >= 2) fold(arr.dropRight(1).toSeq)
+                   else arr.head
+        (ty, (arr.length, arr.last / 1000000L, fold(arr.toSeq), prev))
+      }
+    val rs = run("events_ewma").collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      val (nh, last, ew, prev) = hourly(ty)
+      assert(r.getAs[Int]("n_hours") == nh)
+      assert(r.getAs[Long]("last_n") == last)
+      assert(r.getAs[Long]("ewma_micro") == ew,
+        s"$ty: fold mismatch — the HOF aggregate must walk hours in order")
+      assert(r.getAs[Long]("dev_micro") == Math.abs(last * 1000000L - prev))
+      assert(r.getAs[Boolean]("spike") == (last * 1000000L > prev * 2L))
+    }
+  }
+
+  test("curate_dsir: selection audit accounts for the full top-k budget") {
+    val rs = run("curate_dsir").collect()
+    assert(rs.nonEmpty)
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val total = docs.count()
+    val langShare = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nSel = rs.map(_.getAs[Long]("n_selected")).sum
+    assert(nSel == Math.min(100L, total),
+      "the audit must cover exactly the top-k selection, no more, no less")
+    rs.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(langShare.contains(lang), s"selected lang $lang not in corpus")
+      assert(r.getAs[Long]("sel_tokens") >= r.getAs[Long]("n_selected"),
+        "every selected doc contributes at least one token")
+    }
+    // the target slice is lang='en': importance weighting must not
+    // UNDER-represent it relative to its raw share
+    val enSel = rs.find(_.getAs[String]("lang") == "en")
+      .map(_.getAs[Long]("n_selected")).getOrElse(0L)
+    assert(enSel * total >= langShare.getOrElse("en", 0L) * nSel,
+      "DSIR must not select English below its raw-corpus share")
+  }
 }
