@@ -500,9 +500,8 @@ object GraphQ {
     * unrolls 4 relaxations as chained CTEs): distances are exact for paths
     * of ≤4 hops — the bounded-neighborhood semantics a trillion-edge run
     * would also pick (unbounded Bellman–Ford is O(V) rounds worst-case);
-    * SsspSpec proves on a crafted graph that a 5th round would relax
-    * nothing the fixture's top-20 cares about, and re-derives the distances
-    * by driver-side Dijkstra.
+    * R7OpsSpec re-derives the fixture's top-20 by a driver-side replay of
+    * the same four relaxation rounds.
     */
   val sssp = Declared(
     "graph_sssp",
