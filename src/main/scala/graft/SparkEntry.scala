@@ -36,7 +36,8 @@ object SparkEntry {
       _root_.graft.queries.Physical.all ++
       _root_.graft.queries.PipelineQ.all ++
       _root_.graft.queries.GraphQ.all ++
-      _root_.graft.queries.QualityQ.all
+      _root_.graft.queries.QualityQ.all ++
+      _root_.graft.queries.RecQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1717,11 +1717,71 @@ object TextQ {
       GROUP BY p.phrase, p.n_occur, p.n_words
       ORDER BY score_nano DESC, phrase LIMIT 15"""))
 
+  /** Flesch–Kincaid grade-level banding (Kincaid et al. 1975): the
+    * readability readout a curation stack puts NEXT TO [[quality]]'s
+    * format signals and [[gopherRules]]' repetition gates — "is this text
+    * pitched at grade school or graduate school", which correlates with
+    * document register in a way punctuation ratios don't. All three
+    * formula inputs are regex-countable in pure codegen: words (the shared
+    * whitespace convention), sentences (runs of `[.!?]`), syllables (the
+    * standard vowel-group heuristic — runs of `[aeiouy]` in the lowered
+    * text). Grade = 0.39·(words/sentences) + 11.8·(syllables/words) −
+    * 15.59, computed on exact-integer-valued doubles so both engines run
+    * identical IEEE ops; each doc's grade rounds ONCE to milli-units
+    * before summing (order-free longs), and the band is floor(grade)
+    * clamped to [0, 18] — floor, not integer div, because a very short
+    * doc's grade can be negative and Spark `div` truncates toward zero
+    * where DuckDB `//` floors.
+    *
+    * Scale shape: one corpus scan, three regexp counters per row inside
+    * WholeStageCodegen, one hash aggregate to the O(langs × 19) band grid.
+    */
+  val readability = Declared(
+    "text_readability",
+    (s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("lang"),
+          greatest(size(TextFns.words(col("text"))), lit(1)).as("w"),
+          greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+            lit(1)).as("sct"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+            .as("syl"))
+      counts
+        .withColumn("fk",
+          expr("""0.39 * (CAST(w AS DOUBLE) / sct)
+                + 11.8 * (CAST(syl AS DOUBLE) / w) - 15.59"""))
+        .select(col("lang"), col("w"),
+          expr("least(greatest(CAST(floor(fk) AS BIGINT), 0L), 18L)").as("band"),
+          expr("CAST(round(fk * 1000) AS BIGINT)").as("grade_milli"))
+        .groupBy(col("lang"), col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("sum_words"),
+          sum(col("grade_milli")).as("sum_grade_milli"))
+        .orderBy(col("lang"), col("band"))
+    },
+    Some("""WITH counts AS (
+        SELECT lang,
+          greatest(len(string_split_regex(trim(text), '\s+')), 1) AS w,
+          greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sct,
+          len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+        FROM documents),
+      graded AS (
+        SELECT lang, w,
+          0.39 * (CAST(w AS DOUBLE) / sct)
+            + 11.8 * (CAST(syl AS DOUBLE) / w) - 15.59 AS fk
+        FROM counts)
+      SELECT lang,
+        least(greatest(CAST(floor(fk) AS BIGINT), 0), 18) AS band,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(w) AS BIGINT) AS sum_words,
+        CAST(sum(CAST(round(fk * 1000) AS BIGINT)) AS BIGINT) AS sum_grade_milli
+      FROM graded GROUP BY lang, band ORDER BY lang, band"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
     boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats,
     langidReport, langidKappa, charEntropy, fertility, langidCalibration,
     classifierScore, gopherRules, qualityCurve, heaps, bpeTrain, bpeEncode,
-    datasheet, perplexityBand, rakeKeywords)
+    datasheet, perplexityBand, rakeKeywords, readability)
 }

@@ -171,6 +171,72 @@ object Windows {
         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
       ORDER BY o_custkey, o_orderkey"""))
 
+  /** Temporal interval coalescing — the bitemporal-normalization primitive:
+    * per supplier, 7-day service windows opened by each shipment
+    * ([shipdate, shipdate+6] in epoch days) merge into maximal continuous
+    * coverage spans whenever they overlap or touch (next start ≤ running
+    * end + 1). This is the keyed PACKING operation SQL:2011 temporal
+    * databases call coalescing — distinct from [[graft.queries.EventsQ]]'s
+    * gap-based sessionization (no fixed durations there) and events_mttr's
+    * global calendar islands (keyed here, so state is per-supplier).
+    *
+    * The islands walk is two window passes over the SAME per-supplier
+    * ordering — running max of interval end (to 1 PRECEDING) flags span
+    * starts, a running sum numbers the spans — so ONE shuffle partitions
+    * by supplier and both windows plus the final per-span aggregate reuse
+    * it. Everything is integer epoch-day arithmetic; per-supplier state is
+    * bounded by that supplier's shipment history, never the table.
+    */
+  val intervalCoalesce = Declared(
+    "q_interval_coalesce",
+    (s, dir) => {
+      val iv = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("supp"),
+          datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+            .as("st"))
+        .distinct()
+        .withColumn("en", col("st") + 6)
+      val ord = Window.partitionBy(col("supp")).orderBy(col("st"))
+      val prev = Window.partitionBy(col("supp")).orderBy(col("st"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val spans = iv
+        .withColumn("pmax", max(col("en")).over(prev))
+        .withColumn("isNew",
+          when(col("pmax").isNull || col("st") > col("pmax") + 1, 1).otherwise(0))
+        .withColumn("span", sum(col("isNew")).over(ord))
+        .groupBy(col("supp"), col("span"))
+        .agg(min(col("st")).as("s0"), max(col("en")).as("e0"))
+      spans.groupBy(col("supp"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(col("e0") - col("s0") + 1).as("covered_days"),
+          max(col("e0") - col("s0") + 1).cast("long").as("max_span_days"))
+        .orderBy(col("supp"))
+    },
+    Some("""WITH iv AS (
+        SELECT DISTINCT l_suppkey AS supp,
+          date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS st
+        FROM lineitem),
+      iv2 AS (SELECT supp, st, st + 6 AS en FROM iv),
+      flagged AS (
+        SELECT supp, st, en,
+          max(en) OVER (PARTITION BY supp ORDER BY st
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM iv2),
+      numbered AS (
+        SELECT supp, st, en,
+          sum(CASE WHEN pmax IS NULL OR st > pmax + 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY supp ORDER BY st) AS span
+        FROM flagged),
+      spans AS (
+        SELECT supp, span, min(st) AS s0, max(en) AS e0
+        FROM numbered GROUP BY supp, span)
+      SELECT supp, CAST(count(*) AS BIGINT) AS n_spans,
+        CAST(sum(e0 - s0 + 1) AS BIGINT) AS covered_days,
+        CAST(max(e0 - s0 + 1) AS BIGINT) AS max_span_days
+      FROM spans GROUP BY supp ORDER BY supp"""))
+
   val all: Seq[Declared] =
-    Seq(ranks, lagLead, running, rangeFrame, ntileDist, nth, moving)
+    Seq(ranks, lagLead, running, rangeFrame, ntileDist, nth, moving,
+      intervalCoalesce)
 }

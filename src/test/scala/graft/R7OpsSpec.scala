@@ -1199,4 +1199,101 @@ class R7OpsSpec extends AnyFunSuite {
     assert(enSel * total >= langShare.getOrElse("en", 0L) * nSel,
       "DSIR must not select English below its raw-corpus share")
   }
+
+  test("rec_item_cf: cosine recomputed from raw baskets, cap honored") {
+    val baskets = Tables.t(spark, TestSpark.sf, "lineitem")
+      .join(Tables.t(spark, TestSpark.sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = baskets.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+      .filter(_._2.size <= 100) // the declared power-user cap
+    val deg = byUser.values.toSeq.flatten.groupBy(identity)
+      .map { case (i, xs) => (i, xs.size.toLong) }
+    val co = byUser.values.toSeq
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+    val rs = run("rec_item_cf").collect()
+    assert(rs.length == 20)
+    rs.foreach { r =>
+      val (i1, i2) = (r.getAs[Long]("i1"), r.getAs[Long]("i2"))
+      val nCo = r.getAs[Long]("n_co")
+      assert(co((i1, i2)) == nCo, s"co-count mismatch for ($i1,$i2)")
+      val expected = Math.round(nCo.toDouble * 1e9 /
+        math.sqrt((deg(i1) * deg(i2)).toDouble))
+      assert(r.getAs[Long]("cos_nano") == expected,
+        s"cosine mismatch for ($i1,$i2)")
+      assert(r.getAs[Long]("cos_nano") <= 1000000000L,
+        "binary cosine is bounded by 1")
+    }
+    // the returned list is the true global top-20 under the declared order
+    val top = co.toSeq.map { case ((a, b), c) =>
+      (Math.round(c.toDouble * 1e9 / math.sqrt((deg(a) * deg(b)).toDouble)), a, b)
+    }.sortBy { case (s, a, b) => (-s, a, b) }.take(20)
+    assert(rs.map(r => (r.getAs[Long]("cos_nano"), r.getAs[Long]("i1"),
+      r.getAs[Long]("i2"))).toSeq == top)
+  }
+
+  test("q_interval_coalesce: spans re-derived by a driver-side sweep") {
+    val ivs = Tables.t(spark, TestSpark.sf, "lineitem")
+      .select(col("l_suppkey"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date")))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
+    val expected = ivs.groupBy(_._1).view.mapValues { xs =>
+      val sorted = xs.map(_._2).sorted
+      // classic sweep: extend the open span while the next 7-day interval
+      // overlaps or touches it, else close and open a new one
+      val spans = sorted.foldLeft(List.empty[(Int, Int)]) {
+        case (Nil, st) => List((st, st + 6))
+        case ((s0, e0) :: rest, st) =>
+          if (st <= e0 + 1) (s0, math.max(e0, st + 6)) :: rest
+          else (st, st + 6) :: (s0, e0) :: rest
+      }
+      val lens = spans.map { case (s0, e0) => (e0 - s0 + 1).toLong }
+      (spans.length.toLong, lens.sum, lens.max)
+    }.toMap
+    val rs = run("q_interval_coalesce").collect()
+    assert(rs.nonEmpty)
+    assert(rs.length == expected.size, "every supplier with shipments reports")
+    rs.foreach { r =>
+      val supp = r.getAs[Long]("supp")
+      val (n, cov, mx) = expected(supp)
+      assert(r.getAs[Long]("n_spans") == n, s"supplier $supp span count")
+      assert(r.getAs[Long]("covered_days") == cov, s"supplier $supp coverage")
+      assert(r.getAs[Long]("max_span_days") == mx, s"supplier $supp max span")
+      assert(cov >= n * 7, "every merged span covers at least one 7-day window")
+    }
+  }
+
+  test("text_readability: bands clamp, doc mass conserved, FK recomputed") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def countAll(p: String, s: String): Int = {
+      val m = java.util.regex.Pattern.compile(p).matcher(s)
+      var n = 0; while (m.find()) n += 1; n
+    }
+    val expected = docs.map { case (lang, text) =>
+      val w = math.max(text.trim.split("\\s+").length, 1)
+      val sct = math.max(countAll("[.!?]+", text), 1)
+      val syl = countAll("[aeiouy]+", text.toLowerCase)
+      val fk = 0.39 * (w.toDouble / sct) + 11.8 * (syl.toDouble / w) - 15.59
+      val band = math.min(math.max(math.floor(fk).toLong, 0L), 18L)
+      (lang, band, w.toLong, Math.round(fk * 1000))
+    }.groupBy(t => (t._1, t._2)).view.mapValues { xs =>
+      (xs.length.toLong, xs.map(_._3).sum, xs.map(_._4).sum)
+    }.toMap
+    val rs = run("text_readability").collect()
+    assert(rs.map(_.getAs[Long]("n_docs")).sum == docs.length,
+      "every document lands in exactly one band")
+    rs.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[Long]("band"))
+      assert(key._2 >= 0L && key._2 <= 18L)
+      val (n, sw, sg) = expected(key)
+      assert(r.getAs[Long]("n_docs") == n, s"$key doc count")
+      assert(r.getAs[Long]("sum_words") == sw, s"$key word mass")
+      assert(r.getAs[Long]("sum_grade_milli") == sg, s"$key grade mass")
+    }
+  }
 }
