@@ -1214,6 +1214,7 @@ class R7OpsSpec extends AnyFunSuite {
     val co = byUser.values.toSeq
       .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
       .groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+      .filter(_._2 >= 2) // the declared min-support threshold
     val rs = run("rec_item_cf").collect()
     assert(rs.length == 20)
     rs.foreach { r =>
