@@ -1848,11 +1848,82 @@ object EventsQ {
           AS n_purchases_credited
       FROM credits GROUP BY touch ORDER BY touch"""))
 
+  /** Cohort lifetime-value curves — the growth-analytics readout every
+    * subscription/commerce pipeline maintains: users are cohorted by their
+    * FIRST-SEEN day, and each cohort's cumulative purchase revenue per
+    * member is tracked across account age. The fixture's events span one
+    * month, so the cohort grain is the day (a production run would cohort
+    * by week/month — one `date_trunc` swap).
+    *
+    * Shapes, all keyed: first-seen is a per-user min fold; the cohort join
+    * back onto the event scan is on user_id (the key the fold already
+    * shuffled on); the (cohort, age) rollup is one hash aggregate whose
+    * output is O(days²/2) rows regardless of corpus size; and the
+    * cumulative sum is a window over that TINY rollup, partitioned by
+    * cohort — never a window over raw events. Revenue folds in exact
+    * micro-unit longs (one round per event, summed exactly — the
+    * established cross-engine float discipline), and the per-member LTV is
+    * integer division by the cohort's member count (values non-negative,
+    * so trunc ≡ floor on both engines). Ages with zero cohort activity
+    * emit no row (the curve is over OBSERVED ages; gap-filling is
+    * [[gapFill]]'s job and composes).
+    */
+  val cohortLtv = Declared(
+    "events_cohort_ltv",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          when(col("event_type") === "purchase",
+            expr("CAST(round(value * 1e6) AS BIGINT)"))
+            .otherwise(0L).as("rev_micro"))
+      val firstDay = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+      val cohortSize = firstDay.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("cohort_users"))
+      val daily = ev.join(firstDay, "user_id")
+        .groupBy(col("cohort"),
+          datediff(col("d"), col("cohort")).cast("long").as("age"))
+        .agg(count_distinct(col("user_id")).as("n_active"),
+          sum(col("rev_micro")).as("rev_micro"))
+      daily.join(cohortSize, "cohort")
+        .withColumn("cum_rev_micro",
+          sum(col("rev_micro")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cohort")).orderBy(col("age"))))
+        .select(col("cohort"), col("age"), col("n_active"),
+          col("cohort_users"), col("cum_rev_micro"),
+          expr("cum_rev_micro div cohort_users").as("ltv_micro"))
+        .orderBy(col("cohort"), col("age"))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+          CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END AS rev_micro
+        FROM events),
+      fd AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY user_id),
+      csize AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+        FROM fd GROUP BY cohort),
+      daily AS (
+        SELECT f.cohort, CAST(date_diff('day', f.cohort, e.d) AS BIGINT) AS age,
+          CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+          CAST(sum(e.rev_micro) AS BIGINT) AS rev_micro
+        FROM ev e JOIN fd f ON e.user_id = f.user_id
+        GROUP BY 1, 2),
+      curved AS (
+        SELECT d.cohort, d.age, d.n_active, s.cohort_users,
+          CAST(sum(d.rev_micro) OVER (
+            PARTITION BY d.cohort ORDER BY d.age) AS BIGINT) AS cum_rev_micro
+        FROM daily d JOIN csize s ON d.cohort = s.cohort)
+      SELECT cohort, age, n_active, cohort_users, cum_rev_micro,
+        cum_rev_micro // cohort_users AS ltv_micro
+      FROM curved ORDER BY cohort, age"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
     transitions, cooccurrence, attribution, abTest, winsorize, forecastSma,
     rfm, interpolate, asofTolerance, botDetection, survival, seasonality,
     sequenceMining, changepoint, stlDecompose, intervalOverlap, mttr,
-    autocorr, cuped, ohlc, power, stickiness, attributionLinear, ewma)
+    autocorr, cuped, ohlc, power, stickiness, attributionLinear, ewma,
+    cohortLtv)
 }

@@ -1777,11 +1777,86 @@ object TextQ {
         CAST(sum(CAST(round(fk * 1000) AS BIGINT)) AS BIGINT) AS sum_grade_milli
       FROM graded GROUP BY lang, band ORDER BY lang, band"""))
 
+  /** Pointwise-mutual-information collocations — the statistical
+    * phrase-mining step (Church & Hanks, CL 1990) a tokenizer/curation
+    * pipeline runs to find word pairs that co-occur far above chance
+    * ("merge these into one token", "this bigram is a named entity").
+    * PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) with p(w1,w2) = c12/NB
+    * over bigram positions and p(w) = c(w)/NW over unigram positions.
+    *
+    * Shapes: one exploded scan each for bigram and unigram counts (both
+    * vocab-bounded outputs — Heaps' law), two keyed joins of the bigram
+    * table against the unigram table, and two 1-row totals crossJoined in
+    * (the audited broadcast-spine pattern). The min-count filter
+    * (c12 ≥ 5) runs BEFORE the joins — raw-frequency PMI famously ranks
+    * hapax pairs first (two words seen once, together, score a maximal
+    * PMI), so low-support pairs are noise by construction and dropping
+    * them early also keeps the join input vocab-sized. The score is
+    * computed as ONE identical double expression tree on both engines and
+    * rounded once to nano-units: products stay exact-integer-valued into
+    * the ln, and IEEE multiplication/division order is pinned by the
+    * shared parenthesization.
+    */
+  val pmi = Declared(
+    "corpus_pmi",
+    (s, dir) => {
+      // spread first: the whole cost is per-row explode work downstream of a
+      // small single-partition scan (Tables.spread is a no-op at real scale)
+      val ws = Tables.spread(t(s, dir, "documents"), "doc_id")
+        .withColumn("ws", TextFns.words(col("text")))
+      val prs = ws.select(explode(expr(
+        """CASE WHEN size(ws) < 2 THEN array()
+           ELSE transform(sequence(1, size(ws) - 1),
+                          i -> struct(element_at(ws, i) AS w1,
+                                      element_at(ws, i + 1) AS w2))
+           END""")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bg = prs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      val uc = ws.select(explode(col("ws")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nw = uc.agg(sum(col("c")).as("nw"))
+      val nb = prs.agg(count(lit(1)).as("nb"))
+      bg.join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(nw).crossJoin(nb)
+        .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"), col("c12"),
+          expr("""CAST(round(ln((CAST(c12 AS DOUBLE) * nw * nw)
+                 / (CAST(c1 AS DOUBLE) * c2 * nb)) * 1e9) AS BIGINT)""")
+            .as("pmi_nano"))
+        .orderBy(col("pmi_nano").desc, col("bigram"))
+        .limit(20)
+    },
+    Some("""WITH ws AS (
+        SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+      prs AS (
+        SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+          i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1])) AS bigram
+        FROM ws),
+      bg AS (
+        SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+          CAST(count(*) AS BIGINT) AS c12
+        FROM prs GROUP BY 1, 2 HAVING count(*) >= 5),
+      uc AS (
+        SELECT unnest(w) AS tok FROM ws),
+      ucg AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uc GROUP BY tok),
+      nwt AS (SELECT CAST(sum(c) AS BIGINT) AS nw FROM ucg),
+      nbt AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM prs)
+      SELECT bg.w1 || ' ' || bg.w2 AS bigram, bg.c12,
+        CAST(round(ln((CAST(bg.c12 AS DOUBLE) * nw * nw)
+          / (CAST(u1.c AS DOUBLE) * u2.c * nb)) * 1e9) AS BIGINT) AS pmi_nano
+      FROM bg
+      JOIN ucg u1 ON u1.tok = bg.w1
+      JOIN ucg u2 ON u2.tok = bg.w2
+      CROSS JOIN nwt CROSS JOIN nbt
+      ORDER BY pmi_nano DESC, bigram LIMIT 20"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
     boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats,
     langidReport, langidKappa, charEntropy, fertility, langidCalibration,
     classifierScore, gopherRules, qualityCurve, heaps, bpeTrain, bpeEncode,
-    datasheet, perplexityBand, rakeKeywords, readability)
+    datasheet, perplexityBand, rakeKeywords, readability, pmi)
 }

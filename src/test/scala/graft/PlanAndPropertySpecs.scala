@@ -488,7 +488,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_mttr",       // 1-row broadcast burst-threshold scalar
     "sim_rrf_fusion",    // 1-row broadcast packed query vector (two rankings)
     "dq_benford",        // 1-row broadcast total / chi2 scalars
-    "curate_dsir"        // 1-row broadcast feature-total scalar
+    "curate_dsir",       // 1-row broadcast feature-total scalar
+    "corpus_pmi"         // 1-row unigram-total × 1-row bigram-total broadcasts
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

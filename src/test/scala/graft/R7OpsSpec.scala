@@ -1297,4 +1297,97 @@ class R7OpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("sum_grade_milli") == sg, s"$key grade mass")
     }
   }
+
+  test("rec_topn: full serving pipeline recomputed driver-side") {
+    // re-derive the whole chain from raw baskets: capped baskets → scored
+    // pairs → top-10 neighbor truncation → vote sums → owned-item
+    // exclusion → per-user top-3 under the declared (score desc, item) order
+    val baskets = Tables.t(spark, TestSpark.sf, "lineitem")
+      .join(Tables.t(spark, TestSpark.sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = baskets.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap.filter(_._2.size <= 100)
+    val deg = byUser.values.toSeq.flatten.groupBy(identity)
+      .map { case (i, xs) => (i, xs.size.toLong) }
+    val co = byUser.values.toSeq
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+      .filter(_._2 >= 2)
+    val scored = co.map { case ((a, b), c) =>
+      ((a, b), Math.round(c.toDouble * 1e9 / math.sqrt((deg(a) * deg(b)).toDouble)))
+    }
+    val nbrs = scored.toSeq.flatMap { case ((a, b), s) => Seq((a, b, s), (b, a, s)) }
+    val top10 = nbrs.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, j, s) => (-s, j) }.take(10)).toMap
+    val expected = byUser.toSeq.flatMap { case (u, owned) =>
+      val votes = owned.toSeq.flatMap(i => top10.getOrElse(i, Nil))
+        .groupBy(_._2).map { case (j, xs) => (j, xs.map(_._3).sum, xs.size.toLong) }
+        .filterNot { case (j, _, _) => owned(j) }
+      votes.toSeq.sortBy { case (j, s, _) => (-s, j) }.take(3).zipWithIndex
+        .map { case ((j, s, n), k) => (u, k + 1, j, s, n) }
+    }.sortBy(t => (t._1, t._2))
+    val rs = run("rec_topn").collect().map(r =>
+      (r.getAs[Long]("u"), r.getAs[Int]("rnk"), r.getAs[Long]("item"),
+        r.getAs[Long]("score_nano"), r.getAs[Long]("n_nbr"))).toSeq
+    assert(rs.nonEmpty, "serving output must not be vacuous at sf0.001")
+    assert(rs == expected, s"rec_topn: ${rs.take(5)} vs ${expected.take(5)}")
+  }
+
+  test("events_cohort_ltv: curves recomputed, monotone, conserved") {
+    val ev = Tables.t(spark, TestSpark.sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getString(2), r.getDouble(3)))
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val rs = run("events_cohort_ltv").collect()
+    assert(rs.nonEmpty)
+    // per-cohort: cumulative revenue is nondecreasing over age and the
+    // final cumulative equals the cohort's exact total purchase micros
+    val byCohort = rs.groupBy(_.getDate(0).toLocalDate)
+    assert(byCohort.keySet == cohort.values.toSet,
+      "every first-seen day is a cohort")
+    byCohort.foreach { case (c, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("age"))
+      val cums = ordered.map(_.getAs[Long]("cum_rev_micro"))
+      assert(cums.zip(cums.drop(1)).forall { case (a, b) => a <= b },
+        s"cohort $c: cumulative revenue must be nondecreasing")
+      val users = cohort.filter(_._2 == c).keySet
+      val exact = ev.filter(e => users(e._1) && e._3 == "purchase")
+        .map(e => Math.round(e._4 * 1e6)).sum
+      assert(cums.last == exact, s"cohort $c: final cum $exact vs ${cums.last}")
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("cohort_users") == users.size.toLong)
+        assert(r.getAs[Long]("ltv_micro") ==
+          r.getAs[Long]("cum_rev_micro") / users.size)
+        assert(r.getAs[Long]("n_active") <= users.size.toLong)
+      }
+    }
+    // user-day activity mass is conserved across the (cohort, age) grid
+    val activity = ev.map(e => (e._1, e._2)).distinct.length.toLong
+    assert(rs.map(_.getAs[Long]("n_active")).sum == activity)
+  }
+
+  test("corpus_pmi: scores recomputed from raw counts, threshold honored") {
+    val texts = Tables.t(spark, TestSpark.sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val toks = texts.map(_.trim.split("\\s+").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = toks.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nw = uni.values.sum
+    val nb = toks.map(ws => math.max(ws.size - 1, 0)).sum.toLong
+    val expected = big.filter(_._2 >= 5L).toSeq.map { case ((w1, w2), c12) =>
+      val pmi = Math.round(math.log(
+        (c12.toDouble * nw * nw) / (uni(w1).toDouble * uni(w2) * nb)) * 1e9)
+      (s"$w1 $w2", c12, pmi)
+    }.sortBy { case (bg, _, s) => (-s, bg) }.take(20)
+    val rs = run("corpus_pmi").collect().map(r =>
+      (r.getAs[String]("bigram"), r.getAs[Long]("c12"),
+        r.getAs[Long]("pmi_nano"))).toSeq
+    assert(rs.nonEmpty)
+    assert(rs == expected, s"pmi: ${rs.take(3)} vs ${expected.take(3)}")
+  }
 }
