@@ -1918,6 +1918,146 @@ object EventsQ {
         cum_rev_micro // cohort_users AS ltv_micro
       FROM curved ORDER BY cohort, age"""))
 
+  /** Point-in-time feature backfill — the leakage-free feature-store
+    * materialization every training pipeline runs: at each PURCHASE event,
+    * the user's trailing-window activity counts/spend as they stood
+    * strictly BEFORE that instant (frames end at `−1 s`, so same-second
+    * peers and the labeled event itself are excluded — the lookahead-leak
+    * the split_temporal family guards against, enforced here per row).
+    *
+    * Scale shapes: ONE shuffle on user_id serves every feature — both
+    * range frames (1 d, 7 d) share the partitioning/ordering, so Catalyst
+    * stacks them in window passes over the same exchange; bounded-preceding
+    * RANGE frames evaluate incrementally (sliding two pointers per
+    * partition, never O(rows × frame)); the purchase filter runs AFTER the
+    * windows (features must see all event types) but the frame state is
+    * O(window span) per user regardless. Spend folds in exact micro-unit
+    * longs; empty frames are coalesced to 0 on both engines.
+    */
+  val featureBackfill = Declared(
+    "events_feature_backfill",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"),
+          expr("CAST(round(value * 1e6) AS BIGINT)").as("v_micro"))
+      val base = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      val w7 = base.rangeBetween(-604800L, -1L)
+      val w1 = base.rangeBetween(-86400L, -1L)
+      val isP = (col("event_type") === "purchase").cast("long")
+      ev
+        .withColumn("n_events_7d", count(lit(1)).over(w7))
+        .withColumn("n_purch_7d", coalesce(sum(isP).over(w7), lit(0L)))
+        .withColumn("spend_7d_micro",
+          coalesce(sum(when(col("event_type") === "purchase", col("v_micro"))
+            .otherwise(0L)).over(w7), lit(0L)))
+        .withColumn("n_events_1d", count(lit(1)).over(w1))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("sec"), col("v_micro"),
+          col("n_events_7d"), col("n_purch_7d"), col("spend_7d_micro"),
+          col("n_events_1d"))
+        .orderBy(col("user_id"), col("sec"), col("event_id"))
+    },
+    Some("""WITH ev AS (
+        SELECT event_id, user_id, event_type,
+          CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT) AS sec,
+          CAST(round(value * 1e6) AS BIGINT) AS v_micro
+        FROM events),
+      feat AS (
+        SELECT event_id, user_id, event_type, sec, v_micro,
+          CAST(count(*) OVER w7 AS BIGINT) AS n_events_7d,
+          CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+            ELSE 0 END) OVER w7, 0) AS BIGINT) AS n_purch_7d,
+          CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN v_micro
+            ELSE 0 END) OVER w7, 0) AS BIGINT) AS spend_7d_micro,
+          CAST(count(*) OVER w1 AS BIGINT) AS n_events_1d
+        FROM ev
+        WINDOW
+          w7 AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING),
+          w1 AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, sec, v_micro, n_events_7d, n_purch_7d,
+        spend_7d_micro, n_events_1d
+      FROM feat WHERE event_type = 'purchase'
+      ORDER BY user_id, sec, event_id"""))
+
+  /** Stationary distribution of the event-type Markov chain — where user
+    * attention CONVERGES if the observed [[transitions]] dynamics keep
+    * running (the PageRank idea applied to the behavioral state machine;
+    * the readout product teams sanity-check funnels against). Four power-
+    * iteration rounds π' = πP from the uniform start, unrolled identically
+    * on both engines ([[graph_sssp]]'s chained-CTE discipline).
+    *
+    * Scale shapes: the event scan folds through ONE user-keyed window pass
+    * into an O(types²) transition matrix — type catalogs are dozens, so
+    * after that aggregate everything is broadcast-sized no matter the event
+    * volume; matrix and catalog are localCheckpointed once (tiny tables,
+    * each feeding all four rounds). All arithmetic is exact integers:
+    * row-normalized probabilities are nano-unit longs (one div), each
+    * round's contribution is `(π_a · p_ab) div 1e9` (products ≤ 1e18,
+    * no overflow), and truncation loses mass monotonically (≤ types² nano
+    * per round) rather than ever diverging — types with no outgoing
+    * transitions simply leak their mass, the standard absorbing-drain
+    * treatment, identical on both engines by construction.
+    */
+  val markovStationary = Declared(
+    "events_markov_stationary",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cat = t(s, dir, "events").select(col("event_type")).distinct()
+        .localCheckpoint()
+      val mat = t(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("r", sum(col("c")).over(Window.partitionBy(col("a"))))
+        .select(col("a"), col("b"), expr("(1000000000L * c) div r").as("p_nano"))
+        .localCheckpoint()
+      val pi0 = cat.crossJoin(broadcast(
+          cat.agg(count(lit(1)).as("n_types"))))
+        .select(col("event_type").as("t"),
+          expr("1000000000L div n_types").as("v"))
+      val pi4 = (1 to 4).foldLeft(pi0) { (pi, _) =>
+        pi.join(mat, pi("t") === mat("a"))
+          .groupBy(col("b").as("bt"))
+          .agg(sum(expr("(v * p_nano) div 1000000000L")).as("nv"))
+          .select(col("bt").as("t"), col("nv").as("v"))
+      }
+      cat.join(pi4, cat("event_type") === pi4("t"), "left")
+        .select(col("event_type"), coalesce(col("v"), lit(0L)).as("pi_nano"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH cat AS (SELECT DISTINCT event_type FROM events),
+      steps AS (
+        SELECT event_type AS a,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS b
+        FROM events),
+      cnt AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        FROM steps WHERE b IS NOT NULL GROUP BY a, b),
+      m AS (
+        SELECT a, b,
+          CAST((1000000000 * c) // sum(c) OVER (PARTITION BY a) AS BIGINT)
+            AS p_nano
+        FROM cnt),
+      pi0 AS (
+        SELECT event_type AS t, CAST(1000000000 // n AS BIGINT) AS v
+        FROM cat CROSS JOIN (SELECT count(*) AS n FROM cat)),
+      r1 AS (SELECT m.b AS t, CAST(sum((pi.v * m.p_nano) // 1000000000)
+               AS BIGINT) AS v FROM pi0 pi JOIN m ON pi.t = m.a GROUP BY m.b),
+      r2 AS (SELECT m.b AS t, CAST(sum((pi.v * m.p_nano) // 1000000000)
+               AS BIGINT) AS v FROM r1 pi JOIN m ON pi.t = m.a GROUP BY m.b),
+      r3 AS (SELECT m.b AS t, CAST(sum((pi.v * m.p_nano) // 1000000000)
+               AS BIGINT) AS v FROM r2 pi JOIN m ON pi.t = m.a GROUP BY m.b),
+      r4 AS (SELECT m.b AS t, CAST(sum((pi.v * m.p_nano) // 1000000000)
+               AS BIGINT) AS v FROM r3 pi JOIN m ON pi.t = m.a GROUP BY m.b)
+      SELECT c.event_type, CAST(coalesce(r4.v, 0) AS BIGINT) AS pi_nano
+      FROM cat c LEFT JOIN r4 ON c.event_type = r4.t
+      ORDER BY c.event_type"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
@@ -1925,5 +2065,5 @@ object EventsQ {
     rfm, interpolate, asofTolerance, botDetection, survival, seasonality,
     sequenceMining, changepoint, stlDecompose, intervalOverlap, mttr,
     autocorr, cuped, ohlc, power, stickiness, attributionLinear, ewma,
-    cohortLtv)
+    cohortLtv, featureBackfill, markovStationary)
 }

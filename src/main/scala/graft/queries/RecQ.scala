@@ -74,43 +74,78 @@ object RecQ {
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
           .distinct()
-        val small = baskets.groupBy(col("u"))
-          .agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") <= 100)
-          .select(col("u"))
-        // consumed by both pair-join sides, the degree fold, and topN's
-        // serving join: checkpoint so lineitem ⋈ orders distinct runs once
-        val capped = baskets.join(small, "u").localCheckpoint()
-        val deg = capped.groupBy(col("i")).agg(count(lit(1)).as("d"))
-        val pairs = capped.select(col("u"), col("i").as("i1"))
-          .join(capped.select(col("u"), col("i").as("i2")), "u")
-          .filter(col("i1") < col("i2"))
-          .select((col("i1") * 4294967296L + col("i2")).as("pk"))
-          .groupBy(col("pk"))
-          .agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
-          .select(expr("pk div 4294967296L").as("i1"),
-            expr("pk % 4294967296L").as("i2"), col("n_co"))
-        val scored = pairs
-          .join(deg.select(col("i").as("i1"), col("d").as("d1")), "i1")
-          .join(deg.select(col("i").as("i2"), col("d").as("d2")), "i2")
-          .select(col("i1"), col("i2"), col("n_co"),
-            expr("""CAST(round(CAST(n_co AS DOUBLE) * 1e9
-                   / sqrt(CAST(d1 * d2 AS DOUBLE))) AS BIGINT)""")
-              .as("cos_nano"))
-          .localCheckpoint()
-        cfCache.set((s, dir, capped, scored))
-        (capped, scored)
+        val built = buildCf(baskets)
+        cfCache.set((s, dir, built._1, built._2))
+        built
       }
     }
 
-  /** The oracle's CTE prefix shared by the family — kept in ONE place so
-    * the Spark snapshot and every family oracle state the identical
-    * semantics (cap 100, support ≥ 2, nano-rounded cosine).
+  /** The model build on an arbitrary (u, i) basket table — extracted so
+    * [[evalHitRate]] can train the SAME model (identical cap/support/score
+    * semantics) on the leave-last-order-out split without duplicating the
+    * packed-pair aggregate.
     */
-  private val cfOracleCtes = """WITH baskets AS (
-        SELECT DISTINCT o_custkey AS u, l_partkey AS i
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+  private def buildCf(baskets: DataFrame): (DataFrame, DataFrame) = {
+    val small = baskets.groupBy(col("u"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= 100)
+      .select(col("u"))
+    // consumed by both pair-join sides, the degree fold, and the serving
+    // join: checkpoint so the basket derivation runs once
+    val capped = baskets.join(small, "u").localCheckpoint()
+    val deg = capped.groupBy(col("i")).agg(count(lit(1)).as("d"))
+    val pairs = capped.select(col("u"), col("i").as("i1"))
+      .join(capped.select(col("u"), col("i").as("i2")), "u")
+      .filter(col("i1") < col("i2"))
+      .select((col("i1") * 4294967296L + col("i2")).as("pk"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select(expr("pk div 4294967296L").as("i1"),
+        expr("pk % 4294967296L").as("i2"), col("n_co"))
+    val scored = pairs
+      .join(deg.select(col("i").as("i1"), col("d").as("d1")), "i1")
+      .join(deg.select(col("i").as("i2"), col("d").as("d2")), "i2")
+      .select(col("i1"), col("i2"), col("n_co"),
+        expr("""CAST(round(CAST(n_co AS DOUBLE) * 1e9
+               / sqrt(CAST(d1 * d2 AS DOUBLE))) AS BIGINT)""")
+          .as("cos_nano"))
+      .localCheckpoint()
+    (capped, scored)
+  }
+
+  /** The serving pipeline on a built model: top-10 neighbor truncation →
+    * vote sums → owned-item exclusion → per-user top-3 (see [[topN]]'s
+    * scaladoc for the scale argument). Returns unordered (u, rnk, item,
+    * score_nano, n_nbr) — callers add their own total order.
+    */
+  private def serveTop3(capped: DataFrame, scored: DataFrame): DataFrame = {
+    val nbrs = scored.select(col("i1").as("i"), col("i2").as("j"), col("cos_nano"))
+      .union(scored.select(col("i2").as("i"), col("i1").as("j"), col("cos_nano")))
+    val topNbrs = nbrs
+      .withColumn("nr", row_number().over(
+        Window.partitionBy(col("i")).orderBy(col("cos_nano").desc, col("j"))))
+      .filter(col("nr") <= 10)
+      .select(col("i"), col("j"), col("cos_nano"))
+    val votes = capped.join(topNbrs, "i")
+      .groupBy(col("u"), col("j"))
+      .agg(sum(col("cos_nano")).as("score_nano"), count(lit(1)).as("n_nbr"))
+    votes
+      .join(capped.select(col("u"), col("i").as("j")), Seq("u", "j"), "left_anti")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("score_nano").desc, col("j"))))
+      .filter(col("rnk") <= 3)
+      .select(col("u"), col("rnk"), col("j").as("item"),
+        col("score_nano"), col("n_nbr"))
+  }
+
+  /** The oracle's model-build CTE chain on a caller-supplied basket SQL —
+    * kept in ONE place so the Spark build and every family oracle state the
+    * identical semantics (cap 100, support ≥ 2, nano-rounded cosine).
+    * `prefix` lets a caller define its own upstream CTEs (the eval split).
+    */
+  private def cfCtes(prefix: String, basketsSql: String) = s"""WITH $prefix
+      baskets AS ($basketsSql),
       small AS (
         SELECT u FROM baskets GROUP BY u HAVING count(*) <= 100),
       capped AS (SELECT b.u, b.i FROM baskets b JOIN small USING (u)),
@@ -127,6 +162,37 @@ object RecQ {
         FROM pairs
         JOIN deg d1 ON d1.i = pairs.i1
         JOIN deg d2 ON d2.i = pairs.i2)"""
+
+  private val cfOracleCtes = cfCtes("", """
+        SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey""")
+
+  /** Oracle mirror of [[serveTop3]] — appended after a model-build chain;
+    * ends in a `recs` CTE of (u, rnk, item, score_nano, n_nbr).
+    */
+  private val servingCtes = """,
+      nbrs AS (
+        SELECT i1 AS i, i2 AS j, cos_nano FROM scored
+        UNION ALL
+        SELECT i2 AS i, i1 AS j, cos_nano FROM scored),
+      topnbrs AS (
+        SELECT i, j, cos_nano FROM (
+          SELECT i, j, cos_nano,
+            row_number() OVER (PARTITION BY i ORDER BY cos_nano DESC, j) AS nr
+          FROM nbrs) WHERE nr <= 10),
+      votes AS (
+        SELECT c.u, t.j, CAST(sum(t.cos_nano) AS BIGINT) AS score_nano,
+          CAST(count(*) AS BIGINT) AS n_nbr
+        FROM capped c JOIN topnbrs t ON c.i = t.i
+        GROUP BY 1, 2),
+      fresh AS (
+        SELECT u, j, score_nano, n_nbr FROM votes v
+        WHERE NOT EXISTS (
+          SELECT 1 FROM capped c2 WHERE c2.u = v.u AND c2.i = v.j)),
+      recs AS (
+        SELECT u, j AS item, score_nano, n_nbr,
+          row_number() OVER (PARTITION BY u ORDER BY score_nano DESC, j) AS rnk
+        FROM fresh)"""
 
   /** Item–item collaborative filtering: the strongest item neighborhoods
     * (top-20 pairs by cosine) — the model-inspection readout over the
@@ -163,48 +229,113 @@ object RecQ {
     "rec_topn",
     (s, dir) => {
       val (capped, scored) = cfShared(s, dir)
-      val nbrs = scored.select(col("i1").as("i"), col("i2").as("j"), col("cos_nano"))
-        .union(scored.select(col("i2").as("i"), col("i1").as("j"), col("cos_nano")))
-      val topNbrs = nbrs
-        .withColumn("nr", row_number().over(
-          Window.partitionBy(col("i")).orderBy(col("cos_nano").desc, col("j"))))
-        .filter(col("nr") <= 10)
-        .select(col("i"), col("j"), col("cos_nano"))
-      val votes = capped.join(topNbrs, "i")
-        .groupBy(col("u"), col("j"))
-        .agg(sum(col("cos_nano")).as("score_nano"), count(lit(1)).as("n_nbr"))
-      votes
-        .join(capped.select(col("u"), col("i").as("j")), Seq("u", "j"), "left_anti")
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("u")).orderBy(col("score_nano").desc, col("j"))))
-        .filter(col("rnk") <= 3)
-        .select(col("u"), col("rnk"), col("j").as("item"),
-          col("score_nano"), col("n_nbr"))
-        .orderBy(col("u"), col("rnk"))
+      serveTop3(capped, scored).orderBy(col("u"), col("rnk"))
     },
-    Some(cfOracleCtes + """,
-      nbrs AS (
-        SELECT i1 AS i, i2 AS j, cos_nano FROM scored
-        UNION ALL
-        SELECT i2 AS i, i1 AS j, cos_nano FROM scored),
-      topnbrs AS (
-        SELECT i, j, cos_nano FROM (
-          SELECT i, j, cos_nano,
-            row_number() OVER (PARTITION BY i ORDER BY cos_nano DESC, j) AS nr
-          FROM nbrs) WHERE nr <= 10),
-      votes AS (
-        SELECT c.u, t.j, CAST(sum(t.cos_nano) AS BIGINT) AS score_nano,
-          CAST(count(*) AS BIGINT) AS n_nbr
-        FROM capped c JOIN topnbrs t ON c.i = t.i
-        GROUP BY 1, 2),
-      fresh AS (
-        SELECT u, j, score_nano, n_nbr FROM votes v
-        WHERE NOT EXISTS (
-          SELECT 1 FROM capped c2 WHERE c2.u = v.u AND c2.i = v.j))
-      SELECT u, CAST(rnk AS INTEGER) AS rnk, item, score_nano, n_nbr FROM (
-        SELECT u, j AS item, score_nano, n_nbr,
-          row_number() OVER (PARTITION BY u ORDER BY score_nano DESC, j) AS rnk
-        FROM fresh) WHERE rnk <= 3 ORDER BY u, rnk"""))
+    Some(cfOracleCtes + servingCtes + """
+      SELECT u, CAST(rnk AS INTEGER) AS rnk, item, score_nano, n_nbr
+      FROM recs WHERE rnk <= 3 ORDER BY u, rnk"""))
 
-  val all: Seq[Declared] = Seq(itemCf, topN)
+  /** Offline evaluation of the recommender: leave-last-ORDER-out hit rate —
+    * the readout that decides whether the neighbor table ships. Each user's
+    * chronologically last order (max o_orderdate, order-key tiebreak) is
+    * held out; the model TRAINS only on the remaining orders (identical
+    * cap/support/score semantics via the shared build); test items the user
+    * already owns in train are dropped (an owned-item-excluding recommender
+    * can never surface them — keeping them would deflate the metric by
+    * construction); and a user counts as a hit at k if any of their top-k
+    * recommendations is in the held-out set. Output is the recall@k curve
+    * for k = 1..3 over users with a non-empty eligible test set AND a
+    * surviving train basket.
+    *
+    * Scale shapes: the split is a per-user row_number over the ORDER
+    * dimension (never the lineitem fan-out); the order-items table is
+    * localCheckpointed once and feeds split + train + test (the
+    * materialize-the-split-once production shape); the model build reuses
+    * [[buildCf]]'s packed-pair aggregate; hit detection is a keyed
+    * (u, item) semi-join against recommendations (≤ 3 rows/user); and the
+    * final curve folds to ONE row of counters crossJoined with the 1-row
+    * user total (audited broadcast-spine pattern) before unpivoting to 3
+    * rows. Rates are integer nano-units (non-negative, div ≡ floor).
+    */
+  val evalHitRate = Declared(
+    "rec_eval_hitrate",
+    (s, dir) => {
+      // order-items: the split/train/test base — checkpointed, three readers
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("o_orderkey").as("ok"),
+          col("o_orderdate").as("od"), col("l_partkey").as("i"))
+        .distinct().localCheckpoint()
+      val lastOrder = li.select(col("u"), col("ok"), col("od")).distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("u")).orderBy(col("od").desc, col("ok").desc)))
+        .filter(col("rn") === 1).select(col("u"), col("ok").as("tok"))
+      val test = li.join(lastOrder, "u").filter(col("ok") === col("tok"))
+        .select(col("u"), col("i")).distinct()
+      val train = li.join(lastOrder, "u").filter(col("ok") =!= col("tok"))
+        .select(col("u"), col("i")).distinct()
+      val (capped, scored) = buildCf(train)
+      val elig = test.join(train, Seq("u", "i"), "left_anti")
+      val evalUsers = elig.select(col("u")).distinct()
+        .join(capped.select(col("u")).distinct(), Seq("u"), "left_semi")
+      val recs = serveTop3(capped, scored)
+      val minHit = recs
+        .join(elig.select(col("u"), col("i").as("item")), Seq("u", "item"), "left_semi")
+        .groupBy(col("u")).agg(min(col("rnk")).as("mr"))
+      val hitCounts = minHit.agg(
+        sum((col("mr") <= 1).cast("long")).as("h1"),
+        sum((col("mr") <= 2).cast("long")).as("h2"),
+        sum((col("mr") <= 3).cast("long")).as("h3"))
+      val total = evalUsers.agg(count(lit(1)).as("n_users"))
+      hitCounts.crossJoin(total)
+        .select(expr("explode(array(struct(1 AS k, coalesce(h1, 0L) AS n_hits)," +
+          " struct(2 AS k, coalesce(h2, 0L) AS n_hits)," +
+          " struct(3 AS k, coalesce(h3, 0L) AS n_hits)))").as("e"), col("n_users"))
+        .select(col("e.k").as("k"), col("n_users"), col("e.n_hits").as("n_hits"),
+          expr("(1000000000L * e.n_hits) div greatest(n_users, 1L)").as("hit_rate_nano"))
+        .orderBy(col("k"))
+    },
+    Some(cfCtes(
+      """li AS (
+        SELECT DISTINCT o_custkey AS u, o_orderkey AS ok,
+          o_orderdate AS od, l_partkey AS i
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      lasto AS (
+        SELECT u, ok AS tok FROM (
+          SELECT u, ok, row_number() OVER (
+            PARTITION BY u ORDER BY od DESC, ok DESC) AS rn
+          FROM (SELECT DISTINCT u, ok, od FROM li)) WHERE rn = 1),
+      test AS (
+        SELECT DISTINCT li.u, li.i FROM li
+        JOIN lasto ON li.u = lasto.u AND li.ok = lasto.tok),""",
+      """SELECT DISTINCT li.u, li.i FROM li
+        JOIN lasto ON li.u = lasto.u AND li.ok <> lasto.tok""") +
+      servingCtes + """,
+      elig AS (
+        SELECT t.u, t.i FROM test t
+        WHERE NOT EXISTS (
+          SELECT 1 FROM baskets b WHERE b.u = t.u AND b.i = t.i)),
+      evalu AS (
+        SELECT DISTINCT e.u FROM elig e
+        WHERE EXISTS (SELECT 1 FROM capped c WHERE c.u = e.u)),
+      minhit AS (
+        SELECT r.u, min(r.rnk) AS mr FROM recs r
+        JOIN elig e ON r.u = e.u AND r.item = e.i
+        WHERE r.rnk <= 3 GROUP BY r.u),
+      hk AS (
+        SELECT
+          CAST(coalesce(sum(CASE WHEN mr <= 1 THEN 1 END), 0) AS BIGINT) AS h1,
+          CAST(coalesce(sum(CASE WHEN mr <= 2 THEN 1 END), 0) AS BIGINT) AS h2,
+          CAST(coalesce(sum(CASE WHEN mr <= 3 THEN 1 END), 0) AS BIGINT) AS h3
+        FROM minhit),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM evalu)
+      SELECT v.k, tot.n_users,
+        (CASE v.k WHEN 1 THEN hk.h1 WHEN 2 THEN hk.h2 ELSE hk.h3 END) AS n_hits,
+        CAST((1000000000 * (CASE v.k WHEN 1 THEN hk.h1 WHEN 2 THEN hk.h2
+          ELSE hk.h3 END)) // greatest(tot.n_users, 1) AS BIGINT)
+          AS hit_rate_nano
+      FROM (VALUES (1), (2), (3)) v(k)
+      CROSS JOIN tot CROSS JOIN hk ORDER BY v.k"""))
+
+  val all: Seq[Declared] = Seq(itemCf, topN, evalHitRate)
 }

@@ -489,7 +489,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_rrf_fusion",    // 1-row broadcast packed query vector (two rankings)
     "dq_benford",        // 1-row broadcast total / chi2 scalars
     "curate_dsir",       // 1-row broadcast feature-total scalar
-    "corpus_pmi"         // 1-row unigram-total × 1-row bigram-total broadcasts
+    "corpus_pmi",        // 1-row unigram-total × 1-row bigram-total broadcasts
+    "events_markov_stationary", // 1-row broadcast type-count scalar
+    "rec_eval_hitrate"   // 1-row hit-counter row × 1-row user-total broadcast
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

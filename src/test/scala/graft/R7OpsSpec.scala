@@ -1370,6 +1370,118 @@ class R7OpsSpec extends AnyFunSuite {
     assert(rs.map(_.getAs[Long]("n_active")).sum == activity)
   }
 
+  test("rec_eval_hitrate: leave-last-order-out curve recomputed driver-side") {
+    // the full eval chain in plain collections: order-items → last-order
+    // split → train-only CF build → serving → eligible-test hit detection
+    val li = Tables.t(spark, TestSpark.sf, "lineitem")
+      .join(Tables.t(spark, TestSpark.sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("string"), col("l_partkey"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val lastOk = li.map(t => (t._1, t._2, t._3)).distinct.groupBy(_._1)
+      .map { case (u, os) => (u, os.maxBy(o => (o._3, o._2))._2) }
+    val test = li.filter(t => lastOk(t._1) == t._2)
+      .map(t => (t._1, t._4)).distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val trainAll = li.filter(t => lastOk(t._1) != t._2)
+      .map(t => (t._1, t._4)).distinct
+    val byUser = trainAll.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap.filter(_._2.size <= 100)
+    val deg = byUser.values.toSeq.flatten.groupBy(identity)
+      .map { case (i, xs) => (i, xs.size.toLong) }
+    val co = byUser.values.toSeq
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+      .filter(_._2 >= 2)
+    val scored = co.map { case ((a, b), c) =>
+      ((a, b), Math.round(c.toDouble * 1e9 / math.sqrt((deg(a) * deg(b)).toDouble)))
+    }
+    val nbrs = scored.toSeq.flatMap { case ((a, b), s) => Seq((a, b, s), (b, a, s)) }
+    val top10 = nbrs.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, j, s) => (-s, j) }.take(10)).toMap
+    val recs = byUser.toSeq.flatMap { case (u, owned) =>
+      val votes = owned.toSeq.flatMap(i => top10.getOrElse(i, Nil))
+        .groupBy(_._2).map { case (j, xs) => (j, xs.map(_._3).sum) }
+        .filterNot { case (j, _) => owned(j) }
+      votes.toSeq.sortBy { case (j, s) => (-s, j) }.take(3).zipWithIndex
+        .map { case ((j, _), k) => (u, k + 1, j) }
+    }
+    // eligible test items: not owned in train; eval users need a train basket
+    val elig = test.map { case (u, ts) =>
+      (u, ts -- byUser.getOrElse(u, Set.empty))
+    }.filter { case (u, ts) => ts.nonEmpty && byUser.contains(u) }
+    val nUsers = elig.size.toLong
+    val minRnk = recs.filter { case (u, _, j) =>
+      elig.get(u).exists(_.contains(j))
+    }.groupBy(_._1).map { case (_, xs) => xs.map(_._2).min }
+    val expected = (1 to 3).map { k =>
+      val h = minRnk.count(_ <= k).toLong
+      (k, nUsers, h, 1000000000L * h / math.max(nUsers, 1L))
+    }
+    val rs = run("rec_eval_hitrate").collect().map(r =>
+      (r.getAs[Int]("k"), r.getAs[Long]("n_users"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("hit_rate_nano"))).toSeq
+    assert(rs.map(_._2).forall(_ > 0), "eval user set must be non-empty")
+    assert(rs == expected, s"hitrate: $rs vs $expected")
+  }
+
+  test("events_feature_backfill: trailing windows recomputed, leak-free") {
+    val ev = Tables.t(spark, TestSpark.sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), Math.round(r.getDouble(4) * 1e6)))
+    val byUser = ev.groupBy(_._2)
+    val expected = ev.filter(_._3 == "purchase").map { e =>
+      val past7 = byUser(e._2).filter(x => x._4 >= e._4 - 604800 && x._4 <= e._4 - 1)
+      val past1 = byUser(e._2).filter(x => x._4 >= e._4 - 86400 && x._4 <= e._4 - 1)
+      (e._1, e._2, e._4, e._5, past7.length.toLong,
+        past7.count(_._3 == "purchase").toLong,
+        past7.filter(_._3 == "purchase").map(_._5).sum,
+        past1.length.toLong)
+    }.sortBy(t => (t._2, t._3, t._1)).toSeq
+    val rs = run("events_feature_backfill").collect().map(r =>
+      (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("sec"), r.getAs[Long]("v_micro"),
+        r.getAs[Long]("n_events_7d"), r.getAs[Long]("n_purch_7d"),
+        r.getAs[Long]("spend_7d_micro"), r.getAs[Long]("n_events_1d"))).toSeq
+    assert(rs.nonEmpty)
+    assert(rs == expected, s"backfill: ${rs.take(2)} vs ${expected.take(2)}")
+    // the leak-free property directly: no feature row counts its own event
+    assert(rs.forall(r => r._5 >= r._6), "purchases within events")
+  }
+
+  test("events_markov_stationary: four power rounds replayed driver-side") {
+    val ev = Tables.t(spark, TestSpark.sf, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts AS timestamp))"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val cat = ev.map(_._2).distinct.sorted
+    val pairs = ev.groupBy(_._1).values.flatMap { es =>
+      val ord = es.sortBy(e => (e._3, e._4)).map(_._2)
+      ord.zip(ord.drop(1))
+    }.toSeq
+    val cnt = pairs.groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+    val rowSum = cnt.groupBy(_._1._1).map { case (a, m) => (a, m.values.sum) }
+    val p = cnt.map { case ((a, b), c) => ((a, b), 1000000000L * c / rowSum(a)) }
+    var pi = cat.map(t => (t, 1000000000L / cat.size)).toMap
+    for (_ <- 1 to 4) {
+      pi = p.toSeq.flatMap { case ((a, b), pn) =>
+        pi.get(a).map(v => (b, v * pn / 1000000000L))
+      }.groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2).sum) }
+    }
+    val expected = cat.map(t => (t, pi.getOrElse(t, 0L))).toSeq
+    val rs = run("events_markov_stationary").collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("pi_nano"))).toSeq
+    assert(rs.nonEmpty)
+    assert(rs == expected, s"stationary: $rs vs $expected")
+    // mass only shrinks (integer truncation + dangling leak), never grows
+    assert(rs.map(_._2).sum <= 1000000000L)
+  }
+
   test("corpus_pmi: scores recomputed from raw counts, threshold honored") {
     val texts = Tables.t(spark, TestSpark.sf, "documents")
       .select(col("text")).collect().map(_.getString(0))
