@@ -94,7 +94,7 @@ object Bench {
     if (only.exists(f => bandedFamily.exists(f.contains)))
       queries.DedupQ.warmShared(spark, sfDir)
     // same discipline for the CF family's shared pair/basket snapshot
-    if (only.exists(f => Seq("rec_item_cf", "rec_topn").exists(f.contains)))
+    if (only.exists(f => Seq("rec_item_cf", "rec_topn", "rec_metrics").exists(f.contains)))
       queries.RecQ.warmShared(spark, sfDir)
     // warmup (page-cache pass + streaming init + fixture-layout prep) is
     // reported separately so cross-round totals stay comparable as fixture

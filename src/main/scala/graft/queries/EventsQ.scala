@@ -2058,6 +2058,77 @@ object EventsQ {
       FROM cat c LEFT JOIN r4 ON c.event_type = r4.t
       ORDER BY c.event_type"""))
 
+  /** Churn-label training-set assembly — the forward-looking half of
+    * [[featureBackfill]]'s point-in-time discipline: features may only see
+    * BEFORE the cutoff, the label may only see AFTER it, and the population
+    * is fixed at the cutoff (users with any pre-cutoff history). One
+    * mislabeled boundary row poisons a churn model silently, so the
+    * boundary semantics are explicit: features read [cutoff−7d, cutoff),
+    * the label reads [cutoff, cutoff+14d). Both targets a production
+    * pipeline trains against are emitted: the regression target
+    * `n_purch_label` (future purchase count) and the classification label
+    * `at_risk` (fewer than 5 purchases in the window — a declared business
+    * threshold; the fixture's synthetic users are uniformly active, so
+    * absolute zero-activity churn never occurs and a 0-threshold label
+    * would be vacuously single-class). The cutoff is a declared constant
+    * (fixture spans 2024-01); production re-runs the same query per
+    * snapshot date.
+    *
+    * Scale shape: the entire table assembles in ONE conditional-sum hash
+    * aggregate per user on a single event scan — no join between the
+    * feature and label sides, because both are predicates over the same
+    * partition. All boundaries are half-open NTZ literals (identical on
+    * both engines); spend folds in exact micro-units.
+    */
+  val labelChurn = Declared(
+    "events_label_churn",
+    (s, dir) => {
+      val cut = "TIMESTAMP_NTZ '2024-01-15 00:00:00'"
+      val featLo = "TIMESTAMP_NTZ '2024-01-08 00:00:00'"
+      val labHi = "TIMESTAMP_NTZ '2024-01-29 00:00:00'"
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(expr(s"CAST(ts < $cut AS BIGINT)")).as("n_hist"),
+          sum(expr(s"CAST(ts >= $featLo AND ts < $cut AS BIGINT)"))
+            .as("n_events_7d"),
+          sum(expr(s"CAST(ts >= $featLo AND ts < $cut AND " +
+            "event_type = 'purchase' AS BIGINT)")).as("n_purch_7d"),
+          sum(expr(s"CASE WHEN ts >= $featLo AND ts < $cut AND " +
+            "event_type = 'purchase' THEN CAST(round(value * 1e6) AS BIGINT) " +
+            "ELSE 0L END")).as("spend_7d_micro"),
+          sum(expr(s"CAST(ts >= $cut AND ts < $labHi AND " +
+            "event_type = 'purchase' AS BIGINT)")).as("n_purch_label"))
+        .filter(col("n_hist") > 0)
+        .select(col("user_id"), col("n_events_7d"), col("n_purch_7d"),
+          col("spend_7d_micro"), col("n_purch_label"),
+          (col("n_purch_label") < 5L).as("at_risk"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH agged AS (
+        SELECT user_id,
+          CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hist,
+          CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+            AND ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_events_7d,
+          CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+            AND ts < TIMESTAMP '2024-01-15'
+            AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_purch_7d,
+          CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+            AND ts < TIMESTAMP '2024-01-15' AND event_type = 'purchase'
+            THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END) AS BIGINT)
+            AS spend_7d_micro,
+          CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+            AND ts < TIMESTAMP '2024-01-29'
+            AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_purch_label
+        FROM events GROUP BY user_id)
+      SELECT user_id, n_events_7d, n_purch_7d, spend_7d_micro, n_purch_label,
+        (n_purch_label < 5) AS at_risk
+      FROM agged WHERE n_hist > 0 ORDER BY user_id"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
@@ -2065,5 +2136,5 @@ object EventsQ {
     rfm, interpolate, asofTolerance, botDetection, survival, seasonality,
     sequenceMining, changepoint, stlDecompose, intervalOverlap, mttr,
     autocorr, cuped, ohlc, power, stickiness, attributionLinear, ewma,
-    cohortLtv, featureBackfill, markovStationary)
+    cohortLtv, featureBackfill, markovStationary, labelChurn)
 }

@@ -535,6 +535,79 @@ object QualityQ {
         obs_nano - exp_nano AS dev_nano, chi.chi2_nano
       FROM pd2 CROSS JOIN chi ORDER BY digit"""))
 
+  /** Join-key skew report — the diagnostic run BEFORE sizing a shuffle:
+    * for each candidate join/partition key, how concentrated its value
+    * distribution is (max-key share, p99/median ratio). At 1000 executors
+    * a key holding 5% of a 100 TB fact table is a straggler that AQE's
+    * skew-join split or a salting rewrite must handle — this report is what
+    * decides that, from the data instead of folklore.
+    *
+    * Scale shapes: each table pays ONE scan; the three lineitem keys share
+    * it through a 3-way stack (Spark's Expand — trading 3× shuffle rows
+    * for 2 saved scans, the right trade on an IO-bound fact table); counts
+    * fold per (key_col, key_val) in one hash aggregate whose output is
+    * key-dimension-sized; the stats pass then aggregates THAT table per
+    * key_col. The exact `percentile` over per-key counts is the one
+    * key-dimension-sized sort — the documented 100 TB swap is
+    * percentile_approx on the same plan. Shares are nano-unit integers;
+    * the p99/median ratio divides two exactly-representable interpolated
+    * halves, one IEEE op rounded once.
+    */
+  val skewReport = Declared(
+    "dq_skew_report",
+    (s, dir) => {
+      def keyCounts(df: org.apache.spark.sql.DataFrame, stackExpr: String) =
+        df.select(expr(stackExpr))
+          .groupBy(col("key_col"), col("key_val"))
+          .agg(count(lit(1)).as("n"))
+      val counts = keyCounts(t(s, dir, "lineitem"),
+        """stack(3, 'lineitem.l_orderkey', l_orderkey,
+                    'lineitem.l_partkey', l_partkey,
+                    'lineitem.l_suppkey', l_suppkey) AS (key_col, key_val)""")
+        .union(keyCounts(t(s, dir, "orders"),
+          "stack(1, 'orders.o_custkey', o_custkey) AS (key_col, key_val)"))
+        .union(keyCounts(t(s, dir, "events"),
+          "stack(1, 'events.user_id', user_id) AS (key_col, key_val)"))
+      counts.groupBy(col("key_col"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_n"),
+          expr("percentile(CAST(n AS DOUBLE), 0.5)").as("med_n"),
+          expr("percentile(CAST(n AS DOUBLE), 0.99)").as("p99_n"))
+        .select(col("key_col"), col("n_keys"), col("n_rows"), col("max_n"),
+          expr("(1000000000L * max_n) div n_rows").as("max_share_nano"),
+          col("med_n"), col("p99_n"),
+          expr("CAST(round(p99_n / med_n * 1e9) AS BIGINT)")
+            .as("p99_over_med_nano"))
+        .orderBy(col("key_col"))
+    },
+    Some("""WITH stacked AS (
+        SELECT 'lineitem.l_orderkey' AS key_col, l_orderkey AS key_val
+          FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_custkey', o_custkey FROM orders
+        UNION ALL
+        SELECT 'events.user_id', user_id FROM events),
+      counts AS (
+        SELECT key_col, key_val, CAST(count(*) AS BIGINT) AS n
+        FROM stacked GROUP BY key_col, key_val)
+      SELECT key_col,
+        CAST(count(*) AS BIGINT) AS n_keys,
+        CAST(sum(n) AS BIGINT) AS n_rows,
+        CAST(max(n) AS BIGINT) AS max_n,
+        CAST((1000000000 * max(n)) // sum(n) AS BIGINT) AS max_share_nano,
+        quantile_cont(CAST(n AS DOUBLE), 0.5) AS med_n,
+        quantile_cont(CAST(n AS DOUBLE), 0.99) AS p99_n,
+        CAST(round(quantile_cont(CAST(n AS DOUBLE), 0.99)
+          / quantile_cont(CAST(n AS DOUBLE), 0.5) * 1e9) AS BIGINT)
+          AS p99_over_med_nano
+      FROM counts GROUP BY key_col ORDER BY key_col"""))
+
   val all: Seq[Declared] = Seq(expectations, driftPsi, kAnonymity, profile,
-    fdDiscovery, dpRelease, orphanReport, benford)
+    fdDiscovery, dpRelease, orphanReport, benford, skewReport)
 }

@@ -337,5 +337,77 @@ object RecQ {
       FROM (VALUES (1), (2), (3)) v(k)
       CROSS JOIN tot CROSS JOIN hk ORDER BY v.k"""))
 
-  val all: Seq[Declared] = Seq(itemCf, topN, evalHitRate)
+  /** Beyond-accuracy serving metrics — the two readouts that catch a
+    * recommender "working" by only ever pushing bestsellers: catalog
+    * COVERAGE at k (what fraction of the trainable catalog ever appears in
+    * a top-k list) and NOVELTY at k (mean self-information −ln(d_i/U) of
+    * the recommended items' popularity — higher means the model surfaces
+    * long-tail items a popularity baseline would never show; Castells et
+    * al., RecSys handbook ch. 26). Both read the SHARED model snapshot and
+    * the same serving pipeline [[topN]] ships.
+    *
+    * Scale shapes: per-item self-information is computed ONCE on the
+    * item-dimension-sized degree table (one ln per item, rounded once to
+    * nano), then joined keyed onto the ≤3-rows-per-user recs; the per-k
+    * readout folds to three rows via one conditional aggregate; catalog
+    * and user totals are 1-row broadcasts (audited spine pattern). Novelty
+    * averages exact nano longs (sum div count), so no float summation
+    * order exists anywhere.
+    */
+  val metrics = Declared(
+    "rec_metrics",
+    (s, dir) => {
+      val (capped, scored) = cfShared(s, dir)
+      val deg = capped.groupBy(col("i")).agg(count(lit(1)).as("d"))
+      val nUsers = capped.select(col("u")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val nCatalog = deg.agg(count(lit(1)).as("n_catalog"))
+      val selfInfo = deg.crossJoin(broadcast(nUsers))
+        .select(col("i").as("item"),
+          expr("CAST(round(ln(CAST(n_users AS DOUBLE) / d) * 1e9) AS BIGINT)")
+            .as("info_nano"))
+      val recsInfo = serveTop3(capped, scored)
+        .join(selfInfo, "item").localCheckpoint()
+      val perK = (1 to 3).map { k =>
+        recsInfo.filter(col("rnk") <= k)
+          .agg(count(lit(1)).as("n_rec_rows"),
+            count_distinct(col("item")).as("n_distinct_items"),
+            sum(col("info_nano")).as("info_sum"))
+          .select(lit(k).as("k"), col("n_rec_rows"),
+            col("n_distinct_items"), col("info_sum"))
+      }.reduce(_ union _)
+      perK.crossJoin(broadcast(nCatalog))
+        .select(col("k"), col("n_rec_rows"), col("n_distinct_items"),
+          expr("(1000000000L * n_distinct_items) div n_catalog")
+            .as("coverage_nano"),
+          expr("info_sum div greatest(n_rec_rows, 1L)").as("avg_novelty_nano"))
+        .orderBy(col("k"))
+    },
+    Some(cfOracleCtes + servingCtes + """,
+      degi AS (SELECT i, CAST(count(*) AS BIGINT) AS d FROM capped GROUP BY i),
+      nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM capped),
+      ncat AS (SELECT CAST(count(*) AS BIGINT) AS n_catalog FROM degi),
+      selfinfo AS (
+        SELECT i AS item,
+          CAST(round(ln(CAST(n_users AS DOUBLE) / d) * 1e9) AS BIGINT)
+            AS info_nano
+        FROM degi CROSS JOIN nu),
+      ri AS (
+        SELECT r.u, r.rnk, r.item, s.info_nano
+        FROM recs r JOIN selfinfo s ON r.item = s.item WHERE r.rnk <= 3),
+      perk AS (
+        SELECT v.k,
+          CAST(count(*) AS BIGINT) AS n_rec_rows,
+          CAST(count(DISTINCT ri.item) AS BIGINT) AS n_distinct_items,
+          CAST(sum(ri.info_nano) AS BIGINT) AS info_sum
+        FROM (VALUES (1), (2), (3)) v(k) JOIN ri ON ri.rnk <= v.k
+        GROUP BY v.k)
+      SELECT k, n_rec_rows, n_distinct_items,
+        CAST((1000000000 * n_distinct_items) // n_catalog AS BIGINT)
+          AS coverage_nano,
+        CAST(info_sum // greatest(n_rec_rows, 1) AS BIGINT)
+          AS avg_novelty_nano
+      FROM perk CROSS JOIN ncat ORDER BY k"""))
+
+  val all: Seq[Declared] = Seq(itemCf, topN, evalHitRate, metrics)
 }

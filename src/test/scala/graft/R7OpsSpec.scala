@@ -1482,6 +1482,130 @@ class R7OpsSpec extends AnyFunSuite {
     assert(rs.map(_._2).sum <= 1000000000L)
   }
 
+  test("rec_metrics: coverage and novelty recomputed driver-side") {
+    val baskets = Tables.t(spark, TestSpark.sf, "lineitem")
+      .join(Tables.t(spark, TestSpark.sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = baskets.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap.filter(_._2.size <= 100)
+    val deg = byUser.values.toSeq.flatten.groupBy(identity)
+      .map { case (i, xs) => (i, xs.size.toLong) }
+    val co = byUser.values.toSeq
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+      .filter(_._2 >= 2)
+    val scored = co.map { case ((a, b), c) =>
+      ((a, b), Math.round(c.toDouble * 1e9 / math.sqrt((deg(a) * deg(b)).toDouble)))
+    }
+    val nbrs = scored.toSeq.flatMap { case ((a, b), s) => Seq((a, b, s), (b, a, s)) }
+    val top10 = nbrs.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, j, s) => (-s, j) }.take(10)).toMap
+    val recs = byUser.toSeq.flatMap { case (u, owned) =>
+      val votes = owned.toSeq.flatMap(i => top10.getOrElse(i, Nil))
+        .groupBy(_._2).map { case (j, xs) => (j, xs.map(_._3).sum) }
+        .filterNot { case (j, _) => owned(j) }
+      votes.toSeq.sortBy { case (j, s) => (-s, j) }.take(3).zipWithIndex
+        .map { case ((j, _), k) => (u, k + 1, j) }
+    }
+    val nUsers = byUser.size.toLong
+    val nCatalog = deg.size.toLong
+    val info = deg.map { case (i, d) =>
+      (i, Math.round(math.log(nUsers.toDouble / d) * 1e9))
+    }
+    val expected = (1 to 3).map { k =>
+      val rows = recs.filter(_._2 <= k)
+      val items = rows.map(_._3).distinct
+      val infoSum = rows.map(r => info(r._3)).sum
+      (k, rows.size.toLong, items.size.toLong,
+        1000000000L * items.size / nCatalog,
+        infoSum / math.max(rows.size.toLong, 1L))
+    }
+    val rs = run("rec_metrics").collect().map(r =>
+      (r.getAs[Int]("k"), r.getAs[Long]("n_rec_rows"),
+        r.getAs[Long]("n_distinct_items"), r.getAs[Long]("coverage_nano"),
+        r.getAs[Long]("avg_novelty_nano"))).toSeq
+    assert(rs.map(_._2).forall(_ > 0))
+    assert(rs == expected, s"metrics: $rs vs $expected")
+    // coverage can only grow with k; novelty stays in (0, ln(U)]
+    assert(rs.map(_._4).sliding(2).forall(w => w.head <= w.last))
+    assert(rs.forall(r => r._5 > 0 &&
+      r._5 <= Math.round(math.log(nUsers.toDouble) * 1e9)))
+  }
+
+  test("events_label_churn: boundary semantics recomputed, leak-free") {
+    val cut = java.time.LocalDateTime.parse("2024-01-15T00:00:00")
+    val featLo = java.time.LocalDateTime.parse("2024-01-08T00:00:00")
+    val labHi = java.time.LocalDateTime.parse("2024-01-29T00:00:00")
+    val ev = Tables.t(spark, TestSpark.sf, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1), r.getString(2),
+        Math.round(r.getDouble(3) * 1e6)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val hist = es.filter(_._2.isBefore(cut))
+      if (hist.isEmpty) None
+      else {
+        val feat = es.filter(e => !e._2.isBefore(featLo) && e._2.isBefore(cut))
+        val lab = es.count(e => !e._2.isBefore(cut) && e._2.isBefore(labHi) &&
+          e._3 == "purchase")
+        Some((u, feat.length.toLong,
+          feat.count(_._3 == "purchase").toLong,
+          feat.filter(_._3 == "purchase").map(_._4).sum,
+          lab.toLong, lab < 5))
+      }
+    }.sortBy(_._1)
+    val rs = run("events_label_churn").collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("n_events_7d"),
+        r.getAs[Long]("n_purch_7d"), r.getAs[Long]("spend_7d_micro"),
+        r.getAs[Long]("n_purch_label"), r.getAs[Boolean]("at_risk"))).toSeq
+    assert(rs.nonEmpty)
+    assert(rs == expected, s"churn: ${rs.take(3)} vs ${expected.take(3)}")
+    // the fixture must exercise BOTH label classes or the query is vacuous
+    assert(rs.exists(_._6), "expected at least one at-risk user")
+    assert(rs.exists(!_._6), "expected at least one retained user")
+  }
+
+  test("dq_skew_report: key-count stats recomputed driver-side") {
+    def pct(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted.map(_.toDouble)
+      // Spark Percentile.getPercentile's exact IEEE sequence:
+      // lower * (1 - d) + higher * d
+      val pos = p * (s.length - 1)
+      val lo = pos.toInt
+      val hi = math.min(lo + 1, s.length - 1)
+      s(lo) * (1.0 - (pos - lo)) + s(hi) * (pos - lo)
+    }
+    def statsOf(counts: Seq[Long], name: String) = {
+      val med = pct(counts, 0.5); val p99 = pct(counts, 0.99)
+      (name, counts.size.toLong, counts.sum, counts.max,
+        1000000000L * counts.max / counts.sum, med, p99,
+        Math.round(p99 / med * 1e9))
+    }
+    val li = Tables.t(spark, TestSpark.sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ordKeys = Tables.t(spark, TestSpark.sf, "orders")
+      .select(col("o_custkey")).collect().map(_.getLong(0))
+    val evKeys = Tables.t(spark, TestSpark.sf, "events")
+      .select(col("user_id")).collect().map(_.getLong(0))
+    def cnt(xs: Seq[Long]) =
+      xs.groupBy(identity).values.map(_.size.toLong).toSeq
+    val expected = Seq(
+      statsOf(cnt(evKeys.toSeq), "events.user_id"),
+      statsOf(cnt(li.map(_._1).toSeq), "lineitem.l_orderkey"),
+      statsOf(cnt(li.map(_._2).toSeq), "lineitem.l_partkey"),
+      statsOf(cnt(li.map(_._3).toSeq), "lineitem.l_suppkey"),
+      statsOf(cnt(ordKeys.toSeq), "orders.o_custkey"))
+    val rs = run("dq_skew_report").collect().map(r =>
+      (r.getAs[String]("key_col"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("max_n"),
+        r.getAs[Long]("max_share_nano"), r.getAs[Double]("med_n"),
+        r.getAs[Double]("p99_n"), r.getAs[Long]("p99_over_med_nano"))).toSeq
+    assert(rs == expected, s"skew: ${rs.take(2)} vs ${expected.take(2)}")
+  }
+
   test("corpus_pmi: scores recomputed from raw counts, threshold honored") {
     val texts = Tables.t(spark, TestSpark.sf, "documents")
       .select(col("text")).collect().map(_.getString(0))
