@@ -123,4 +123,49 @@ object DedupClusters {
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     (labels.select(col("id"), col("label").as("cluster_id")), iter)
   }
+
+  /** Incremental maintenance of a component labeling as new edges arrive —
+    * the daily-ingest shape: yesterday's (id, cluster_id) artifact is
+    * AUTHORITATIVE for the old graph, and today's edges only ever MERGE
+    * existing components (or attach brand-new nodes), so the full recompute
+    * is provably equivalent to connected components over the CONTRACTED
+    * graph whose vertices are yesterday's labels.
+    *
+    * Steps, all keyed: seed every node (old ∪ new) with its old label or
+    * itself; translate each new edge to a (label, label) edge, dropping
+    * loops; run [[connectedComponents]] on the touched labels only — a
+    * graph whose size tracks today's NEW edges, not the accumulated corpus
+    * (the whole point at 100 TB: a 10-year graph re-labels in time
+    * proportional to one day's delta); map every node through the merge
+    * result with untouched labels fixed. Correctness: old labels are
+    * component minima of the old graph, every node id ≥ its label, so the
+    * min over merged labels IS the min node id of the merged component —
+    * identical to the from-scratch labeling (spec-pinned on crafted merge
+    * graphs and oracle-checked against the full recompute).
+    *
+    * `allNodes` carries one column `n`; `oldLabels` is (id, cluster_id);
+    * `newPairs` is (id1, id2).
+    */
+  def incrementalComponents(
+      allNodes: DataFrame,
+      oldLabels: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val seed = allNodes
+      .join(oldLabels, allNodes("n") === oldLabels("id"), "left")
+      .select(col("n"), coalesce(col("cluster_id"), col("n")).as("lbl"))
+      .localCheckpoint()
+    val lblPairs = newPairs
+      .join(seed.select(col("n").as("id1"), col("lbl").as("l1")), "id1")
+      .join(seed.select(col("n").as("id2"), col("lbl").as("l2")), "id2")
+      .filter(col("l1") =!= col("l2"))
+      .select(col("l1").as("id1"), col("l2").as("id2"))
+      .distinct()
+    val touched = lblPairs.select(col("id1").as("n"))
+      .union(lblPairs.select(col("id2")))
+      .distinct()
+    val merged = connectedComponents(touched, "n", lblPairs)
+    seed.join(merged, seed("lbl") === merged("id"), "left")
+      .select(seed("n").as("id"),
+        coalesce(col("cluster_id"), col("lbl")).as("cluster_id"))
+  }
 }

@@ -2129,6 +2129,84 @@ object EventsQ {
         (n_purch_label < 5) AS at_risk
       FROM agged WHERE n_hist > 0 ORDER BY user_id"""))
 
+  /** Holt double-exponential smoothing (level + TREND) per event type —
+    * what [[ewma]] cannot see: a steadily growing series reads as a
+    * permanent "spike" to a level-only smoother, while Holt's paired
+    * recurrence l' = (x + l + b)/2, b' = (l' − l + b)/2 (α = β = 1/2)
+    * tracks the slope and forecasts next = l + b.
+    *
+    * The engineering point is the STATE: the recurrence threads a (level,
+    * trend) pair, but both engines' fold primitives carry ONE value — and
+    * DuckDB's `list_reduce` seeds with the raw first element. So the pair
+    * packs into one long, `level·2³² + (trend + 2³¹)`, and every series
+    * element is PRE-PACKED as (x, trend 0) — which makes the seed exactly
+    * the correct initial state (l₀ = x₀, b₀ = 0) on both engines with no
+    * special-casing. Inside the lambda all div-by-2 and unpack steps are
+    * ARITHMETIC SHIFTS (floor semantics for negative trends in both
+    * engines — Spark `div` truncates toward zero while DuckDB `//` floors,
+    * the events_interpolate lesson, so plain division is banned here).
+    * Counts scale to milli-units: level ≤ 2³¹ holds until a single type
+    * logs 2 million events/hour, and the pack is exact below that
+    * (documented bound; wider series shard the hour key).
+    *
+    * Scale shape: identical to [[ewma]] — one hash aggregate to O(types ×
+    * hours), then a calendar-bounded per-group fold inside a distributed
+    * aggregate.
+    */
+  val holt = Declared(
+    "events_holt",
+    (s, dir) => {
+      // s = packed (l, b); e = packed (x, 0). l' = (x+l+b)>>1, b' = (l'-l+b)>>1
+      val fold =
+        """(s, e) -> ((shiftright((shiftright(e, 32)) + (shiftright(s, 32))
+          |  + ((s & 4294967295L) - 2147483648L), 1)) * 4294967296L)
+          |  + (shiftright((shiftright((shiftright(e, 32)) + (shiftright(s, 32))
+          |      + ((s & 4294967295L) - 2147483648L), 1)) - (shiftright(s, 32))
+          |      + ((s & 4294967295L) - 2147483648L), 1) + 2147483648L)"""
+          .stripMargin.replace("\n", " ")
+      t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("series"))
+        .select(col("event_type"),
+          expr("transform(series, p -> p.n * 1000L * 4294967296L + 2147483648L)")
+            .as("arr"))
+        .select(col("event_type"), size(col("arr")).as("n_hours"),
+          expr("element_at(arr, -1) div 4294967296L div 1000L").as("last_n"),
+          expr(s"aggregate(slice(arr, 2, greatest(size(arr) - 1, 0)), element_at(arr, 1), $fold)")
+            .as("st"))
+        .select(col("event_type"), col("n_hours"), col("last_n"),
+          expr("shiftright(st, 32)").as("level_milli"),
+          expr("(st & 4294967295L) - 2147483648L").as("trend_milli"))
+        .withColumn("forecast_milli", col("level_milli") + col("trend_milli"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      series AS (
+        SELECT event_type,
+          list(n * 1000 * 4294967296 + 2147483648 ORDER BY h) AS arr
+        FROM hourly GROUP BY event_type),
+      folded AS (
+        SELECT event_type,
+          CAST(len(arr) AS INTEGER) AS n_hours,
+          CAST(arr[-1] // 4294967296 // 1000 AS BIGINT) AS last_n,
+          list_reduce(arr, (s, e) -> ((((e >> 32) + (s >> 32)
+            + ((s & 4294967295) - 2147483648)) >> 1) * 4294967296)
+            + (((((((e >> 32) + (s >> 32) + ((s & 4294967295) - 2147483648))
+                >> 1)) - (s >> 32) + ((s & 4294967295) - 2147483648)) >> 1)
+              + 2147483648)) AS st
+        FROM series)
+      SELECT event_type, n_hours, last_n,
+        CAST(st >> 32 AS BIGINT) AS level_milli,
+        CAST((st & 4294967295) - 2147483648 AS BIGINT) AS trend_milli,
+        CAST((st >> 32) + (st & 4294967295) - 2147483648 AS BIGINT)
+          AS forecast_milli
+      FROM folded ORDER BY event_type"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
@@ -2136,5 +2214,5 @@ object EventsQ {
     rfm, interpolate, asofTolerance, botDetection, survival, seasonality,
     sequenceMining, changepoint, stlDecompose, intervalOverlap, mttr,
     autocorr, cuped, ohlc, power, stickiness, attributionLinear, ewma,
-    cohortLtv, featureBackfill, markovStationary, labelChurn)
+    cohortLtv, featureBackfill, markovStationary, labelChurn, holt)
 }

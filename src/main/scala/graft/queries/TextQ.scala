@@ -1852,11 +1852,76 @@ object TextQ {
       CROSS JOIN nwt CROSS JOIN nbt
       ORDER BY pmi_nano DESC, bigram LIMIT 20"""))
 
+  /** Green-list watermark detection (Kirchenbauer et al., ICML 2023) — the
+    * synthetic-text screen a pretraining pipeline runs now that LLM output
+    * contaminates every crawl: a watermarking generator biases each token
+    * toward a "green" half of the vocabulary seeded by the PREVIOUS token,
+    * so a watermarked doc's green fraction sits far above the 1/2 a human
+    * text hits. The detector recomputes membership per bigram position —
+    * green iff hash(prev ∥ ' ' ∥ cur) is even (γ = 1/2, portable md5
+    * convention) — and scores each doc with the paper's one-proportion
+    * z-statistic z = (2g − n)/√n, flagging z ≥ 4 (the paper's operating
+    * point, ~3e-5 false-positive rate). The fixture is human-shuffled text,
+    * so flags stay empty while the z distribution sits near N(0,1) — the
+    * spec pins both, plus exact per-doc recomputation.
+    *
+    * Scale shape: one exploded corpus scan into a per-doc hash aggregate
+    * (two counters per doc); the z expression is ONE shared parenthesization
+    * rounded once to milli. Docs under 20 scored positions are excluded —
+    * the normal approximation (and the detector) is meaningless there.
+    */
+  val watermarkDetect = Declared(
+    "text_watermark_detect",
+    (s, dir) => {
+      val ws = Tables.spread(t(s, dir, "documents"), "doc_id")
+        .withColumn("ws", TextFns.words(col("text")))
+      val h = graft.functions.Hashing
+        .md5Hash32SparkSql("concat(p.w1, ' ', p.w2)")
+      ws.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(ws) < 2 THEN array()
+             ELSE transform(sequence(1, size(ws) - 1),
+                            i -> struct(element_at(ws, i) AS w1,
+                                        element_at(ws, i + 1) AS w2))
+             END""")).as("p"))
+        .select(col("doc_id"), expr(s"CAST($h % 2 = 0 AS BIGINT)").as("green"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_scored"), sum(col("green")).as("n_green"))
+        .filter(col("n_scored") >= 20)
+        .select(col("doc_id"), col("n_scored"), col("n_green"),
+          expr("""CAST(round((2.0 * n_green - n_scored)
+                 / sqrt(CAST(n_scored AS DOUBLE)) * 1000) AS BIGINT)""")
+            .as("z_milli"))
+        .withColumn("flagged", col("z_milli") >= 4000L)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ws AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+      prs AS (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(w), 1)),
+          i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]))
+          AS bg
+        FROM ws),
+      scoredd AS (
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_scored,
+          CAST(sum(CASE WHEN ${graft.functions.Hashing.md5Hash32DuckSql("bg")}
+            % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+        FROM prs GROUP BY doc_id HAVING count(*) >= 20)
+      SELECT doc_id, n_scored, n_green,
+        CAST(round((2.0 * n_green - n_scored)
+          / sqrt(CAST(n_scored AS DOUBLE)) * 1000) AS BIGINT) AS z_milli,
+        (CAST(round((2.0 * n_green - n_scored)
+          / sqrt(CAST(n_scored AS DOUBLE)) * 1000) AS BIGINT) >= 4000)
+          AS flagged
+      FROM scoredd ORDER BY doc_id"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
     boilerplate, bpePairs, lineDedup, bigramNll, zipf, sentenceStats,
     langidReport, langidKappa, charEntropy, fertility, langidCalibration,
     classifierScore, gopherRules, qualityCurve, heaps, bpeTrain, bpeEncode,
-    datasheet, perplexityBand, rakeKeywords, readability, pmi)
+    datasheet, perplexityBand, rakeKeywords, readability, pmi,
+    watermarkDetect)
 }

@@ -1606,6 +1606,89 @@ class R7OpsSpec extends AnyFunSuite {
     assert(rs == expected, s"skew: ${rs.take(2)} vs ${expected.take(2)}")
   }
 
+  test("text_watermark_detect: z recomputed via independent md5; human text unflagged") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = Tables.t(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = texts.flatMap { case (id, text) =>
+      val ws = text.trim.split("\\s+")
+      val prs = ws.zip(ws.drop(1))
+      if (prs.length < 20) None
+      else {
+        val g = prs.count { case (a, b) =>
+          java.lang.Long.parseLong(md5hex(s"$a $b").take(8), 16) % 2 == 0
+        }
+        val n = prs.length
+        val z = Math.round((2.0 * g - n) / math.sqrt(n.toDouble) * 1000)
+        Some((id, n.toLong, g.toLong, z, z >= 4000))
+      }
+    }.sortBy(_._1).toSeq
+    val rs = run("text_watermark_detect").collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_scored"),
+        r.getAs[Long]("n_green"), r.getAs[Long]("z_milli"),
+        r.getAs[Boolean]("flagged"))).toSeq
+    assert(rs.nonEmpty)
+    assert(rs == expected, s"watermark: ${rs.take(3)} vs ${expected.take(3)}")
+    // human (non-watermarked) text: no flags, and the z sample behaves like
+    // roughly-centered noise, not a biased detector
+    assert(rs.forall(!_._5), "human text must not be flagged")
+    val meanZ = rs.map(_._4).sum.toDouble / rs.size / 1000.0
+    assert(math.abs(meanZ) < 0.5, s"z mean should be near 0, got $meanZ")
+  }
+
+  test("incrementalComponents: crafted merges equal from-scratch labeling") {
+    import spark.implicits._
+    // old graph: chain {1-2-3} labeled 1, pair {10,11} labeled 10,
+    // untouched pair {20,21} labeled 20; new edges merge 3-10 (two old
+    // components), attach brand-new node 30 to 11, and introduce an
+    // entirely new pair {40,41}
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id1", "id2")
+    val oldNodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("n")
+    val oldLabels = graft.operators.DedupClusters
+      .connectedComponents(oldNodes, "n", oldPairs)
+    val newPairs = Seq((3L, 10L), (30L, 11L), (40L, 41L)).toDF("id1", "id2")
+    val allNodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 30L, 40L, 41L).toDF("n")
+    val inc = graft.operators.DedupClusters
+      .incrementalComponents(allNodes, oldLabels, newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val full = graft.operators.DedupClusters
+      .connectedComponents(allNodes, "n",
+        oldPairs.union(newPairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(inc == full, s"incremental $inc vs full $full")
+    assert(inc == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 1L), (11L, 1L),
+      (20L, 20L), (21L, 20L), (30L, 1L), (40L, 40L), (41L, 40L)))
+  }
+
+  test("events_holt: packed level/trend fold replayed driver-side") {
+    val ev = Tables.t(spark, TestSpark.sf, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0),
+        r.getAs[java.sql.Timestamp](1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).toSeq.map { case (typ, rows) =>
+      val series = rows.sortBy(_._2.getTime).map(_._3 * 1000L)
+      var l = series.head
+      var b = 0L
+      series.tail.foreach { x =>
+        val l2 = (x + l + b) >> 1
+        b = (l2 - l + b) >> 1
+        l = l2
+      }
+      (typ, series.length, series.last / 1000L, l, b, l + b)
+    }.sortBy(_._1)
+    val rs = run("events_holt").collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Int]("n_hours"),
+        r.getAs[Long]("last_n"), r.getAs[Long]("level_milli"),
+        r.getAs[Long]("trend_milli"), r.getAs[Long]("forecast_milli"))).toSeq
+    assert(rs.nonEmpty)
+    assert(rs == expected, s"holt: ${rs.take(2)} vs ${expected.take(2)}")
+  }
+
   test("corpus_pmi: scores recomputed from raw counts, threshold honored") {
     val texts = Tables.t(spark, TestSpark.sf, "documents")
       .select(col("text")).collect().map(_.getString(0))
