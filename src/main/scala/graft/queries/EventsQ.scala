@@ -2207,6 +2207,115 @@ object EventsQ {
           AS forecast_milli
       FROM folded ORDER BY event_type"""))
 
+  /** Walk-forward forecast backtest — the evaluation that DECIDES between
+    * [[forecastSma]]'s flat average and [[holt]]'s level+trend model
+    * instead of trusting either: at every hour t ≥ 9 of each type's
+    * series, both models predict x_t from ONLY the prefix x_1..x_{t−1}
+    * (SMA-4 = mean of the last four; Holt = level+trend of the prefix
+    * fold), and the mean absolute one-step error decides the winner.
+    * Walk-forward prefix discipline is the time-series analogue of
+    * [[labelChurn]]'s point-in-time rule — a backtest that peeks even one
+    * step ahead flatters every model.
+    *
+    * Scale shape: the event scan folds to O(types × hours) once; the
+    * backtest is then a per-group nested lambda — O(hours²) prefix folds
+    * per type, but hours are CALENDAR-BOUNDED (8.8 k/year ⇒ ≤ 39 M fused
+    * integer ops per type-year, microseconds of CPU) so the quadratic
+    * never meets corpus size. Every prediction and error is exact-integer
+    * (milli-unit SMA with div-4, [[holt]]'s packed shift fold), so the
+    * model ranking cannot split the engines.
+    */
+  val forecastBacktest = Declared(
+    "events_forecast_backtest",
+    (s, dir) => {
+      val fold =
+        """(s, e) -> ((shiftright((shiftright(e, 32)) + (shiftright(s, 32))
+          |  + ((s & 4294967295L) - 2147483648L), 1)) * 4294967296L)
+          |  + (shiftright((shiftright((shiftright(e, 32)) + (shiftright(s, 32))
+          |      + ((s & 4294967295L) - 2147483648L), 1)) - (shiftright(s, 32))
+          |      + ((s & 4294967295L) - 2147483648L), 1) + 2147483648L)"""
+          .stripMargin.replace("\n", " ")
+      t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("series"))
+        .select(col("event_type"),
+          expr("transform(series, p -> p.n * 1000L)").as("arr"))
+        .filter(size(col("arr")) >= 9)
+        .select(col("event_type"), size(col("arr")).as("n_hours"),
+          expr("""transform(sequence(9, size(arr)), t ->
+                 abs(element_at(arr, t) -
+                     (element_at(arr, t-4) + element_at(arr, t-3)
+                      + element_at(arr, t-2) + element_at(arr, t-1)) div 4L))""")
+            .as("es"),
+          expr(s"""transform(sequence(9, size(arr)), t ->
+                 abs(element_at(arr, t) -
+                     ((shiftright(aggregate(slice(transform(arr,
+                           x -> x * 4294967296L + 2147483648L), 2, t - 2),
+                         element_at(arr, 1) * 4294967296L + 2147483648L,
+                         $fold), 32))
+                      + ((aggregate(slice(transform(arr,
+                            x -> x * 4294967296L + 2147483648L), 2, t - 2),
+                          element_at(arr, 1) * 4294967296L + 2147483648L,
+                          $fold) & 4294967295L) - 2147483648L))))""")
+            .as("eh"))
+        .select(col("event_type"), col("n_hours"),
+          size(col("es")).cast("long").as("n_eval"),
+          expr("aggregate(es, 0L, (a, e) -> a + e) div size(es)")
+            .as("mae_sma_milli"),
+          expr("aggregate(eh, 0L, (a, e) -> a + e) div size(eh)")
+            .as("mae_holt_milli"))
+        .withColumn("holt_better", col("mae_holt_milli") < col("mae_sma_milli"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      series AS (
+        SELECT event_type, list(n * 1000 ORDER BY h) AS arr
+        FROM hourly GROUP BY event_type HAVING count(*) >= 9),
+      packed AS (
+        SELECT event_type, arr,
+          list_transform(arr, x -> x * 4294967296 + 2147483648) AS arrp
+        FROM series),
+      errs AS (
+        SELECT event_type,
+          CAST(len(arr) AS INTEGER) AS n_hours,
+          list_transform(range(9, len(arr) + 1), t ->
+            abs(arr[CAST(t AS INTEGER)] -
+                (arr[CAST(t AS INTEGER) - 4] + arr[CAST(t AS INTEGER) - 3]
+                 + arr[CAST(t AS INTEGER) - 2] + arr[CAST(t AS INTEGER) - 1])
+                  // 4)) AS es,
+          list_transform(range(9, len(arr) + 1), t ->
+            abs(arr[CAST(t AS INTEGER)] -
+                ((list_reduce(arrp[1:CAST(t AS INTEGER) - 1],
+                    (s, e) -> ((((e >> 32) + (s >> 32)
+                      + ((s & 4294967295) - 2147483648)) >> 1) * 4294967296)
+                      + (((((((e >> 32) + (s >> 32)
+                          + ((s & 4294967295) - 2147483648)) >> 1))
+                          - (s >> 32) + ((s & 4294967295) - 2147483648)) >> 1)
+                        + 2147483648)) >> 32)
+                 + ((list_reduce(arrp[1:CAST(t AS INTEGER) - 1],
+                    (s, e) -> ((((e >> 32) + (s >> 32)
+                      + ((s & 4294967295) - 2147483648)) >> 1) * 4294967296)
+                      + (((((((e >> 32) + (s >> 32)
+                          + ((s & 4294967295) - 2147483648)) >> 1))
+                          - (s >> 32) + ((s & 4294967295) - 2147483648)) >> 1)
+                        + 2147483648)) & 4294967295) - 2147483648)))) AS eh
+        FROM packed)
+      SELECT event_type, n_hours,
+        CAST(len(es) AS BIGINT) AS n_eval,
+        CAST(list_reduce(list_prepend(0, es), (a, e) -> a + e) // len(es)
+          AS BIGINT) AS mae_sma_milli,
+        CAST(list_reduce(list_prepend(0, eh), (a, e) -> a + e) // len(eh)
+          AS BIGINT) AS mae_holt_milli,
+        (list_reduce(list_prepend(0, eh), (a, e) -> a + e) // len(eh)
+          < list_reduce(list_prepend(0, es), (a, e) -> a + e) // len(es))
+          AS holt_better
+      FROM errs ORDER BY event_type"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
@@ -2214,5 +2323,6 @@ object EventsQ {
     rfm, interpolate, asofTolerance, botDetection, survival, seasonality,
     sequenceMining, changepoint, stlDecompose, intervalOverlap, mttr,
     autocorr, cuped, ohlc, power, stickiness, attributionLinear, ewma,
-    cohortLtv, featureBackfill, markovStationary, labelChurn, holt)
+    cohortLtv, featureBackfill, markovStationary, labelChurn, holt,
+    forecastBacktest)
 }

@@ -511,5 +511,47 @@ object Ops {
     orcRoundtrip, avroRoundtrip,
     csvQuoted,
     compareEqual, compareDiff, compareEpsilon, compareKeyed, compareFirstDiff,
-    tableDigest, infoSchema, parquetMeta, schemaDiffQ, columnDrift)
+    tableDigest, infoSchema, parquetMeta, schemaDiffQ, columnDrift,
+    analyzeStats)
+
+  /** ANALYZE TABLE + catalog statistics — the cost-based-optimizer feed:
+    * at 100 TB, join order and broadcast decisions come from CATALOG stats
+    * (rowCount/sizeInBytes), and a table whose stats are stale or missing
+    * silently falls back to size-on-disk heuristics. The op registers the
+    * three big fixtures as external parquet tables, runs `ANALYZE TABLE
+    * COMPUTE STATISTICS`, and emits each table's catalog rowCount — which
+    * the DuckDB oracle RECOMPUTES as count(*), so the hash compare is a
+    * genuine cross-engine audit that the stats pipeline reports the truth
+    * (the q_incremental_agg merged≡recomputed discipline, applied to
+    * optimizer metadata). sizeInBytes is required positive in-op; the
+    * readout stays rowCount-only because size is codec-dependent.
+    *
+    * Scale note: ANALYZE's count is one distributed scan per table; the
+    * catalog read-back is O(1) driver metadata (documented, like
+    * op_partition_report's `_metadata` probe).
+    */
+  lazy val analyzeStats = Declared(
+    "op_analyze_stats",
+    (s, dir) => {
+      val rows = Seq("documents", "lineitem", "orders").map { tn =>
+        val ident = s"graft_stats_$tn"
+        s.sql(s"DROP TABLE IF EXISTS $ident")
+        s.sql(s"CREATE TABLE $ident USING parquet LOCATION '$dir/$tn.parquet'")
+        s.sql(s"ANALYZE TABLE $ident COMPUTE STATISTICS")
+        val meta = s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(ident))
+        val st = meta.stats.getOrElse(
+          sys.error(s"ANALYZE left no stats on $ident"))
+        require(st.sizeInBytes > 0, s"$ident: non-positive sizeInBytes")
+        (tn, st.rowCount.getOrElse(
+          sys.error(s"ANALYZE left no rowCount on $ident")).toLong)
+      }
+      import s.implicits._
+      rows.toDF("table_name", "n_rows_stats").orderBy(col("table_name"))
+    },
+    Some("""SELECT 'documents' AS table_name,
+        CAST(count(*) AS BIGINT) AS n_rows_stats FROM documents
+      UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+      UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+      ORDER BY table_name"""))
 }

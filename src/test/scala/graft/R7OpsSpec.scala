@@ -1689,6 +1689,47 @@ class R7OpsSpec extends AnyFunSuite {
     assert(rs == expected, s"holt: ${rs.take(2)} vs ${expected.take(2)}")
   }
 
+  test("events_forecast_backtest: walk-forward errors replayed driver-side") {
+    val ev = Tables.t(spark, TestSpark.sf, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0),
+        r.getAs[java.sql.Timestamp](1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (typ, rows) =>
+      val xs = rows.sortBy(_._2.getTime).map(_._3 * 1000L)
+      if (xs.length < 9) None
+      else {
+        def holtPred(prefix: Seq[Long]): Long = {
+          var l = prefix.head; var b = 0L
+          prefix.tail.foreach { x =>
+            val l2 = (x + l + b) >> 1; b = (l2 - l + b) >> 1; l = l2
+          }
+          l + b
+        }
+        val ts = 9 to xs.length
+        val es = ts.map(t => math.abs(xs(t - 1) -
+          (xs(t - 5) + xs(t - 4) + xs(t - 3) + xs(t - 2)) / 4))
+        val eh = ts.map(t => math.abs(xs(t - 1) - holtPred(xs.take(t - 1))))
+        val (ms, mh) = (es.sum / es.size, eh.sum / eh.size)
+        Some((typ, xs.length, ts.size.toLong, ms, mh, mh < ms))
+      }
+    }.sortBy(_._1)
+    val rs = run("events_forecast_backtest").collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Int]("n_hours"),
+        r.getAs[Long]("n_eval"), r.getAs[Long]("mae_sma_milli"),
+        r.getAs[Long]("mae_holt_milli"), r.getAs[Boolean]("holt_better"))).toSeq
+    assert(rs.nonEmpty)
+    assert(rs == expected, s"backtest: ${rs.take(2)} vs ${expected.take(2)}")
+  }
+
+  test("op_analyze_stats: catalog rowCounts equal recomputed counts") {
+    val rs = run("op_analyze_stats").collect().map(r =>
+      (r.getAs[String]("table_name"), r.getAs[Long]("n_rows_stats"))).toMap
+    val truth = Seq("documents", "lineitem", "orders").map(tn =>
+      (tn, Tables.t(spark, TestSpark.sf, tn).count())).toMap
+    assert(rs == truth, s"stats $rs vs counts $truth")
+  }
+
   test("corpus_pmi: scores recomputed from raw counts, threshold honored") {
     val texts = Tables.t(spark, TestSpark.sf, "documents")
       .select(col("text")).collect().map(_.getString(0))
