@@ -2316,6 +2316,88 @@ object EventsQ {
           AS holt_better
       FROM errs ORDER BY event_type"""))
 
+  /** Difference-in-differences — the causal estimator for a LAUNCH (every
+    * user crosses the 2024-01-15 cutover together, so a plain post-vs-pre
+    * delta confounds the launch with seasonality; subtracting the control
+    * arm's delta removes every shock common to both arms). Completes the
+    * experimentation family: [[abTest]] tests a proportion, [[cuped]]
+    * variance-reduces, [[power]] sizes, DiD estimates under the
+    * parallel-trends assumption (declared, as in any DiD readout).
+    *
+    * Panel discipline: the outcome is per-user purchase spend per period
+    * with ZERO-activity user-periods kept (dropping them biases the means
+    * — the panel is users × {pre, post}, built by exploding the user
+    * dimension, never by trusting event presence). Shapes: one event scan
+    * folds to per-(user, period) spend; the user dimension explodes ×2 and
+    * left-joins it keyed; four cell means and the DiD fold into ONE
+    * conditional aggregate row. Cell means are micro-unit integer divs;
+    * the estimate subtracts four exact longs.
+    */
+  val did = Declared(
+    "events_did",
+    (s, dir) => {
+      val cut = "TIMESTAMP_NTZ '2024-01-15 00:00:00'"
+      val spend = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), expr(s"CAST(ts >= $cut AS INT)").as("period"))
+        .agg(sum(expr("CAST(round(value * 1e6) AS BIGINT)")).as("sp"))
+      val panel = t(s, dir, "events").select(col("user_id")).distinct()
+        .select(col("user_id"), explode(expr("array(0, 1)")).as("period"))
+        .join(spend, Seq("user_id", "period"), "left")
+        .select((col("user_id") % 2).as("variant"), col("period"),
+          coalesce(col("sp"), lit(0L)).as("sp"))
+      def cell(v: Int, p: Int, c: String) =
+        sum(when(col("variant") === v && col("period") === p,
+          col(c).cast("long")).otherwise(0L))
+      panel
+        .select(col("variant"), col("period"), col("sp"), lit(1L).as("one"))
+        .agg(
+          cell(0, 0, "sp").as("s00"), cell(0, 0, "one").as("n00"),
+          cell(0, 1, "sp").as("s01"), cell(0, 1, "one").as("n01"),
+          cell(1, 0, "sp").as("s10"), cell(1, 0, "one").as("n10"),
+          cell(1, 1, "sp").as("s11"), cell(1, 1, "one").as("n11"))
+        .select(
+          expr("s00 div n00").as("mean_ctrl_pre_micro"),
+          expr("s01 div n01").as("mean_ctrl_post_micro"),
+          expr("s10 div n10").as("mean_treat_pre_micro"),
+          expr("s11 div n11").as("mean_treat_post_micro"),
+          expr("""(s11 div n11 - s10 div n10)
+                 - (s01 div n01 - s00 div n00)""").as("did_micro"))
+    },
+    Some("""WITH spend AS (
+        SELECT user_id,
+          CAST(CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15' AS INTEGER)
+            AS period,
+          CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sp
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      grid AS (
+        SELECT user_id, unnest([0, 1]) AS period
+        FROM (SELECT DISTINCT user_id FROM events)),
+      panel AS (
+        SELECT g.user_id % 2 AS variant, g.period,
+          coalesce(s.sp, 0) AS sp
+        FROM grid g LEFT JOIN spend s
+          ON g.user_id = s.user_id AND g.period = s.period),
+      cells AS (
+        SELECT
+          CAST(sum(CASE WHEN variant=0 AND period=0 THEN sp ELSE 0 END) AS BIGINT) AS s00,
+          CAST(sum(CASE WHEN variant=0 AND period=0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+          CAST(sum(CASE WHEN variant=0 AND period=1 THEN sp ELSE 0 END) AS BIGINT) AS s01,
+          CAST(sum(CASE WHEN variant=0 AND period=1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+          CAST(sum(CASE WHEN variant=1 AND period=0 THEN sp ELSE 0 END) AS BIGINT) AS s10,
+          CAST(sum(CASE WHEN variant=1 AND period=0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+          CAST(sum(CASE WHEN variant=1 AND period=1 THEN sp ELSE 0 END) AS BIGINT) AS s11,
+          CAST(sum(CASE WHEN variant=1 AND period=1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        FROM panel)
+      SELECT
+        CAST(s00 // n00 AS BIGINT) AS mean_ctrl_pre_micro,
+        CAST(s01 // n01 AS BIGINT) AS mean_ctrl_post_micro,
+        CAST(s10 // n10 AS BIGINT) AS mean_treat_pre_micro,
+        CAST(s11 // n11 AS BIGINT) AS mean_treat_post_micro,
+        CAST((s11 // n11 - s10 // n10) - (s01 // n01 - s00 // n00) AS BIGINT)
+          AS did_micro
+      FROM cells"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
@@ -2324,5 +2406,5 @@ object EventsQ {
     sequenceMining, changepoint, stlDecompose, intervalOverlap, mttr,
     autocorr, cuped, ohlc, power, stickiness, attributionLinear, ewma,
     cohortLtv, featureBackfill, markovStationary, labelChurn, holt,
-    forecastBacktest)
+    forecastBacktest, did)
 }

@@ -248,32 +248,43 @@ object RecQ {
     * surviving train basket.
     *
     * Scale shapes: the split is a per-user row_number over the ORDER
-    * dimension (never the lineitem fan-out); the order-items table is
-    * localCheckpointed once and feeds split + train + test (the
-    * materialize-the-split-once production shape); the model build reuses
-    * [[buildCf]]'s packed-pair aggregate; hit detection is a keyed
-    * (u, item) semi-join against recommendations (≤ 3 rows/user); and the
-    * final curve folds to ONE row of counters crossJoined with the 1-row
-    * user total (audited broadcast-spine pattern) before unpivoting to 3
-    * rows. Rates are integer nano-units (non-negative, div ≡ floor).
+    * dimension alone (never the lineitem fan-out — an order with no line
+    * items can be the holdout, in which case the user simply has no test
+    * items and drops out of the denominator); the order-items scan joins
+    * the holdout marker ONCE and checkpoints a single slim (u, i, is_test)
+    * table that feeds train + test (the materialize-the-split-once
+    * production shape); the model build reuses [[buildCf]]'s packed-pair
+    * aggregate — and since train ≈ the full corpus, the eval's cost IS
+    * one model-training run (~60 s at the sf1 probe across six captures,
+    * steal+GC under 10% of it — the honest price of a from-scratch
+    * retrain, amortized in production across every eval that reads the
+    * split); hit detection is a keyed (u, item) semi-join
+    * against recommendations (≤ 3 rows/user); and the final curve folds to
+    * ONE row of counters crossJoined with the 1-row user total (audited
+    * broadcast-spine pattern) before unpivoting to 3 rows. Rates are
+    * integer nano-units (non-negative, div ≡ floor).
     */
   val evalHitRate = Declared(
     "rec_eval_hitrate",
     (s, dir) => {
-      // order-items: the split/train/test base — checkpointed, three readers
-      val li = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      val lastOrder = t(s, dir, "orders")
         .select(col("o_custkey").as("u"), col("o_orderkey").as("ok"),
-          col("o_orderdate").as("od"), col("l_partkey").as("i"))
-        .distinct().localCheckpoint()
-      val lastOrder = li.select(col("u"), col("ok"), col("od")).distinct()
+          col("o_orderdate").as("od"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("u")).orderBy(col("od").desc, col("ok").desc)))
         .filter(col("rn") === 1).select(col("u"), col("ok").as("tok"))
-      val test = li.join(lastOrder, "u").filter(col("ok") === col("tok"))
-        .select(col("u"), col("i")).distinct()
-      val train = li.join(lastOrder, "u").filter(col("ok") =!= col("tok"))
-        .select(col("u"), col("i")).distinct()
+      // one slim split table: (u, i, is_test), checkpointed, two readers.
+      // A (u, i) bought in BOTH eras appears under both flags; the eligible-
+      // test anti-join below is what drops it from the test side.
+      val tagged = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("o_orderkey").as("ok"),
+          col("l_partkey").as("i"))
+        .join(lastOrder, "u")
+        .select(col("u"), col("i"), (col("ok") === col("tok")).as("is_test"))
+        .distinct().localCheckpoint()
+      val test = tagged.filter(col("is_test")).select(col("u"), col("i"))
+      val train = tagged.filter(!col("is_test")).select(col("u"), col("i"))
       val (capped, scored) = buildCf(train)
       val elig = test.join(train, Seq("u", "i"), "left_anti")
       val evalUsers = elig.select(col("u")).distinct()
@@ -296,20 +307,20 @@ object RecQ {
         .orderBy(col("k"))
     },
     Some(cfCtes(
-      """li AS (
-        SELECT DISTINCT o_custkey AS u, o_orderkey AS ok,
-          o_orderdate AS od, l_partkey AS i
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      lasto AS (
+      """lasto AS (
         SELECT u, ok AS tok FROM (
-          SELECT u, ok, row_number() OVER (
-            PARTITION BY u ORDER BY od DESC, ok DESC) AS rn
-          FROM (SELECT DISTINCT u, ok, od FROM li)) WHERE rn = 1),
-      test AS (
-        SELECT DISTINCT li.u, li.i FROM li
-        JOIN lasto ON li.u = lasto.u AND li.ok = lasto.tok),""",
-      """SELECT DISTINCT li.u, li.i FROM li
-        JOIN lasto ON li.u = lasto.u AND li.ok <> lasto.tok""") +
+          SELECT o_custkey AS u, o_orderkey AS ok, row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC)
+            AS rn
+          FROM orders) WHERE rn = 1),
+      tagged AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS i,
+          (o_orderkey = lasto.tok) AS is_test
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN lasto ON o_custkey = lasto.u),
+      test AS (SELECT u, i FROM tagged WHERE is_test),""",
+      """SELECT u, i FROM tagged WHERE NOT is_test""") +
       servingCtes + """,
       elig AS (
         SELECT t.u, t.i FROM test t

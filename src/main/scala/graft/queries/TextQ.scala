@@ -1916,6 +1916,90 @@ object TextQ {
           AS flagged
       FROM scoredd ORDER BY doc_id"""))
 
+  /** Poisson-bootstrap confidence interval (Efron resampling in the
+    * map-reduce form: Chamandy et al., Google 2012) for a corpus
+    * proportion — every curation readout in this suite is a point
+    * estimate, and the decision "gate on 80%?" needs the INTERVAL. True
+    * resampling is RNG + a corpus-sized resample per replica; the Poisson
+    * variant instead gives each doc an independent Poisson(1) weight per
+    * replica, which (a) streams — one pass, no materialized resamples —
+    * and (b) derandomizes here through the portable md5 convention
+    * (weight = inverse-CDF ladder on hash(b ∥ ':' ∥ doc_id), integer
+    * thresholds ⌊cdf·2³²⌋ hardcoded identically in both engines).
+    *
+    * Shapes: the doc scan explodes ×100 replicas straight into a partial
+    * hash aggregate (map-side combine keeps the shuffle at 100 rows per
+    * map task, NOT 100× the corpus); the 100 replica accuracies collect
+    * into ONE sorted 100-element array whose 3rd/98th order statistics
+    * are the declared 95% bounds (the percentile-bootstrap convention at
+    * B = 100). Replica shares are exact nano-unit divs.
+    */
+  val bootstrapCi = Declared(
+    "eval_bootstrap_ci",
+    (s, dir) => {
+      val h = graft.functions.Hashing
+        .md5Hash32SparkSql("concat(CAST(b AS STRING), ':', CAST(doc_id AS STRING))")
+      val w = s"""CASE WHEN $h <= 1580030168L THEN 0L
+                       WHEN $h <= 3160060337L THEN 1L
+                       WHEN $h <= 3950075421L THEN 2L
+                       WHEN $h <= 4213413783L THEN 3L
+                       WHEN $h <= 4279248373L THEN 4L
+                       ELSE 5L END"""
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (size(TextFns.words(col("text"))) >= 100).cast("long").as("pass"))
+      val reps = docs
+        .select(col("doc_id"), col("pass"),
+          explode(expr("sequence(1, 100)")).as("b"))
+        .select(col("b"), col("pass"), expr(w).as("w"))
+        .groupBy(col("b"))
+        .agg(sum(col("w") * col("pass")).as("num"), sum(col("w")).as("den"))
+        .select(expr("(1000000000L * num) div greatest(den, 1L)").as("acc"))
+        .agg(sort_array(collect_list(col("acc"))).as("accs"))
+      docs.agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"))
+        .crossJoin(broadcast(reps))
+        .select(col("n_docs"),
+          expr("(1000000000L * n_pass) div n_docs").as("p_hat_nano"),
+          element_at(col("accs"), 3).as("ci_lo_nano"),
+          element_at(col("accs"), 98).as("ci_hi_nano"),
+          lit(100L).as("n_replicas"))
+    },
+    Some(s"""WITH docs AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\\s+')) >= 100 AS BIGINT)
+            AS pass
+        FROM documents),
+      reps AS (
+        SELECT b,
+          CAST(sum(w * pass) AS BIGINT) AS num,
+          CAST(sum(w) AS BIGINT) AS den
+        FROM (
+          SELECT d.pass, r.b,
+            CASE WHEN h <= 1580030168 THEN 0
+                 WHEN h <= 3160060337 THEN 1
+                 WHEN h <= 3950075421 THEN 2
+                 WHEN h <= 4213413783 THEN 3
+                 WHEN h <= 4279248373 THEN 4
+                 ELSE 5 END AS w
+          FROM docs d
+          CROSS JOIN (SELECT unnest(range(1, 101)) AS b) r
+          CROSS JOIN LATERAL (SELECT ${graft.functions.Hashing.md5Hash32DuckSql(
+            "concat(CAST(r.b AS VARCHAR), ':', CAST(d.doc_id AS VARCHAR))")} AS h) x)
+        GROUP BY b),
+      accs AS (
+        SELECT list_sort(list((1000000000 * num) // greatest(den, 1))) AS a
+        FROM reps),
+      pt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(pass) AS BIGINT) AS n_pass
+        FROM docs)
+      SELECT n_docs,
+        CAST((1000000000 * n_pass) // n_docs AS BIGINT) AS p_hat_nano,
+        CAST(a[3] AS BIGINT) AS ci_lo_nano,
+        CAST(a[98] AS BIGINT) AS ci_hi_nano,
+        CAST(100 AS BIGINT) AS n_replicas
+      FROM pt CROSS JOIN accs"""))
+
   val all: Seq[Declared] = Seq(
     tokenStats, langid, quality, curate, fingerprint, redactPii, splitTrainVal,
     corpusNgrams, qualityCutoff, unigramNll, corpusTfidf, urlNormalize,
@@ -1923,5 +2007,5 @@ object TextQ {
     langidReport, langidKappa, charEntropy, fertility, langidCalibration,
     classifierScore, gopherRules, qualityCurve, heaps, bpeTrain, bpeEncode,
     datasheet, perplexityBand, rakeKeywords, readability, pmi,
-    watermarkDetect)
+    watermarkDetect, bootstrapCi)
 }

@@ -492,7 +492,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "corpus_pmi",        // 1-row unigram-total × 1-row bigram-total broadcasts
     "events_markov_stationary", // 1-row broadcast type-count scalar
     "rec_eval_hitrate",  // 1-row hit-counter row × 1-row user-total broadcast
-    "rec_metrics"        // 1-row user/catalog-total broadcasts
+    "rec_metrics",       // 1-row user/catalog-total broadcasts
+    "eval_bootstrap_ci"  // 1-row sorted replica-accuracy array broadcast
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

@@ -1376,17 +1376,22 @@ class R7OpsSpec extends AnyFunSuite {
     val li = Tables.t(spark, TestSpark.sf, "lineitem")
       .join(Tables.t(spark, TestSpark.sf, "orders"),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey"), col("o_orderkey"),
-        col("o_orderdate").cast("string"), col("l_partkey"))
+      .select(col("o_custkey"), col("o_orderkey"), col("l_partkey"))
       .distinct().collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
-    val lastOk = li.map(t => (t._1, t._2, t._3)).distinct.groupBy(_._1)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // holdout = the user's last ORDER (orders table alone — itemless orders
+    // can win, leaving that user with an empty test set)
+    val lastOk = Tables.t(spark, TestSpark.sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
       .map { case (u, os) => (u, os.maxBy(o => (o._3, o._2))._2) }
     val test = li.filter(t => lastOk(t._1) == t._2)
-      .map(t => (t._1, t._4)).distinct.groupBy(_._1).view
+      .map(t => (t._1, t._3)).distinct.groupBy(_._1).view
       .mapValues(_.map(_._2).toSet).toMap
     val trainAll = li.filter(t => lastOk(t._1) != t._2)
-      .map(t => (t._1, t._4)).distinct
+      .map(t => (t._1, t._3)).distinct
     val byUser = trainAll.groupBy(_._1).view
       .mapValues(_.map(_._2).toSet).toMap.filter(_._2.size <= 100)
     val deg = byUser.values.toSeq.flatten.groupBy(identity)
@@ -1728,6 +1733,59 @@ class R7OpsSpec extends AnyFunSuite {
     val truth = Seq("documents", "lineitem", "orders").map(tn =>
       (tn, Tables.t(spark, TestSpark.sf, tn).count())).toMap
     assert(rs == truth, s"stats $rs vs counts $truth")
+  }
+
+  test("events_did: four-cell panel recomputed with zero-activity periods kept") {
+    val cut = java.time.LocalDateTime.parse("2024-01-15T00:00:00")
+    val ev = Tables.t(spark, TestSpark.sf, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1), r.getString(2),
+        Math.round(r.getDouble(3) * 1e6)))
+    val users = ev.map(_._1).distinct
+    def mean(v: Long, p: Int): Long = {
+      val cell = users.filter(_ % 2 == v)
+      val tot = ev.filter(e => e._3 == "purchase" && (e._1 % 2) == v &&
+        (if (p == 1) !e._2.isBefore(cut) else e._2.isBefore(cut))).map(_._4).sum
+      tot / cell.length // per user-period; each user contributes one period row
+    }
+    val (c0, c1, t0, t1) = (mean(0, 0), mean(0, 1), mean(1, 0), mean(1, 1))
+    val r = run("events_did").collect().head
+    assert(r.getAs[Long]("mean_ctrl_pre_micro") == c0)
+    assert(r.getAs[Long]("mean_ctrl_post_micro") == c1)
+    assert(r.getAs[Long]("mean_treat_pre_micro") == t0)
+    assert(r.getAs[Long]("mean_treat_post_micro") == t1)
+    assert(r.getAs[Long]("did_micro") == (t1 - t0) - (c1 - c0))
+  }
+
+  test("eval_bootstrap_ci: replicas recomputed via independent md5; CI brackets p-hat") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def pois(h: Long): Long =
+      if (h <= 1580030168L) 0L else if (h <= 3160060337L) 1L
+      else if (h <= 3950075421L) 2L else if (h <= 4213413783L) 3L
+      else if (h <= 4279248373L) 4L else 5L
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        if (r.getString(1).trim.split("\\s+").length >= 100) 1L else 0L))
+    val accs = (1 to 100).map { b =>
+      var num = 0L; var den = 0L
+      docs.foreach { case (id, pass) =>
+        val w = pois(java.lang.Long.parseLong(md5hex(s"$b:$id").take(8), 16))
+        num += w * pass; den += w
+      }
+      1000000000L * num / math.max(den, 1L)
+    }.sorted
+    val pHat = 1000000000L * docs.map(_._2).sum / docs.length
+    val r = run("eval_bootstrap_ci").collect().head
+    assert(r.getAs[Long]("n_docs") == docs.length.toLong)
+    assert(r.getAs[Long]("p_hat_nano") == pHat)
+    assert(r.getAs[Long]("ci_lo_nano") == accs(2))
+    assert(r.getAs[Long]("ci_hi_nano") == accs(97))
+    assert(r.getAs[Long]("ci_lo_nano") <= pHat && pHat <= r.getAs[Long]("ci_hi_nano"),
+      "the 95% interval should bracket the point estimate on this fixture")
   }
 
   test("corpus_pmi: scores recomputed from raw counts, threshold honored") {
