@@ -16,6 +16,32 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("feature backfill: both RANGE frames ride ONE user-keyed exchange") {
+    // the 1d and 7d frames share partitioning+ordering, so the plan must
+    // hash-shuffle on user_id exactly once (the output orderBy adds a range
+    // exchange, which is output determinism, not feature work)
+    // exchanges appear at EnsureRequirements time, so count them in the
+    // executedPlan string (initial plan — AQE may later elide, never add)
+    val p = plan("events_feature_backfill")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected ONE hash exchange for both feature frames, got $hashEx:\n$p")
+  }
+
+  test("rec_topn: per-user top-3 is WindowGroupLimit-pruned, not a full rank") {
+    val p = plan("rec_topn")
+    assert(p.contains("WindowGroupLimit"),
+      "rnk <= 3 must prune inside the window, not rank every candidate")
+  }
+
+  test("bootstrap replicas partially aggregate before the shuffle") {
+    // the ×100 replica explode must combine map-side: the shuffle carries
+    // ~100 rows per task, never 100× the corpus
+    val p = plan("eval_bootstrap_ci")
+    assert(p.contains("partial_sum"),
+      "no map-side partial aggregation under the replica explode")
+  }
+
   test("filter + projection are pushed into the parquet scan") {
     val p = plan("q_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity)") || p.contains("GreaterThan(l_quantity"))
