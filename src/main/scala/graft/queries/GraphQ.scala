@@ -619,6 +619,69 @@ object GraphQ {
       SELECT id AS node, CAST(min(label) AS BIGINT) AS cluster_id
       FROM reach GROUP BY id ORDER BY node"""))
 
+  /** Degree assortativity (Newman, PRL 2002) — the one-number answer to
+    * "do hubs trade with hubs?" that [[modularity]] (community strength)
+    * and [[triangles]] (local clustering) don't give: r > 0 means
+    * high-degree nodes preferentially attach to each other (a core-prone
+    * topology where hub loss is catastrophic), r < 0 the hub-and-spoke
+    * shape bipartite trading graphs usually show. Over the symmetrized
+    * edge list with endpoint degrees (j, k), the estimator reduces to the
+    * EXACT integer ratio r = (4·M·Σjk − (Σ(j+k))²) / (2·M·Σ(j²+k²) −
+    * (Σ(j+k))²) — every sum folds as a long (bounds documented in the
+    * expression), and only the final ratio is one shared double division
+    * rounded once to nano.
+    *
+    * Shapes: the edge list builds once (pagerank's disjoint-key-space
+    * discipline) and joins the node-dimension degree table keyed on each
+    * endpoint; everything then folds to ONE row. No window, no crossJoin.
+    */
+  val assortativity = Declared(
+    "graph_assortativity",
+    (s, dir) => {
+      val eraw = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("su"))
+        .distinct()
+      val edges = eraw.select(col("c").as("src"), col("su").as("dst"))
+        .union(eraw.select(col("su").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      edges
+        .join(deg.select(col("src"), col("d").as("j")), "src")
+        .join(deg.select(col("src").as("dst"), col("d").as("k")), "dst")
+        .agg(count(lit(1)).as("m_edges"),
+          sum(col("j") * col("k")).as("s_jk"),
+          sum(col("j") + col("k")).as("s_sum"),
+          sum(col("j") * col("j") + col("k") * col("k")).as("s_sq"))
+        .select(col("m_edges"), col("s_jk"), col("s_sum"), col("s_sq"),
+          expr("""CAST(round(CAST(4L * m_edges * s_jk - s_sum * s_sum AS DOUBLE)
+                 / CAST(2L * m_edges * s_sq - s_sum * s_sum AS DOUBLE)
+                 * 1e9) AS BIGINT)""").as("r_nano"))
+    },
+    Some("""WITH pr AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS su
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT c AS src, su AS dst FROM pr
+        UNION ALL SELECT su, c FROM pr),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+              FROM edges GROUP BY src),
+      joined AS (
+        SELECT dj.d AS j, dk.d AS k
+        FROM edges e
+        JOIN deg dj ON dj.src = e.src
+        JOIN deg dk ON dk.src = e.dst),
+      sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS m_edges,
+          CAST(sum(j * k) AS BIGINT) AS s_jk,
+          CAST(sum(j + k) AS BIGINT) AS s_sum,
+          CAST(sum(j * j + k * k) AS BIGINT) AS s_sq
+        FROM joined)
+      SELECT m_edges, s_jk, s_sum, s_sq,
+        CAST(round(CAST(4 * m_edges * s_jk - s_sum * s_sum AS DOUBLE)
+          / CAST(2 * m_edges * s_sq - s_sum * s_sum AS DOUBLE)
+          * 1e9) AS BIGINT) AS r_nano
+      FROM sums"""))
+
   val all: Seq[Declared] = Seq(pagerank, triangles, kcore, labelSpread,
-    modularity, linkPredict, sssp, ccIncremental)
+    modularity, linkPredict, sssp, ccIncremental, assortativity)
 }

@@ -608,6 +608,58 @@ object QualityQ {
           AS p99_over_med_nano
       FROM counts GROUP BY key_col ORDER BY key_col"""))
 
+  /** Load-volume anomaly detection — the ingest monitor that catches a
+    * half-written day or a double-load BEFORE anything trains on it:
+    * per-day row counts scored with the robust z (distance from the
+    * MEDIAN in MAD units — mean/stddev would let one bad day drag the
+    * baseline toward itself, exactly the masking a load monitor must not
+    * have). Days with |z| > 3.5 flag (the standard Iglewicz–Hoaglin
+    * operating point, declared).
+    *
+    * Scale shapes: the event scan folds to the calendar-bounded day table
+    * once and localCheckpoints (three readers: median fold, MAD fold,
+    * scoring); the two medians are exact percentiles over O(days) rows;
+    * scoring is map-side arithmetic against the 1-row broadcast baseline.
+    * The z division is one shared IEEE expression over exactly-
+    * representable halves, rounded once to milli; a zero MAD (identical
+    * counts) degenerates to z = 0 for on-median days and a huge flagged z
+    * otherwise via the shared greatest(mad, 1e-9) guard.
+    */
+  val loadAnomaly = Declared(
+    "dq_load_anomaly",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val med = daily.agg(expr("percentile(CAST(n AS DOUBLE), 0.5)").as("med_n"))
+      val mad = daily.crossJoin(broadcast(med))
+        .agg(expr("percentile(abs(CAST(n AS DOUBLE) - med_n), 0.5)")
+          .as("mad_n"), first(col("med_n")).as("med_n"))
+      daily.crossJoin(broadcast(mad))
+        .select(col("d"), col("n"), col("med_n"), col("mad_n"),
+          expr("""CAST(round(abs(CAST(n AS DOUBLE) - med_n)
+                 / greatest(mad_n, 1e-9) * 1000) AS BIGINT)""").as("z_milli"))
+        .withColumn("flagged", col("z_milli") > 3500L)
+        .orderBy(col("d"))
+    },
+    Some("""WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+      med AS (
+        SELECT quantile_cont(CAST(n AS DOUBLE), 0.5) AS med_n FROM daily),
+      mad AS (
+        SELECT quantile_cont(abs(CAST(n AS DOUBLE) - med.med_n), 0.5) AS mad_n,
+          any_value(med.med_n) AS med_n
+        FROM daily CROSS JOIN med)
+      SELECT d, n, mad.med_n, mad.mad_n,
+        CAST(round(abs(CAST(n AS DOUBLE) - mad.med_n)
+          / greatest(mad.mad_n, 1e-9) * 1000) AS BIGINT) AS z_milli,
+        (CAST(round(abs(CAST(n AS DOUBLE) - mad.med_n)
+          / greatest(mad.mad_n, 1e-9) * 1000) AS BIGINT) > 3500) AS flagged
+      FROM daily CROSS JOIN mad ORDER BY d"""))
+
   val all: Seq[Declared] = Seq(expectations, driftPsi, kAnonymity, profile,
-    fdDiscovery, dpRelease, orphanReport, benford, skewReport)
+    fdDiscovery, dpRelease, orphanReport, benford, skewReport, loadAnomaly)
 }

@@ -1923,11 +1923,65 @@ object SimilarityQ {
       FROM th FULL OUTER JOIN tc ON th.vec_id = tc.vec_id
       ORDER BY rrf_nano DESC, vec_id LIMIT 10"""))
 
+  /** Per-dimension embedding health — the table a vector-pipeline owner
+    * reads before trusting ANY downstream ANN/quantization step: a DEAD
+    * dimension (near-zero variance) wastes index bits and breaks PQ
+    * codebook training; a DOMINANT one (variance far above the rest)
+    * means distances degenerate to that axis and the embedding model
+    * likely shipped unnormalized. One row per dimension with mean,
+    * variance, and |max| in exact micro-units, plus the two flags against
+    * declared thresholds.
+    *
+    * Shapes: posexplode fans each vector to 64 (dim, value) rows feeding
+    * ONE partial hash aggregate — shuffle is 64 rows per map task; sums
+    * quantize to micro longs first (float4 widens to double exactly,
+    * round once) so no float summation order exists; variance uses the
+    * integer identity n·Σx² − (Σx)² over micro sums (bounded: |x| < 1 ⇒
+    * Σx² ≤ 1e12·rows, safe past 1e6 vectors — larger corpora shard the
+    * sum, documented) divided once at the end.
+    */
+  val embedDimStats = Declared(
+    "embed_dim_stats",
+    (s, dir) => {
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"),
+          expr("CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)").as("vm"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("vm")).as("s1"),
+          sum(col("vm") * col("vm")).as("s2"),
+          max(abs(col("vm"))).as("max_abs_micro"))
+        .select(col("dim"), col("n"),
+          expr("s1 div n").as("mean_micro"),
+          expr("(n * s2 - s1 * s1) div (n * n)").as("var_micro2"),
+          col("max_abs_micro"))
+        .withColumn("dead", col("var_micro2") < 100000000L)
+        .withColumn("dominant", col("var_micro2") > 100000000000L)
+        .orderBy(col("dim"))
+    },
+    Some("""WITH ex AS (
+        SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS vm
+        FROM embeddings),
+      agged AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(vm) AS BIGINT) AS s1,
+          CAST(sum(vm * vm) AS BIGINT) AS s2,
+          CAST(max(abs(vm)) AS BIGINT) AS max_abs_micro
+        FROM ex GROUP BY dim)
+      SELECT dim, n,
+        CAST(s1 // n AS BIGINT) AS mean_micro,
+        CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT) AS var_micro2,
+        max_abs_micro,
+        ((n * s2 - s1 * s1) // (n * n) < 100000000) AS dead,
+        ((n * s2 - s1 * s1) // (n * n) > 100000000000) AS dominant
+      FROM agged ORDER BY dim"""))
+
   val all: Seq[Declared] =
     Seq(topkBrute, annLsh, pairsWithinLabel, embedNormalize, knnLabelVote,
       filteredSearch, rangeSearch, knnJoin, recallReport, ivfTrain, pqAdc,
       ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower,
       streamAnnProbe, ivfPqAppend, matryoshka, clusterSilhouette, hardnegMine,
       knnGraph, bucketBalance, retrievalMrr, retrievalNdcg, ivfPqDelete,
-      ivfNprobeCurve, hammingTopk, rrfFusion)
+      ivfNprobeCurve, hammingTopk, rrfFusion, embedDimStats)
 }

@@ -519,7 +519,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_markov_stationary", // 1-row broadcast type-count scalar
     "rec_eval_hitrate",  // 1-row hit-counter row × 1-row user-total broadcast
     "rec_metrics",       // 1-row user/catalog-total broadcasts
-    "eval_bootstrap_ci"  // 1-row sorted replica-accuracy array broadcast
+    "eval_bootstrap_ci", // 1-row sorted replica-accuracy array broadcast
+    "dq_load_anomaly"    // 1-row median / MAD baseline broadcasts
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {

@@ -1788,6 +1788,77 @@ class R7OpsSpec extends AnyFunSuite {
       "the 95% interval should bracket the point estimate on this fixture")
   }
 
+  test("dq_load_anomaly: median/MAD baseline recomputed; z honors the guard") {
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val pos = p * (s.length - 1); val lo = pos.toInt
+      val hi = math.min(lo + 1, s.length - 1)
+      s(lo) * (1.0 - (pos - lo)) + s(hi) * (pos - lo)
+    }
+    val daily = Tables.t(spark, TestSpark.sf, "events")
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val med = pct(daily.map(_._2.toDouble).toSeq, 0.5)
+    val mad = pct(daily.map(x => math.abs(x._2.toDouble - med)).toSeq, 0.5)
+    val expected = daily.sortBy(_._1.toString).map { case (d, n) =>
+      val z = Math.round(math.abs(n.toDouble - med) / math.max(mad, 1e-9) * 1000)
+      (d, n, med, mad, z, z > 3500)
+    }.toSeq
+    val rs = run("dq_load_anomaly").collect().map(r =>
+      (r.getDate(0).toLocalDate, r.getAs[Long]("n"), r.getAs[Double]("med_n"),
+        r.getAs[Double]("mad_n"), r.getAs[Long]("z_milli"),
+        r.getAs[Boolean]("flagged"))).toSeq
+    assert(rs.nonEmpty)
+    assert(rs == expected, s"anomaly: ${rs.take(2)} vs ${expected.take(2)}")
+  }
+
+  test("embed_dim_stats: micro-sum moments recomputed driver-side") {
+    val vecs = Tables.t(spark, TestSpark.sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(v => Math.round(v.toDouble * 1e6)))
+    val dims = vecs.head.length
+    val expected = (0 until dims).map { d =>
+      val xs = vecs.map(_(d))
+      val n = xs.length.toLong
+      val (s1, s2) = (xs.sum, xs.map(x => x * x).sum)
+      val v = (n * s2 - s1 * s1) / (n * n)
+      (d, n, s1 / n, v, xs.map(math.abs).max, v < 100000000L, v > 100000000000L)
+    }
+    val rs = run("embed_dim_stats").collect().map(r =>
+      (r.getAs[Int]("dim"), r.getAs[Long]("n"), r.getAs[Long]("mean_micro"),
+        r.getAs[Long]("var_micro2"), r.getAs[Long]("max_abs_micro"),
+        r.getAs[Boolean]("dead"), r.getAs[Boolean]("dominant"))).toSeq
+    assert(rs.size == dims)
+    assert(rs == expected, s"dims: ${rs.take(2)} vs ${expected.take(2)}")
+    // this fixture's embeddings are healthy: no dead, no dominant axes
+    assert(rs.forall(r => !r._6 && !r._7))
+  }
+
+  test("graph_assortativity: integer sums and ratio recomputed driver-side") {
+    val pairs = Tables.t(spark, TestSpark.sf, "lineitem")
+      .join(Tables.t(spark, TestSpark.sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey") + 1000000000L)
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val jk = edges.map { case (a, b) => (deg(a), deg(b)) }
+    val m = jk.length.toLong
+    val sjk = jk.map { case (j, k) => j * k }.sum
+    val ss = jk.map { case (j, k) => j + k }.sum
+    val sq = jk.map { case (j, k) => j * j + k * k }.sum
+    val r0 = Math.round((4L * m * sjk - ss * ss).toDouble
+      / (2L * m * sq - ss * ss).toDouble * 1e9)
+    val r = run("graph_assortativity").collect().head
+    assert(r.getAs[Long]("m_edges") == m)
+    assert(r.getAs[Long]("s_jk") == sjk)
+    assert(r.getAs[Long]("s_sum") == ss)
+    assert(r.getAs[Long]("s_sq") == sq)
+    assert(r.getAs[Long]("r_nano") == r0)
+    // a bipartite customer-supplier graph should read disassortative
+    assert(r.getAs[Long]("r_nano") < 0, "expected hub-and-spoke r < 0")
+  }
+
   test("corpus_pmi: scores recomputed from raw counts, threshold honored") {
     val texts = Tables.t(spark, TestSpark.sf, "documents")
       .select(col("text")).collect().map(_.getString(0))
