@@ -127,9 +127,21 @@ object RecQ {
         Window.partitionBy(col("i")).orderBy(col("cos_nano").desc, col("j"))))
       .filter(col("nr") <= 10)
       .select(col("i"), col("j"), col("cos_nano"))
+    // the vote aggregate is |basket|×10 rows per user of ~unique (u, j)
+    // keys — the same shape whose two-column groupBy bent the pair build
+    // (generic hash map overflowing to sort per map task); packing the key
+    // into one long keeps both agg passes on the vectorized long-key fast
+    // map (sf10 probe: 210 s → 173 s; the rest of the second-decade cost
+    // is genuine volume — ~1B neighbor-window rows + 600M votes through
+    // three shuffles on 32 fixed cores — not a plan defect: raising
+    // shuffle partitions 32→256 moved it only to 150 s. Same 2³¹-id bound
+    // and sharding note as the pair key.)
     val votes = capped.join(topNbrs, "i")
-      .groupBy(col("u"), col("j"))
+      .select((col("u") * 4294967296L + col("j")).as("uj"), col("cos_nano"))
+      .groupBy(col("uj"))
       .agg(sum(col("cos_nano")).as("score_nano"), count(lit(1)).as("n_nbr"))
+      .select(expr("uj div 4294967296L").as("u"),
+        expr("uj % 4294967296L").as("j"), col("score_nano"), col("n_nbr"))
     votes
       .join(capped.select(col("u"), col("i").as("j")), Seq("u", "j"), "left_anti")
       .withColumn("rnk", row_number().over(
