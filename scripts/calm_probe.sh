@@ -16,10 +16,17 @@ for i in $(seq 1 "$TRIES"); do
     [ "$d" -lt 30 ] && break
     sleep 60
   done
+  # keep exactly the LAST matching line: sbt warnings or a duplicate
+  # capture line would otherwise concatenate into unparseable JSON, and
+  # the silent json.load failure used to masquerade as steal_delta=999999
+  # and burn a retry on a healthy run (ADVICE r7 #5)
   SPARK_DRIVER_MEM=32g SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$SFDIR" \
     SPARK_GRAFT_ONLY="$ONLY" sbt -batch "runMain graft.Bench" 2>/dev/null \
-    | grep '"metric"' | sed 's/^\[info\] //' > "$OUT.tmp"
-  sd=$(python3 -c "import json,sys;print(json.load(open('$OUT.tmp'))['steal_delta'])" 2>/dev/null || echo 999999)
+    | grep '"metric"' | sed 's/^\[info\] //' | tail -n 1 > "$OUT.tmp"
+  sd=$(python3 -c "import json,sys;print(json.load(open('$OUT.tmp'))['steal_delta'])" 2>&1) || {
+    echo "[calm_probe] try $i: PARSE FAILURE (not contention): $sd" >&2
+    sd=999999
+  }
   echo "[calm_probe] try $i: steal_delta=$sd" >&2
   if [ "$sd" -lt "$MAXSTEAL" ]; then mv "$OUT.tmp" "$OUT"; echo "[calm_probe] accepted -> $OUT" >&2; exit 0; fi
   sleep 60

@@ -102,6 +102,12 @@ object Bench {
     // same discipline for the CF family's shared pair/basket snapshot
     if (only.exists(f => Seq("rec_item_cf", "rec_topn", "rec_metrics").exists(f.contains)))
       queries.RecQ.warmShared(spark, sfDir)
+    // ...and the eval family's split + retrained-model snapshot
+    if (only.exists(f => Seq("rec_eval_hitrate", "rec_eval_mrr").exists(f.contains)))
+      queries.RecQ.warmEvalShared(spark, sfDir)
+    // ...and the propagated-labeling snapshot the two graph readouts share
+    if (only.exists(f => Seq("graph_label_spread", "graph_modularity").exists(f.contains)))
+      queries.GraphQ.warmShared(spark, sfDir)
     // warmup (page-cache pass + streaming init + fixture-layout prep) is
     // reported separately so cross-round totals stay comparable as fixture
     // accounting moves between warmup and query bodies (ADVICE r5)

@@ -29,9 +29,9 @@ object Aggregates {
       round(stddev_pop(l_quantity),6) AS sdp_qty,
       round(var_samp(l_quantity),6) AS var_qty,
       round(var_pop(l_quantity),6) AS varp_qty,
-      round(corr(l_quantity, l_extendedprice),6) AS corr_qty_price,
-      round(covar_samp(l_quantity, l_discount),6) AS cov_qty_disc,
-      round(covar_pop(l_quantity, l_discount),6) AS covp_qty_disc
+      round(corr(l_quantity, l_extendedprice),6) + 0.0 AS corr_qty_price,
+      round(covar_samp(l_quantity, l_discount),6) + 0.0 AS cov_qty_disc,
+      round(covar_pop(l_quantity, l_discount),6) + 0.0 AS covp_qty_disc
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
@@ -417,8 +417,8 @@ object Aggregates {
         FROM events e JOIN mu ON e.event_type = mu.event_type
         GROUP BY e.event_type)
       SELECT event_type, CAST(n AS BIGINT) AS n,
-        round(m3 / power(m2, 1.5), 6) AS skew,
-        round(m4 / (m2 * m2) - 3.0, 6) AS kurt
+        round(m3 / power(m2, 1.5), 6) + 0.0 AS skew,
+        round(m4 / (m2 * m2) - 3.0, 6) + 0.0 AS kurt
       FROM c ORDER BY event_type"""))
 
   /** Robust outlier statistics: median absolute deviation and the count of

@@ -56,7 +56,7 @@ object Coverage2 {
         FROM cells CROSS JOIN q
         ORDER BY list_cosine_similarity(centroid, q.qv) DESC, label LIMIT 1)
       SELECT vec_id, label,
-        round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cos
+        round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) + 0.0 AS cos
       FROM embeddings JOIN nearest ON label = c_label CROSS JOIN q
       ORDER BY cos DESC, vec_id LIMIT 10"""))
 
@@ -109,7 +109,7 @@ object Coverage2 {
         FROM cells CROSS JOIN q
         ORDER BY list_cosine_similarity(centroid, q.qv) DESC, label LIMIT 2)
       SELECT vec_id, label,
-        round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cos
+        round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) + 0.0 AS cos
       FROM embeddings JOIN nearest2 ON label = c_label CROSS JOIN q
       ORDER BY cos DESC, vec_id LIMIT 10"""))
 
@@ -128,8 +128,8 @@ object Coverage2 {
           round(expr("regr_avgy(l_extendedprice, l_quantity)"), 4).as("avgy"))
         .orderBy(col("l_returnflag")),
     Some("""SELECT l_returnflag,
-      round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-      round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope,
+      round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS intercept,
       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
       round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,

@@ -95,7 +95,7 @@ object Coverage3 {
         .limit(10)
     },
     Some("""SELECT vec_id, label,
-      round(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS ip
+      round(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) + 0.0 AS ip
       FROM embeddings
       CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7) q
       ORDER BY ip DESC, vec_id LIMIT 10"""))

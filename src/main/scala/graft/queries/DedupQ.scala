@@ -898,7 +898,7 @@ object DedupQ {
         FROM embeddings)
       SELECT * FROM (
         SELECT a.vec_id AS id1, b2.vec_id AS id2,
-          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])), 6) AS cos
+          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])), 6) + 0.0 AS cos
         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
       WHERE cos >= 0.8 ORDER BY id1, id2"""))
 
@@ -1056,7 +1056,7 @@ object DedupQ {
         JOIN sig b ON b.doc_id = p.id2)
       SELECT CAST(count(*) AS BIGINT) AS n_pairs,
         round(avg(abs(est - exact)), 6) AS mae,
-        round(avg(est - exact), 6) AS bias,
+        round(avg(est - exact), 6) + 0.0 AS bias,
         round(max(abs(est - exact)), 6) AS worst
       FROM est"""
     })
@@ -1414,7 +1414,7 @@ object DedupQ {
       cand AS (
         SELECT a.vec_id AS id1, b2.vec_id AS id2,
           round(list_cosine_similarity(
-            CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])), 6) AS cos
+            CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])), 6) + 0.0 AS cos
         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
       oriented AS (
         SELECT

@@ -645,7 +645,7 @@ object EventsQ {
         round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
           sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
             * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
-            * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
+            * (1.0 / n_a + 1.0 / n_b)), 4) + 0.0 AS z_score
       FROM wide"""))
 
   /** Winsorization: clamp the value column to its per-type [P1, P99] band and
@@ -1249,7 +1249,7 @@ object EventsQ {
           PARTITION BY event_type ORDER BY abs(s) DESC, d) AS rn
         FROM s)
       SELECT event_type, d AS changepoint_day, CAST(s AS BIGINT) AS cusum_scaled,
-        round(CAST(s AS DOUBLE) / n_days, 4) AS cusum, n_days
+        round(CAST(s AS DOUBLE) / n_days, 4) + 0.0 AS cusum, n_days
       FROM r WHERE rn = 1 ORDER BY event_type"""))
 
   /** STL-lite decomposition — seasonal-strength per event type (Cleveland's
@@ -1521,7 +1521,7 @@ object EventsQ {
       SELECT event_type, lag_hours, n_pairs,
         round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
           sqrt(nullif(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
-            CAST(n_pairs * syy - sy * sy AS DOUBLE), 0.0)), 6) AS r
+            CAST(n_pairs * syy - sy * sy AS DOUBLE), 0.0)), 6) + 0.0 AS r
       FROM sums ORDER BY event_type, lag_hours"""))
 
   /** CUPED variance reduction (Deng et al. 2013) — the follow-up [[abTest]]
@@ -1600,14 +1600,14 @@ object EventsQ {
           CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS syb
         FROM per_user)
       SELECT n_a, n_b,
-        round(CAST(sya AS DOUBLE) / n_a - CAST(syb AS DOUBLE) / n_b, 6)
+        round(CAST(sya AS DOUBLE) / n_a - CAST(syb AS DOUBLE) / n_b, 6) + 0.0
           AS diff_raw,
         round(CAST(n * sxy - sx * sy AS DOUBLE) /
-          CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+          CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS theta,
         round((CAST(sya AS DOUBLE) / n_a - CAST(syb AS DOUBLE) / n_b) -
           (CAST(n * sxy - sx * sy AS DOUBLE) /
             CAST(n * sxx - sx * sx AS DOUBLE)) *
-          (CAST(sxa AS DOUBLE) / n_a - CAST(sxb AS DOUBLE) / n_b), 6)
+          (CAST(sxa AS DOUBLE) / n_a - CAST(sxb AS DOUBLE) / n_b), 6) + 0.0
           AS diff_cuped,
         round(CAST(n * sxy - sx * sy AS DOUBLE) *
           CAST(n * sxy - sx * sy AS DOUBLE) /

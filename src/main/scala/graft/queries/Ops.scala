@@ -528,7 +528,11 @@ object Ops {
     *
     * Scale note: ANALYZE's count is one distributed scan per table; the
     * catalog read-back is O(1) driver metadata (documented, like
-    * op_partition_report's `_metadata` probe).
+    * op_partition_report's `_metadata` probe). The graft_stats_* idents
+    * are dropped in a finally once the stats are read back — an audit op
+    * must not leak catalog entries into the session it ran in (ADVICE
+    * r7 #4); the readout DataFrame is built from driver-side longs, so
+    * nothing downstream needs the tables to still exist.
     */
   lazy val analyzeStats = Declared(
     "op_analyze_stats",
@@ -536,15 +540,17 @@ object Ops {
       val rows = Seq("documents", "lineitem", "orders").map { tn =>
         val ident = s"graft_stats_$tn"
         s.sql(s"DROP TABLE IF EXISTS $ident")
-        s.sql(s"CREATE TABLE $ident USING parquet LOCATION '$dir/$tn.parquet'")
-        s.sql(s"ANALYZE TABLE $ident COMPUTE STATISTICS")
-        val meta = s.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(ident))
-        val st = meta.stats.getOrElse(
-          sys.error(s"ANALYZE left no stats on $ident"))
-        require(st.sizeInBytes > 0, s"$ident: non-positive sizeInBytes")
-        (tn, st.rowCount.getOrElse(
-          sys.error(s"ANALYZE left no rowCount on $ident")).toLong)
+        try {
+          s.sql(s"CREATE TABLE $ident USING parquet LOCATION '$dir/$tn.parquet'")
+          s.sql(s"ANALYZE TABLE $ident COMPUTE STATISTICS")
+          val meta = s.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(ident))
+          val st = meta.stats.getOrElse(
+            sys.error(s"ANALYZE left no stats on $ident"))
+          require(st.sizeInBytes > 0, s"$ident: non-positive sizeInBytes")
+          (tn, st.rowCount.getOrElse(
+            sys.error(s"ANALYZE left no rowCount on $ident")).toLong)
+        } finally s.sql(s"DROP TABLE IF EXISTS $ident")
       }
       import s.implicits._
       rows.toDF("table_name", "n_rows_stats").orderBy(col("table_name"))

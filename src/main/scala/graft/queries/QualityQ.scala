@@ -550,8 +550,13 @@ object QualityQ {
     * key_col. The exact `percentile` over per-key counts is the one
     * key-dimension-sized sort — the documented 100 TB swap is
     * percentile_approx on the same plan. Shares are nano-unit integers;
-    * the p99/median ratio divides two exactly-representable interpolated
-    * halves, one IEEE op rounded once.
+    * the interpolated percentiles are rounded ONCE to nano longs at the
+    * emit boundary (ADVICE r7 #3: the 0.99 interpolation
+    * lower·(1−d)+higher·d is generally inexact, so emitting the raw
+    * double made the hash depend on bit-identical IEEE sequences in both
+    * engines — the nano quantization restores the repo's round-once
+    * discipline), and the p99/median ratio divides the two NANO LONGS in
+    * one shared IEEE expression, fully determined by emitted columns.
     */
   val skewReport = Declared(
     "dq_skew_report",
@@ -573,13 +578,15 @@ object QualityQ {
           count(lit(1)).as("n_keys"),
           sum(col("n")).as("n_rows"),
           max(col("n")).as("max_n"),
-          expr("percentile(CAST(n AS DOUBLE), 0.5)").as("med_n"),
-          expr("percentile(CAST(n AS DOUBLE), 0.99)").as("p99_n"))
+          expr("""CAST(round(percentile(CAST(n AS DOUBLE), 0.5) * 1e9)
+                 AS BIGINT)""").as("med_n_nano"),
+          expr("""CAST(round(percentile(CAST(n AS DOUBLE), 0.99) * 1e9)
+                 AS BIGINT)""").as("p99_n_nano"))
         .select(col("key_col"), col("n_keys"), col("n_rows"), col("max_n"),
           expr("(1000000000L * max_n) div n_rows").as("max_share_nano"),
-          col("med_n"), col("p99_n"),
-          expr("CAST(round(p99_n / med_n * 1e9) AS BIGINT)")
-            .as("p99_over_med_nano"))
+          col("med_n_nano"), col("p99_n_nano"),
+          expr("""CAST(round(CAST(p99_n_nano AS DOUBLE) / med_n_nano * 1e9)
+                 AS BIGINT)""").as("p99_over_med_nano"))
         .orderBy(col("key_col"))
     },
     Some("""WITH stacked AS (
@@ -601,11 +608,15 @@ object QualityQ {
         CAST(sum(n) AS BIGINT) AS n_rows,
         CAST(max(n) AS BIGINT) AS max_n,
         CAST((1000000000 * max(n)) // sum(n) AS BIGINT) AS max_share_nano,
-        quantile_cont(CAST(n AS DOUBLE), 0.5) AS med_n,
-        quantile_cont(CAST(n AS DOUBLE), 0.99) AS p99_n,
-        CAST(round(quantile_cont(CAST(n AS DOUBLE), 0.99)
-          / quantile_cont(CAST(n AS DOUBLE), 0.5) * 1e9) AS BIGINT)
-          AS p99_over_med_nano
+        CAST(round(quantile_cont(CAST(n AS DOUBLE), 0.5) * 1e9) AS BIGINT)
+          AS med_n_nano,
+        CAST(round(quantile_cont(CAST(n AS DOUBLE), 0.99) * 1e9) AS BIGINT)
+          AS p99_n_nano,
+        CAST(round(
+          CAST(CAST(round(quantile_cont(CAST(n AS DOUBLE), 0.99) * 1e9)
+            AS BIGINT) AS DOUBLE)
+          / CAST(round(quantile_cont(CAST(n AS DOUBLE), 0.5) * 1e9) AS BIGINT)
+          * 1e9) AS BIGINT) AS p99_over_med_nano
       FROM counts GROUP BY key_col ORDER BY key_col"""))
 
   /** Load-volume anomaly detection — the ingest monitor that catches a

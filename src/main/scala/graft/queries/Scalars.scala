@@ -439,7 +439,7 @@ object Scalars {
       len(list_filter(embedding, x -> abs(x) >= 1.0)) = 0 AS all_small,
       round(list_sum(list_transform(range(len(embedding)),
         i -> CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE)
-           * CAST(embedding[len(embedding) - CAST(i AS INTEGER)] AS DOUBLE))), 6) AS rev_dot,
+           * CAST(embedding[len(embedding) - CAST(i AS INTEGER)] AS DOUBLE))), 6) + 0.0 AS rev_dot,
       round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS max_abs
       FROM embeddings WHERE vec_id < 500 ORDER BY vec_id"""))
 

@@ -29,7 +29,7 @@ object SimilarityQ {
         .limit(10)
     },
     Some("""SELECT vec_id, label,
-      round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS cos
+      round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) + 0.0 AS cos
       FROM embeddings
       CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
       ORDER BY cos DESC, vec_id LIMIT 10"""))
@@ -68,7 +68,7 @@ object SimilarityQ {
         FROM embeddings),
       q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
       SELECT vec_id, label,
-        round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS cos
+        round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) + 0.0 AS cos
       FROM b CROSS JOIN q WHERE bucket = qbucket
       ORDER BY cos DESC, vec_id LIMIT 10"""))
 
@@ -120,7 +120,7 @@ object SimilarityQ {
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
       SELECT id1, id2,
-        round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])), 6) AS cos
+        round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])), 6) + 0.0 AS cos
       FROM cand
       JOIN e e1 ON e1.vec_id = cand.id1
       JOIN e e2 ON e2.vec_id = cand.id2
@@ -203,7 +203,7 @@ object SimilarityQ {
     Some("""WITH sims AS (
         SELECT p.vec_id AS probe_id, e.label, e.vec_id AS nb,
           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-            CAST(p.embedding AS DOUBLE[])), 6) AS cos
+            CAST(p.embedding AS DOUBLE[])), 6) + 0.0 AS cos
         FROM embeddings e
         CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) p
         WHERE e.vec_id <> p.vec_id),
@@ -245,7 +245,7 @@ object SimilarityQ {
         .limit(10)
     },
     Some("""SELECT e.vec_id, d.lang,
-      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.qv AS DOUBLE[])), 6) AS cos
+      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.qv AS DOUBLE[])), 6) + 0.0 AS cos
       FROM embeddings e
       JOIN documents d ON d.doc_id = e.vec_id
       CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) p
@@ -276,7 +276,7 @@ object SimilarityQ {
     Some("""SELECT vec_id, label, cos FROM (
         SELECT vec_id, label,
           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-            CAST(q.qv AS DOUBLE[])), 6) AS cos
+            CAST(q.qv AS DOUBLE[])), 6) + 0.0 AS cos
         FROM embeddings
         CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
         WHERE vec_id <> 0)
@@ -316,7 +316,7 @@ object SimilarityQ {
         FROM (
           SELECT p.vec_id AS q_id, e.vec_id AS vec_id,
             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-              CAST(p.embedding AS DOUBLE[])), 6) AS cos
+              CAST(p.embedding AS DOUBLE[])), 6) + 0.0 AS cos
           FROM embeddings e
           CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) p
           WHERE e.vec_id <> p.vec_id))
@@ -375,7 +375,7 @@ object SimilarityQ {
           CASE WHEN bit_count(xor(b, qb)) <= 1 THEN 1 ELSE 0 END AS in_probe
         FROM (
           SELECT vec_id,
-            round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cos,
+            round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) + 0.0 AS cos,
             ${Similarity.lshBucketSql("CAST(embedding AS DOUBLE[])", annPlanes)} AS b,
             q.qb AS qb
           FROM embeddings CROSS JOIN q WHERE vec_id <> 0)),
@@ -470,7 +470,7 @@ object SimilarityQ {
       nc AS (
         SELECT cluster, CAST(i AS INTEGER) AS i, avg(emb[CAST(i AS INTEGER)]) AS v
         FROM assign CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
-      cent AS (SELECT cluster, round(sum(v), 4) AS centroid_sum FROM nc GROUP BY cluster)
+      cent AS (SELECT cluster, round(sum(v), 4) + 0.0 AS centroid_sum FROM nc GROUP BY cluster)
       SELECT a.cluster, CAST(count(*) AS BIGINT) AS n,
         CAST(sum(a.mv) AS BIGINT) AS n_moved, any_value(c.centroid_sum) AS centroid_sum
       FROM assign a JOIN cent c ON a.cluster = c.cluster
@@ -859,7 +859,7 @@ object SimilarityQ {
       SELECT p.vec_id,
         CAST(bit_count(xor(p.bits, q.qbits)) AS INTEGER) AS hamming,
         round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
-          CAST(q.qv AS DOUBLE[])), 6) AS cos
+          CAST(q.qv AS DOUBLE[])), 6) + 0.0 AS cos
       FROM packed p CROSS JOIN q
       WHERE p.vec_id <> 0
       ORDER BY hamming, vec_id LIMIT 10"""))
@@ -1474,13 +1474,13 @@ object SimilarityQ {
       coarse AS (
         SELECT vec_id, embedding, qv,
           round(list_cosine_similarity(
-            CAST(embedding[1:16] AS DOUBLE[]), CAST(qv16 AS DOUBLE[])), 6) AS cos16
+            CAST(embedding[1:16] AS DOUBLE[]), CAST(qv16 AS DOUBLE[])), 6) + 0.0 AS cos16
         FROM embeddings CROSS JOIN q
         WHERE vec_id <> 0
         ORDER BY cos16 DESC, vec_id LIMIT 30)
       SELECT vec_id, cos16,
         round(list_cosine_similarity(
-          CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS cos64
+          CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) + 0.0 AS cos64
       FROM coarse
       ORDER BY cos64 DESC, vec_id LIMIT 10"""))
 
@@ -1589,7 +1589,7 @@ object SimilarityQ {
         FROM (
           SELECT p.vec_id AS q_id, e.vec_id AS vec_id, e.label AS neg_label,
             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-              CAST(p.embedding AS DOUBLE[])), 6) AS cos
+              CAST(p.embedding AS DOUBLE[])), 6) + 0.0 AS cos
           FROM embeddings e
           CROSS JOIN (SELECT vec_id, embedding, label FROM embeddings
                       WHERE vec_id < 8) p
@@ -1646,7 +1646,7 @@ object SimilarityQ {
       scored AS (
         SELECT id1, id2,
           round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
-            CAST(e2.embedding AS DOUBLE[])), 6) AS cos
+            CAST(e2.embedding AS DOUBLE[])), 6) + 0.0 AS cos
         FROM cand
         JOIN embeddings e1 ON e1.vec_id = cand.id1
         JOIN embeddings e2 ON e2.vec_id = cand.id2),
@@ -1753,7 +1753,7 @@ object SimilarityQ {
       scored AS (
         SELECT p.qid, p.qlabel, e.vec_id, e.label,
           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-            CAST(p.qv AS DOUBLE[])), 6) AS cos
+            CAST(p.qv AS DOUBLE[])), 6) + 0.0 AS cos
         FROM embeddings e CROSS JOIN probes p
         WHERE e.vec_id <> p.qid),
       ranked AS (
@@ -1821,7 +1821,7 @@ object SimilarityQ {
       scored AS (
         SELECT p.qid, p.qlabel, e.vec_id, e.label,
           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-            CAST(p.qv AS DOUBLE[])), 6) AS cos
+            CAST(p.qv AS DOUBLE[])), 6) + 0.0 AS cos
         FROM embeddings e CROSS JOIN probes p
         WHERE e.vec_id <> p.qid),
       ranked AS (
@@ -1909,7 +1909,7 @@ object SimilarityQ {
         SELECT p.vec_id,
           CAST(bit_count(xor(p.bits, q.qbits)) AS INTEGER) AS hamming,
           round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
-            CAST(q.qv AS DOUBLE[])), 6) AS cos
+            CAST(q.qv AS DOUBLE[])), 6) + 0.0 AS cos
         FROM packed p CROSS JOIN q WHERE p.vec_id <> 0),
       th AS (SELECT vec_id,
           CAST(row_number() OVER (ORDER BY hamming, vec_id) AS INTEGER) AS rank_h
@@ -1936,9 +1936,14 @@ object SimilarityQ {
     * ONE partial hash aggregate — shuffle is 64 rows per map task; sums
     * quantize to micro longs first (float4 widens to double exactly,
     * round once) so no float summation order exists; variance uses the
-    * integer identity n·Σx² − (Σx)² over micro sums (bounded: |x| < 1 ⇒
-    * Σx² ≤ 1e12·rows, safe past 1e6 vectors — larger corpora shard the
-    * sum, documented) divided once at the end.
+    * integer identity (Σx² − (Σx)²/n)/n over micro sums. Bounds (ADVICE
+    * r7 #2 corrected the earlier n·Σx²−(Σx)² form, whose n·Σx² ≤ n²·1e12
+    * wrapped past n ≈ 3e3 worst-case): the dominant intermediate is now
+    * (Σx)², worst-case n²·1e12 at |x| → 1 (n ≲ 3e3 adversarial), but for
+    * the zero-mean normalized embeddings this table audits |Σx| grows as
+    * √n·σ·1e6, so intermediates stay LINEAR in n — safe past 1e8 vectors.
+    * The 100 TB swap for adversarial inputs is a two-level fold (shard
+    * the per-dim sums, combine shard moments), same plan shape.
     */
   val embedDimStats = Declared(
     "embed_dim_stats",
@@ -1953,7 +1958,7 @@ object SimilarityQ {
           max(abs(col("vm"))).as("max_abs_micro"))
         .select(col("dim"), col("n"),
           expr("s1 div n").as("mean_micro"),
-          expr("(n * s2 - s1 * s1) div (n * n)").as("var_micro2"),
+          expr("(s2 - (s1 * s1) div n) div n").as("var_micro2"),
           col("max_abs_micro"))
         .withColumn("dead", col("var_micro2") < 100000000L)
         .withColumn("dominant", col("var_micro2") > 100000000000L)
@@ -1971,10 +1976,10 @@ object SimilarityQ {
         FROM ex GROUP BY dim)
       SELECT dim, n,
         CAST(s1 // n AS BIGINT) AS mean_micro,
-        CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT) AS var_micro2,
+        CAST((s2 - (s1 * s1) // n) // n AS BIGINT) AS var_micro2,
         max_abs_micro,
-        ((n * s2 - s1 * s1) // (n * n) < 100000000) AS dead,
-        ((n * s2 - s1 * s1) // (n * n) > 100000000000) AS dominant
+        ((s2 - (s1 * s1) // n) // n < 100000000) AS dead,
+        ((s2 - (s1 * s1) // n) // n > 100000000000) AS dominant
       FROM agged ORDER BY dim"""))
 
   val all: Seq[Declared] =

@@ -848,7 +848,7 @@ object TextQ {
       ranked AS (
         SELECT n_occ, row_number() OVER (ORDER BY n_occ DESC, w) AS rnk FROM top)
       SELECT CAST(count(*) AS BIGINT) AS n_terms,
-        round(regr_slope(ln(CAST(n_occ AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS zipf_slope,
+        round(regr_slope(ln(CAST(n_occ AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) + 0.0 AS zipf_slope,
         round(regr_r2(ln(CAST(n_occ AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS zipf_r2
       FROM ranked"""))
 
@@ -1180,7 +1180,7 @@ object TextQ {
       val h = graft.functions.Hashing.md5Hash32DuckSql("w")
       s"""SELECT doc_id,
         CAST(len(ws) AS INTEGER) AS n_tokens,
-        round(CAST(wsum AS DOUBLE) / (96.0 * len(ws)), 6) AS score,
+        round(CAST(wsum AS DOUBLE) / (96.0 * len(ws)), 6) + 0.0 AS score,
         (wsum >= 0) AS keep
       FROM (
         SELECT doc_id, ws,

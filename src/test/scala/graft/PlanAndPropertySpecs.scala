@@ -518,6 +518,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "corpus_pmi",        // 1-row unigram-total × 1-row bigram-total broadcasts
     "events_markov_stationary", // 1-row broadcast type-count scalar
     "rec_eval_hitrate",  // 1-row hit-counter row × 1-row user-total broadcast
+    "rec_eval_mrr",      // same 1-row counter × 1-row total spine as hitrate
     "rec_metrics",       // 1-row user/catalog-total broadcasts
     "eval_bootstrap_ci", // 1-row sorted replica-accuracy array broadcast
     "dq_load_anomaly"    // 1-row median / MAD baseline broadcasts
@@ -604,6 +605,37 @@ class TimestampDialectSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"session-tz TimestampType reaches the oracle (cast to timestamp_ntz):\n  ${offenders.mkString("\n  ")}")
+  }
+
+  /** The negative-zero discipline's Spark half (convention in [[Declared]]'s
+    * scaladoc — the class behind round 7's graph_modularity red row): Spark's
+    * BigDecimal-backed round() cannot emit IEEE −0.0, so a signed zero in any
+    * declared double/float column means a raw computed double bypassed the
+    * round-once convention and could split the cross-engine hash on the sign
+    * bit of zero. Detection is distributed (one aggregate per query, no
+    * collect of the result): x == 0 with 1/x < 0 identifies −0.0 exactly.
+    */
+  test("no declared double/float column carries an IEEE signed zero") {
+    val offenders = SparkEntry.declared.flatMap { d =>
+      try {
+        val df = d.run(spark, TestSpark.sf)
+        val dcols = df.schema.fields.collect {
+          case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+        }.toSeq
+        if (dcols.isEmpty) None
+        else {
+          val checks = dcols.map { c =>
+            max(when(col(s"`$c`") === 0.0 &&
+              lit(1.0) / col(s"`$c`") < 0.0, 1).otherwise(0)).as(c)
+          }
+          val row = df.agg(checks.head, checks.tail: _*).collect().headOption
+          val bad = row.toSeq.flatMap(r => dcols.filter(c => r.getAs[Int](c) == 1))
+          if (bad.nonEmpty) Some(s"${d.name}: ${bad.mkString(", ")}") else None
+        }
+      } catch { case _: Throwable => None } // build failures are other specs' business
+    }
+    assert(offenders.isEmpty,
+      s"signed zero (-0.0) in declared result:\n  ${offenders.mkString("\n  ")}")
   }
 }
 

@@ -677,8 +677,13 @@ class R7OpsSpec extends AnyFunSuite {
       assert(2 * r.getAs[Long]("in_edges") <= r.getAs[Long]("deg_sum"),
         "internal edge endpoints are a subset of the community's degree")
     }
-    val q = rs.map(_.getAs[Double]("q_term")).sum
-    assert(q >= -1.0 && q <= 1.0, s"modularity $q out of range")
+    val q = rs.map(_.getAs[Long]("q_term_nano")).sum
+    assert(q >= -1000000000L && q <= 1000000000L,
+      s"modularity ${q}e-9 out of range")
+    // nano-ints have a single zero: the negative-zero hash splitter that
+    // cost round 7 its one red row cannot recur on this schema
+    assert(rs.forall(r => !r.schema.fields.exists(_.dataType ==
+      org.apache.spark.sql.types.DoubleType)))
   }
 
   test("dq_dp_release: suppression threshold enforced, released counts base-5") {
@@ -1583,10 +1588,13 @@ class R7OpsSpec extends AnyFunSuite {
       s(lo) * (1.0 - (pos - lo)) + s(hi) * (pos - lo)
     }
     def statsOf(counts: Seq[Long], name: String) = {
-      val med = pct(counts, 0.5); val p99 = pct(counts, 0.99)
+      // percentiles quantize to nano longs at the emit boundary; the
+      // ratio is then a function of the emitted longs (ADVICE r7 #3)
+      val medN = Math.round(pct(counts, 0.5) * 1e9)
+      val p99N = Math.round(pct(counts, 0.99) * 1e9)
       (name, counts.size.toLong, counts.sum, counts.max,
-        1000000000L * counts.max / counts.sum, med, p99,
-        Math.round(p99 / med * 1e9))
+        1000000000L * counts.max / counts.sum, medN, p99N,
+        Math.round(p99N.toDouble / medN * 1e9))
     }
     val li = Tables.t(spark, TestSpark.sf, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
@@ -1606,8 +1614,8 @@ class R7OpsSpec extends AnyFunSuite {
     val rs = run("dq_skew_report").collect().map(r =>
       (r.getAs[String]("key_col"), r.getAs[Long]("n_keys"),
         r.getAs[Long]("n_rows"), r.getAs[Long]("max_n"),
-        r.getAs[Long]("max_share_nano"), r.getAs[Double]("med_n"),
-        r.getAs[Double]("p99_n"), r.getAs[Long]("p99_over_med_nano"))).toSeq
+        r.getAs[Long]("max_share_nano"), r.getAs[Long]("med_n_nano"),
+        r.getAs[Long]("p99_n_nano"), r.getAs[Long]("p99_over_med_nano"))).toSeq
     assert(rs == expected, s"skew: ${rs.take(2)} vs ${expected.take(2)}")
   }
 
@@ -1733,6 +1741,11 @@ class R7OpsSpec extends AnyFunSuite {
     val truth = Seq("documents", "lineitem", "orders").map(tn =>
       (tn, Tables.t(spark, TestSpark.sf, tn).count())).toMap
     assert(rs == truth, s"stats $rs vs counts $truth")
+    // the audit op must not leak its scratch idents into the session
+    // catalog (ADVICE r7 #4: they're dropped in a finally after read-back)
+    assert(spark.catalog.listTables().collect()
+      .forall(t => !t.name.startsWith("graft_stats_")),
+      "op_analyze_stats leaked graft_stats_* catalog tables")
   }
 
   test("events_did: four-cell panel recomputed with zero-activity periods kept") {
@@ -1821,7 +1834,9 @@ class R7OpsSpec extends AnyFunSuite {
       val xs = vecs.map(_(d))
       val n = xs.length.toLong
       val (s1, s2) = (xs.sum, xs.map(x => x * x).sum)
-      val v = (n * s2 - s1 * s1) / (n * n)
+      // (Σx² − (Σx)²/n)/n: intermediates linear in n for zero-mean data
+      // (ADVICE r7 #2 — the old n·Σx² form wrapped past n ≈ 3e3)
+      val v = (s2 - (s1 * s1) / n) / n
       (d, n, s1 / n, v, xs.map(math.abs).max, v < 100000000L, v > 100000000000L)
     }
     val rs = run("embed_dim_stats").collect().map(r =>
@@ -1847,8 +1862,10 @@ class R7OpsSpec extends AnyFunSuite {
     val sjk = jk.map { case (j, k) => j * k }.sum
     val ss = jk.map { case (j, k) => j + k }.sum
     val sq = jk.map { case (j, k) => j * j + k * k }.sum
-    val r0 = Math.round((4L * m * sjk - ss * ss).toDouble
-      / (2L * m * sq - ss * ss).toDouble * 1e9)
+    // double-domain per factor, same IEEE sequence as both engines (the
+    // Long products 4·M·Σjk wrap past sf≈0.3 — ADVICE r7 #1)
+    val r0 = Math.round((4.0 * m * sjk - ss.toDouble * ss)
+      / (2.0 * m * sq - ss.toDouble * ss) * 1e9)
     val r = run("graph_assortativity").collect().head
     assert(r.getAs[Long]("m_edges") == m)
     assert(r.getAs[Long]("s_jk") == sjk)
