@@ -103,7 +103,8 @@ object Bench {
     if (only.exists(f => Seq("rec_item_cf", "rec_topn", "rec_metrics").exists(f.contains)))
       queries.RecQ.warmShared(spark, sfDir)
     // ...and the eval family's split + retrained-model snapshot
-    if (only.exists(f => Seq("rec_eval_hitrate", "rec_eval_mrr").exists(f.contains)))
+    if (only.exists(f => Seq("rec_eval_hitrate", "rec_eval_mrr",
+        "rec_eval_pop_baseline").exists(f.contains)))
       queries.RecQ.warmEvalShared(spark, sfDir)
     // ...and the propagated-labeling snapshot the two graph readouts share
     if (only.exists(f => Seq("graph_label_spread", "graph_modularity").exists(f.contains)))

@@ -247,10 +247,10 @@ object RecQ {
       SELECT u, CAST(rnk AS INTEGER) AS rnk, item, score_nano, n_nbr
       FROM recs WHERE rnk <= 3 ORDER BY u, rnk"""))
 
-  /** (session, dir, tagged split, capped train baskets, scored pairs) —
-    * see [[evalShared]]. */
+  /** (session, dir, eligible test pairs, eval users, top-3 recs, capped
+    * train baskets) — see [[evalShared]]. */
   private val evalCache = new java.util.concurrent.atomic.AtomicReference[
-    (SparkSession, String, DataFrame, DataFrame, DataFrame)]()
+    (SparkSession, String, DataFrame, DataFrame, DataFrame, DataFrame)]()
 
   /** Probe-side warm hook (Bench): materialize the shared eval split +
     * retrained model so an isolated probe of one eval readout measures the
@@ -258,22 +258,29 @@ object RecQ {
   private[graft] def warmEvalShared(s: SparkSession, dir: String): Unit =
     evalShared(s, dir)
 
-  /** The leave-last-ORDER-out split plus the model RETRAINED on its train
-    * half, built once per (session, dir) and shared by every offline eval
-    * readout ([[evalHitRate]], [[evalMrr]]) — in production the split and
-    * the retrained neighbor table are materialized once per eval run and
-    * every metric reads the artifacts, so the family amortizing the ~60 s
-    * sf1 retrain is the honest accounting (the same discipline as
-    * [[cfShared]]; Bench warms it under an isolated-probe filter).
+  /** The complete offline-eval artifact set, built once per (session, dir)
+    * and shared by every eval readout ([[evalHitRate]], [[evalMrr]]):
+    * the leave-last-ORDER-out split, the model RETRAINED on its train
+    * half, the served top-3 recommendations from that model, the ELIGIBLE
+    * test pairs (held-out items the user does not already own in train),
+    * and the eval-user denominator (users with a non-empty eligible set
+    * AND a surviving train basket). In production every one of these is
+    * materialized once per eval run and every metric reads the artifacts
+    * — so the family amortizing the ~60 s sf1 retrain + ~15 s serving
+    * pass is the honest accounting (the same discipline as [[cfShared]];
+    * Bench warms it under an isolated-probe filter), and each readout is
+    * then a keyed join + a one-row fold over user-dimension-sized
+    * checkpoints (recs ≤ 3 rows/user, elig ≤ held-out basket rows/user).
     *
-    * The split is one slim (u, i, is_test) table, checkpointed. A (u, i)
-    * bought in BOTH eras appears under both flags; the consumers'
-    * eligible-test anti-join is what drops it from the test side.
+    * The split is one slim (u, i, is_test) table. A (u, i) bought in BOTH
+    * eras appears under both flags; the eligible-test anti-join here is
+    * what drops it from the test side.
     */
   private def evalShared(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = evalCache.synchronized {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = evalCache.synchronized {
     val cur = evalCache.get()
-    if (cur != null && (cur._1 eq s) && cur._2 == dir) (cur._3, cur._4, cur._5)
+    if (cur != null && (cur._1 eq s) && cur._2 == dir)
+      (cur._3, cur._4, cur._5, cur._6)
     else {
       val lastOrder = t(s, dir, "orders")
         .select(col("o_custkey").as("u"), col("o_orderkey").as("ok"),
@@ -288,10 +295,16 @@ object RecQ {
         .join(lastOrder, "u")
         .select(col("u"), col("i"), (col("ok") === col("tok")).as("is_test"))
         .distinct().localCheckpoint()
+      val test = tagged.filter(col("is_test")).select(col("u"), col("i"))
       val train = tagged.filter(!col("is_test")).select(col("u"), col("i"))
       val (capped, scored) = buildCf(train)
-      evalCache.set((s, dir, tagged, capped, scored))
-      (tagged, capped, scored)
+      val elig = test.join(train, Seq("u", "i"), "left_anti").localCheckpoint()
+      val evalUsers = elig.select(col("u")).distinct()
+        .join(capped.select(col("u")).distinct(), Seq("u"), "left_semi")
+        .localCheckpoint()
+      val recs = serveTop3(capped, scored).localCheckpoint()
+      evalCache.set((s, dir, elig, evalUsers, recs, capped))
+      (elig, evalUsers, recs, capped)
     }
   }
 
@@ -312,9 +325,8 @@ object RecQ {
         JOIN lasto ON o_custkey = lasto.u),
       test AS (SELECT u, i FROM tagged WHERE is_test),"""
 
-  /** Eligible-test set, eval-user denominator, and per-user first-hit rank
-    * — the readout scaffolding shared by the eval oracles (appended after
-    * [[servingCtes]]). */
+  /** Eligible-test set and eval-user denominator — the split-level readout
+    * scaffolding shared by EVERY eval oracle (model-based and baseline). */
   private val evalEligCtes = """,
       elig AS (
         SELECT t.u, t.i FROM test t
@@ -322,7 +334,11 @@ object RecQ {
           SELECT 1 FROM baskets b WHERE b.u = t.u AND b.i = t.i)),
       evalu AS (
         SELECT DISTINCT e.u FROM elig e
-        WHERE EXISTS (SELECT 1 FROM capped c WHERE c.u = e.u)),
+        WHERE EXISTS (SELECT 1 FROM capped c WHERE c.u = e.u))"""
+
+  /** Per-user first-hit rank over the MODEL's recs (appended after
+    * [[servingCtes]] + [[evalEligCtes]]). */
+  private val evalMinhitCte = """,
       minhit AS (
         SELECT r.u, min(r.rnk) AS mr FROM recs r
         JOIN elig e ON r.u = e.u AND r.item = e.i
@@ -359,13 +375,7 @@ object RecQ {
   val evalHitRate = Declared(
     "rec_eval_hitrate",
     (s, dir) => {
-      val (tagged, capped, scored) = evalShared(s, dir)
-      val test = tagged.filter(col("is_test")).select(col("u"), col("i"))
-      val train = tagged.filter(!col("is_test")).select(col("u"), col("i"))
-      val elig = test.join(train, Seq("u", "i"), "left_anti")
-      val evalUsers = elig.select(col("u")).distinct()
-        .join(capped.select(col("u")).distinct(), Seq("u"), "left_semi")
-      val recs = serveTop3(capped, scored)
+      val (elig, evalUsers, recs, _) = evalShared(s, dir)
       val minHit = recs
         .join(elig.select(col("u"), col("i").as("item")), Seq("u", "item"), "left_semi")
         .groupBy(col("u")).agg(min(col("rnk")).as("mr"))
@@ -383,7 +393,7 @@ object RecQ {
         .orderBy(col("k"))
     },
     Some(cfCtes(evalSplitCtes, """SELECT u, i FROM tagged WHERE NOT is_test""") +
-      servingCtes + evalEligCtes + """,
+      servingCtes + evalEligCtes + evalMinhitCte + """,
       hk AS (
         SELECT
           CAST(coalesce(sum(CASE WHEN mr <= 1 THEN 1 END), 0) AS BIGINT) AS h1,
@@ -419,13 +429,8 @@ object RecQ {
   val evalMrr = Declared(
     "rec_eval_mrr",
     (s, dir) => {
-      val (tagged, capped, scored) = evalShared(s, dir)
-      val test = tagged.filter(col("is_test")).select(col("u"), col("i"))
-      val train = tagged.filter(!col("is_test")).select(col("u"), col("i"))
-      val elig = test.join(train, Seq("u", "i"), "left_anti")
-      val evalUsers = elig.select(col("u")).distinct()
-        .join(capped.select(col("u")).distinct(), Seq("u"), "left_semi")
-      val minHit = serveTop3(capped, scored)
+      val (elig, evalUsers, recs, _) = evalShared(s, dir)
+      val minHit = recs
         .join(elig.select(col("u"), col("i").as("item")), Seq("u", "item"), "left_semi")
         .groupBy(col("u")).agg(min(col("rnk")).as("mr"))
       val agg = minHit.agg(
@@ -437,7 +442,7 @@ object RecQ {
           expr("rr_sum div greatest(n_users, 1L)").as("mrr_nano"))
     },
     Some(cfCtes(evalSplitCtes, """SELECT u, i FROM tagged WHERE NOT is_test""") +
-      servingCtes + evalEligCtes + """,
+      servingCtes + evalEligCtes + evalMinhitCte + """,
       agg AS (
         SELECT CAST(count(*) AS BIGINT) AS n_hit_users,
           CAST(coalesce(sum(1000000000 // mr), 0) AS BIGINT) AS rr_sum
@@ -446,6 +451,84 @@ object RecQ {
       SELECT tot.n_users, agg.n_hit_users,
         CAST(agg.rr_sum // greatest(tot.n_users, 1) AS BIGINT) AS mrr_nano
       FROM tot CROSS JOIN agg"""))
+
+  /** Popularity-baseline hit rate on the IDENTICAL split — the control
+    * every recommender eval needs: a neighborhood model that doesn't beat
+    * "recommend the 3 most popular items you don't own yet" has learned
+    * nothing (the standard ablation in the item-to-item CF literature).
+    * Same schema, same denominator, and the same first-hit semantics as
+    * [[evalHitRate]], so the lift is a row-by-row subtraction. Third
+    * consumer of [[evalShared]]'s artifact snapshot.
+    *
+    * Scale shapes: train-popularity ranking folds to the item-dimension
+    * degree table and TakeOrderedAndProject keeps only the top 50 (a
+    * declared constant — enough that after excluding any user's owned
+    * items ≥ 3 candidates always survive, since baskets are capped at
+    * 100... formally it needs owned∩top50 ≤ 47, which the cap guarantees
+    * nothing about but the readout tolerates: a user with fewer than 3
+    * surviving candidates just has a shorter list, identically in both
+    * engines); candidates are |eval users| × 50 rows via a broadcast of
+    * the 50-row list (the one declared cross join — bounded fan-out,
+    * linear in users); ownership exclusion is the same keyed anti-join
+    * serving uses; per-user ranking is a keyed window WindowGroupLimit
+    * prunes. All-integer readout identical to the hit-rate curve's.
+    */
+  val evalPopBaseline = Declared(
+    "rec_eval_pop_baseline",
+    (s, dir) => {
+      val (elig, evalUsers, _, capped) = evalShared(s, dir)
+      val top50 = capped.groupBy(col("i")).agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("i")).limit(50)
+      val cand = evalUsers.crossJoin(broadcast(top50))
+        .join(capped, Seq("u", "i"), "left_anti")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("u")).orderBy(col("d").desc, col("i"))))
+        .filter(col("rnk") <= 3)
+      val minHit = cand
+        .join(elig, Seq("u", "i"), "left_semi")
+        .groupBy(col("u")).agg(min(col("rnk")).as("mr"))
+      val hitCounts = minHit.agg(
+        sum((col("mr") <= 1).cast("long")).as("h1"),
+        sum((col("mr") <= 2).cast("long")).as("h2"),
+        sum((col("mr") <= 3).cast("long")).as("h3"))
+      val total = evalUsers.agg(count(lit(1)).as("n_users"))
+      hitCounts.crossJoin(total)
+        .select(expr("explode(array(struct(1 AS k, coalesce(h1, 0L) AS n_hits)," +
+          " struct(2 AS k, coalesce(h2, 0L) AS n_hits)," +
+          " struct(3 AS k, coalesce(h3, 0L) AS n_hits)))").as("e"), col("n_users"))
+        .select(col("e.k").as("k"), col("n_users"), col("e.n_hits").as("n_hits"),
+          expr("(1000000000L * e.n_hits) div greatest(n_users, 1L)").as("hit_rate_nano"))
+        .orderBy(col("k"))
+    },
+    Some(cfCtes(evalSplitCtes, """SELECT u, i FROM tagged WHERE NOT is_test""") +
+      evalEligCtes + """,
+      top50 AS (SELECT i, d FROM deg ORDER BY d DESC, i LIMIT 50),
+      cand AS (
+        SELECT u, i, rnk FROM (
+          SELECT ev.u, t.i,
+            row_number() OVER (PARTITION BY ev.u ORDER BY t.d DESC, t.i) AS rnk
+          FROM evalu ev CROSS JOIN top50 t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM capped c WHERE c.u = ev.u AND c.i = t.i))
+        WHERE rnk <= 3),
+      minhit AS (
+        SELECT c.u, min(c.rnk) AS mr FROM cand c
+        JOIN elig e ON c.u = e.u AND c.i = e.i
+        GROUP BY c.u),
+      hk AS (
+        SELECT
+          CAST(coalesce(sum(CASE WHEN mr <= 1 THEN 1 END), 0) AS BIGINT) AS h1,
+          CAST(coalesce(sum(CASE WHEN mr <= 2 THEN 1 END), 0) AS BIGINT) AS h2,
+          CAST(coalesce(sum(CASE WHEN mr <= 3 THEN 1 END), 0) AS BIGINT) AS h3
+        FROM minhit),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM evalu)
+      SELECT v.k, tot.n_users,
+        (CASE v.k WHEN 1 THEN hk.h1 WHEN 2 THEN hk.h2 ELSE hk.h3 END) AS n_hits,
+        CAST((1000000000 * (CASE v.k WHEN 1 THEN hk.h1 WHEN 2 THEN hk.h2
+          ELSE hk.h3 END)) // greatest(tot.n_users, 1) AS BIGINT)
+          AS hit_rate_nano
+      FROM (VALUES (1), (2), (3)) v(k)
+      CROSS JOIN tot CROSS JOIN hk ORDER BY v.k"""))
 
   /** Beyond-accuracy serving metrics — the two readouts that catch a
     * recommender "working" by only ever pushing bestsellers: catalog
@@ -519,5 +602,6 @@ object RecQ {
           AS avg_novelty_nano
       FROM perk CROSS JOIN ncat ORDER BY k"""))
 
-  val all: Seq[Declared] = Seq(itemCf, topN, evalHitRate, evalMrr, metrics)
+  val all: Seq[Declared] = Seq(itemCf, topN, evalHitRate, evalMrr,
+    evalPopBaseline, metrics)
 }

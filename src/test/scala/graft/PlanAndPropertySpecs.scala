@@ -519,6 +519,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_markov_stationary", // 1-row broadcast type-count scalar
     "rec_eval_hitrate",  // 1-row hit-counter row × 1-row user-total broadcast
     "rec_eval_mrr",      // same 1-row counter × 1-row total spine as hitrate
+    "rec_eval_pop_baseline", // 50-row broadcast popularity list fan-out + 1-row spine
     "rec_metrics",       // 1-row user/catalog-total broadcasts
     "eval_bootstrap_ci", // 1-row sorted replica-accuracy array broadcast
     "dq_load_anomaly"    // 1-row median / MAD baseline broadcasts

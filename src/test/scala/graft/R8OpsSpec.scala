@@ -29,4 +29,47 @@ class R8OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("mrr_nano") >= 1000000000L * h1 / math.max(nUsers, 1L) - 1)
     assert(r.getAs[Long]("mrr_nano") <= 1000000000L * h3 / math.max(nUsers, 1L))
   }
+
+  test("rec_eval_pop_baseline: counters recomputed driver-side on the same split") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.t(spark, TestSpark.sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2)))
+    val lastOk = orders.groupBy(_._1).view.mapValues(os =>
+      os.maxBy(o => (o._3.toEpochSecond(java.time.ZoneOffset.UTC), o._2))._2).toMap
+    val items = Tables.t(spark, TestSpark.sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val okToU = orders.map(o => o._2 -> o._1).toMap
+    val tagged = items.flatMap { case (ok, i) =>
+      okToU.get(ok).map(u => (u, i, ok == lastOk(u))) }.distinct
+    val train = tagged.filter(!_._3).map(t => (t._1, t._2)).distinct
+    val trainByU = train.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val capped = trainByU.filter(_._2.size <= 100)
+    val test = tagged.filter(_._3).map(t => (t._1, t._2)).distinct
+    val elig = test.filter { case (u, i) => !trainByU.getOrElse(u, Set()).contains(i) }
+    val eligByU = elig.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val evalUsers = eligByU.keySet.intersect(capped.keySet)
+    // capped-train popularity, deterministic (count desc, item asc), top 50
+    val top50 = capped.toSeq.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size).toSeq.sortBy { case (i, d) => (-d, i) }.take(50)
+    val mrs = evalUsers.toSeq.flatMap { u =>
+      val owned = capped(u)
+      val recs = top50.filter(t => !owned.contains(t._1)).take(3).map(_._1)
+      val hit = recs.zipWithIndex.collectFirst {
+        case (i, idx) if eligByU(u).contains(i) => idx + 1 }
+      hit
+    }
+    val (h1, h2, h3) = (mrs.count(_ <= 1).toLong, mrs.count(_ <= 2).toLong,
+      mrs.count(_ <= 3).toLong)
+    val rs = run("rec_eval_pop_baseline").collect().map(r =>
+      r.getAs[Int]("k") -> (r.getAs[Long]("n_users"), r.getAs[Long]("n_hits"))).toMap
+    assert(rs(1)._1 == evalUsers.size.toLong, "denominator")
+    assert((rs(1)._2, rs(2)._2, rs(3)._2) == ((h1, h2, h3)),
+      s"pop hits ${(rs(1)._2, rs(2)._2, rs(3)._2)} vs driver ${(h1, h2, h3)}")
+    // and the baseline shares its denominator with the model eval
+    val model = run("rec_eval_hitrate").collect().head.getAs[Long]("n_users")
+    assert(rs(1)._1 == model, "baseline and model evals must share the denominator")
+  }
 }
