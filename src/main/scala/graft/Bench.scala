@@ -109,6 +109,9 @@ object Bench {
     // ...and the propagated-labeling snapshot the two graph readouts share
     if (only.exists(f => Seq("graph_label_spread", "graph_modularity").exists(f.contains)))
       queries.GraphQ.warmShared(spark, sfDir)
+    // ...and the BPE merge-loop snapshot its three readouts share
+    if (only.exists(f => Seq("bpe_train", "bpe_encode", "bpe_vocab_coverage").exists(f.contains)))
+      queries.TextQ.warmBpeShared(spark, sfDir)
     // warmup (page-cache pass + streaming init + fixture-layout prep) is
     // reported separately so cross-round totals stay comparable as fixture
     // accounting moves between warmup and query bodies (ADVICE r5)

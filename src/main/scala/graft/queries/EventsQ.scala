@@ -2398,6 +2398,82 @@ object EventsQ {
           AS did_micro
       FROM cells"""))
 
+  /** Conversion LATENCY distribution — the companion readout to the funnel
+    * COUNTS (events_funnel says how many users converted; this says how
+    * long each hop takes, which is what sets attribution windows and
+    * abandonment cutoffs). Per step of the greedy first-match
+    * view → click → purchase path (stream_pattern_detect's semantics),
+    * the converting-user count and the median / p90 hop latency in
+    * seconds, quantized once to nano longs (the dq_skew_report percentile
+    * discipline — the 0.9 interpolation is generally inexact, so raw
+    * doubles would couple the hash to bit-identical IEEE sequences).
+    *
+    * Scale shapes: three first-timestamp folds keyed by user (each one
+    * hash aggregate over the ever-shrinking converting population), hop
+    * latencies as exact integer seconds (micros div 1e6 — timezone shifts
+    * cancel in the difference), a 3-way stacked union that is user-
+    * dimension-sized, and one exact percentile per step over that
+    * user-sized table (the documented 100 TB swap is percentile_approx
+    * on the identical plan).
+    */
+  val funnelTime = Declared(
+    "events_funnel_time",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("vt"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("ct"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("ct"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+      def secs(a: String, b: String) = expr(
+        s"""(unix_micros(CAST($b AS TIMESTAMP))
+           - unix_micros(CAST($a AS TIMESTAMP))) div 1000000""")
+      val lat = c.join(v, "user_id")
+        .select(lit("1_view->click").as("step"), secs("vt", "ct").as("sec"))
+        .unionByName(p.join(c, "user_id")
+          .select(lit("2_click->purchase").as("step"), secs("ct", "pt").as("sec")))
+        .unionByName(p.join(v, "user_id")
+          .select(lit("3_view->purchase").as("step"), secs("vt", "pt").as("sec")))
+      lat.groupBy(col("step"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("""CAST(round(percentile(CAST(sec AS DOUBLE), 0.5) * 1e9)
+                 AS BIGINT)""").as("med_sec_nano"),
+          expr("""CAST(round(percentile(CAST(sec AS DOUBLE), 0.9) * 1e9)
+                 AS BIGINT)""").as("p90_sec_nano"))
+        .orderBy(col("step"))
+    },
+    Some("""WITH v AS (
+        SELECT user_id, min(ts) AS vt FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS ct FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS pt FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY e.user_id),
+      lat AS (
+        SELECT '1_view->click' AS step,
+          CAST(date_diff('microsecond', v.vt, c.ct) // 1000000 AS BIGINT) AS sec
+        FROM c JOIN v USING (user_id)
+        UNION ALL
+        SELECT '2_click->purchase',
+          CAST(date_diff('microsecond', c.ct, p.pt) // 1000000 AS BIGINT)
+        FROM p JOIN c USING (user_id)
+        UNION ALL
+        SELECT '3_view->purchase',
+          CAST(date_diff('microsecond', v.vt, p.pt) // 1000000 AS BIGINT)
+        FROM p JOIN v USING (user_id))
+      SELECT step, CAST(count(*) AS BIGINT) AS n_users,
+        CAST(round(quantile_cont(CAST(sec AS DOUBLE), 0.5) * 1e9) AS BIGINT)
+          AS med_sec_nano,
+        CAST(round(quantile_cont(CAST(sec AS DOUBLE), 0.9) * 1e9) AS BIGINT)
+          AS p90_sec_nano
+      FROM lat GROUP BY step ORDER BY step"""))
+
   val all: Seq[Declared] = Seq(
     dateBin, jsonExtract, hourly, sessionize, sessionWindow, asof, pivot,
     rangeJoin, variantAgg, gapFill, intervalArith, retention, anomaly,
@@ -2406,5 +2482,5 @@ object EventsQ {
     sequenceMining, changepoint, stlDecompose, intervalOverlap, mttr,
     autocorr, cuped, ohlc, power, stickiness, attributionLinear, ewma,
     cohortLtv, featureBackfill, markovStationary, labelChurn, holt,
-    forecastBacktest, did)
+    forecastBacktest, did, funnelTime)
 }

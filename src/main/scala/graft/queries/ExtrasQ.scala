@@ -719,8 +719,27 @@ object ExtrasQ {
       FROM p JOIN c USING (user_id) JOIN v USING (user_id)
       ORDER BY user_id"""))
 
+  /** Continuous top-k ([[StreamingOps.topkPurchasersStream]]): the
+    * "biggest spenders right now" dashboard as a streaming aggregate.
+    * Totals fold to exact cents in-stream, so the batch SQL adjudicates
+    * the streamed state exactly — batching-invariant by construction.
+    */
+  val streamTopk = Declared(
+    "stream_topk",
+    (s, dir) => StreamingOps.topkPurchasersStream(s, dir),
+    Some("""SELECT CAST(rnk AS INTEGER) AS rnk, user_id, n_purchases,
+        total_cents FROM (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            AS total_cents,
+          row_number() OVER (
+            ORDER BY sum(CAST(round(value * 100) AS BIGINT)) DESC, user_id)
+            AS rnk
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+      WHERE rnk <= 10 ORDER BY rnk"""))
+
   val all: Seq[Declared] = Seq(
-    streamDriftPsi, streamPatternDetect,
+    streamDriftPsi, streamPatternDetect, streamTopk,
     mmShardManifest,
     mmPhash, mmCaptionPairs,
     mmCatalog, mmFrames, mmBlob, mmDecode, mmResize, rollingHashQ, streamWindow,

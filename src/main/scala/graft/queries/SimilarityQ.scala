@@ -1433,6 +1433,78 @@ object SimilarityQ {
           / count(*), 4) AS frac_new
       FROM assign GROUP BY cell ORDER BY cell"""))
 
+  /** Index-maintenance health: per-cell CENTROID DRIFT after appends — the
+    * readout that closes the stored-index lifecycle (build →
+    * [[ivfPqAppend]] → [[ivfPqDelete]] → drift → reindex): a cell whose
+    * stored centroid (trained on the base corpus, vec_id < 450) has
+    * drifted far from its CURRENT member mean mis-centers every residual
+    * encoded against it, and recall decays silently — this is the signal
+    * index services act on to schedule a retrain (the compaction/reindex
+    * policy in Lance/Milvus-style stores). Per cell: base/appended member
+    * counts, squared-L2 drift between stored centroid and current mean in
+    * integer nano-units (round-once discipline; the raw fold noise is
+    * ~1e-13, five decades under the nano half-step), and the reindex flag
+    * against a declared operating point (drift² > 0.012; production
+    * tunes this to its recall-decay tolerance — the point here sits
+    * inside the fixture's drift spread so the flag demonstrably
+    * separates the cells that absorbed the most-shifted appends from
+    * the ones that didn't).
+    *
+    * Scale shapes: the stored index is the SAME broadcast-centroid
+    * assignment [[ivfPqAppend]] audits (one map-side argmin over the
+    * corpus); the current mean is one (cell, dim)-keyed aggregate — 64
+    * rows per cell out of the shuffle; drift is a k-row broadcast join of
+    * stored vs current centroid arrays. Nothing is corpus-sized after the
+    * one assignment pass.
+    */
+  val centroidDrift = Declared(
+    "sim_centroid_drift",
+    (s, dir) => {
+      val (cc, _, enc) = ivfpqBuild(s, dir, col("vec_id") < 450)
+      val members = enc.select(col("vec_id"), col("cell")).distinct()
+        .join(embTable(s, dir), "vec_id")
+        .localCheckpoint() // two readers: current-mean fold + count fold
+      val cur = members
+        .select(col("cell"), posexplode(col("emb")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("v"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cell"), expr("transform(pv, x -> x.v)").as("curcent"))
+      val counts = members.groupBy(col("cell")).agg(
+        sum(when(col("vec_id") < 450, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("vec_id") >= 450, 1L).otherwise(0L)).as("n_new"))
+      cc.join(cur, "cell").join(counts, "cell")
+        .select(col("cell"), col("n_base"), col("n_new"),
+          expr("""CAST(round(aggregate(zip_with(ccent, curcent,
+                 (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x) * 1e9)
+                 AS BIGINT)""").as("drift_sq_nano"))
+        .withColumn("reindex", col("drift_sq_nano") > 12000000L)
+        .orderBy(col("cell"))
+    },
+    Some(s"""WITH ${ivfpqIndexCtes("WHERE vec_id < 450")},
+      cur AS (
+        SELECT a.cell, CAST(i AS INTEGER) AS i,
+          avg(ev.emb[CAST(i AS INTEGER)]) AS v
+        FROM assign a JOIN ev USING (vec_id)
+        CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+      curc AS (SELECT cell, list(v ORDER BY i) AS curcent FROM cur GROUP BY cell),
+      cnt AS (
+        SELECT cell,
+          CAST(sum(CASE WHEN vec_id < 450 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+          CAST(sum(CASE WHEN vec_id >= 450 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        FROM assign GROUP BY cell)
+      SELECT c.cell, cnt.n_base, cnt.n_new,
+        CAST(round(list_sum(list_transform(range(1, 65),
+          i -> (c.ccent[CAST(i AS INTEGER)] - curc.curcent[CAST(i AS INTEGER)])
+             * (c.ccent[CAST(i AS INTEGER)] - curc.curcent[CAST(i AS INTEGER)])))
+          * 1e9) AS BIGINT) AS drift_sq_nano,
+        (CAST(round(list_sum(list_transform(range(1, 65),
+          i -> (c.ccent[CAST(i AS INTEGER)] - curc.curcent[CAST(i AS INTEGER)])
+             * (c.ccent[CAST(i AS INTEGER)] - curc.curcent[CAST(i AS INTEGER)])))
+          * 1e9) AS BIGINT) > 12000000) AS reindex
+      FROM cc c JOIN curc USING (cell) JOIN cnt USING (cell)
+      ORDER BY c.cell"""))
+
   /** Matryoshka-style two-stage retrieval (Kusupati et al. 2022, MRL): the
     * coarse pass ranks by cosine over only the FIRST 16 of 64 dimensions
     * (the nested-prefix property MRL encoders train for — here the slice
@@ -1988,5 +2060,5 @@ object SimilarityQ {
       ivfPq, ivfPqStored, ivfPqRecall, embedProjectRp, pcaPower,
       streamAnnProbe, ivfPqAppend, matryoshka, clusterSilhouette, hardnegMine,
       knnGraph, bucketBalance, retrievalMrr, retrievalNdcg, ivfPqDelete,
-      ivfNprobeCurve, hammingTopk, rrfFusion, embedDimStats)
+      ivfNprobeCurve, hammingTopk, rrfFusion, embedDimStats, centroidDrift)
 }

@@ -647,6 +647,45 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** Continuous top-k dashboard ("biggest spenders right now"): per-user
+    * purchase totals maintained by a streaming aggregate whose state is
+    * user-dimension-sized, read out as the top 10. Complete mode on the
+    * finite replay; an unbounded deployment reads the same state through a
+    * per-trigger foreachBatch top-k. Values fold to exact integer CENTS
+    * inside the stream (round once per event), so the continuously-updated
+    * state carries no float summation order — the property that makes the
+    * streamed total equal the batch oracle's regardless of batching.
+    */
+  def topkPurchasersStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (rawSchema, scanParts) = parquetSchema(spark, s"$sfDir/events.parquet")
+    val agg = streamTable(spark, sfDir, "events", rawSchema)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("total_cents"))
+    val name = "graft_stream_topk_sink"
+    runTuned(spark, scanParts) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // readout over the user-dimension sink: top-10 then rank — the window
+    // runs on 10 rows by construction
+    spark.table(name)
+      .orderBy(col("total_cents").desc, col("user_id")).limit(10)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("total_cents").desc, col("user_id"))))
+      .select(col("rnk"), col("user_id"), col("n_purchases"), col("total_cents"))
+      .orderBy(col("rnk"))
+  }
+
   case class SessionState(start: Long, end: Long, n: Long, value: Double)
   case class SessionOut(
       user_id: Long, session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,

@@ -72,4 +72,47 @@ class R8OpsSpec extends AnyFunSuite {
     val model = run("rec_eval_hitrate").collect().head.getAs[Long]("n_users")
     assert(rs(1)._1 == model, "baseline and model evals must share the denominator")
   }
+
+  test("sim_centroid_drift: memberships match the append audit; flag honors threshold") {
+    val drift = run("sim_centroid_drift").collect().map(r =>
+      (r.getAs[Long]("cell"), r.getAs[Long]("n_base"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("drift_sq_nano"), r.getAs[Boolean]("reindex")))
+    // same stored index (trained on vec_id < 450) as sim_ivfpq_append →
+    // identical per-cell base/appended membership
+    val app = run("sim_ivfpq_append").collect().map(r =>
+      r.getAs[Long]("cell") -> (r.getAs[Long]("n_base"), r.getAs[Long]("n_new"))).toMap
+    drift.foreach { case (c, nb, nn, d, flag) =>
+      assert(app(c) == ((nb, nn)), s"cell $c membership disagrees with append audit")
+      assert(d >= 0L, "squared drift is nonnegative")
+      assert(flag == (d > 12000000L), "reindex flag must equal the declared threshold test")
+    }
+    // every vector lands in exactly one cell
+    val total = Tables.t(spark, TestSpark.sf, "embeddings").count()
+    assert(drift.map(r => r._2 + r._3).sum == total)
+  }
+
+  test("bpe_vocab_coverage: merge accounting ties the curve to the train ledger") {
+    val cov = run("bpe_vocab_coverage").collect().map(r =>
+      (r.getAs[Int]("round"), r.getAs[Long]("n_token_types"),
+        r.getAs[Long]("n_tokens_corpus"), r.getAs[Long]("compression_nano")))
+      .sortBy(_._1)
+    assert(cov.map(_._1).toSeq == Seq(0, 1, 2, 3, 4))
+    val base = cov.head._3
+    cov.foreach { case (_, _, nt, cn) =>
+      assert(cn == 1000000000L * nt / base, "compression is the exact nano ratio")
+    }
+    // each merge strictly shrinks the corpus encoding; the reduction is the
+    // elected pair's weighted frequency (exactly, when no occurrence
+    // overlaps itself; at least half of it when every occurrence does)
+    val freq = run("bpe_train").collect().map(r =>
+      r.getAs[Int]("round") -> r.getAs[Long]("freq")).toMap
+    cov.toSeq.sliding(2).foreach { case Seq((r0, ty0, nt0, _), (r1, ty1, nt1, _)) =>
+      val delta = nt0 - nt1
+      assert(delta > 0, s"round $r1 must shrink the encoding")
+      assert(delta <= freq(r1) && 2 * delta >= freq(r1),
+        s"round $r1: reduction $delta vs elected freq ${freq(r1)}")
+      // one merge adds at most one new token type and never removes one
+      assert(ty1 >= ty0 && ty1 <= ty0 + 1)
+    }
+  }
 }
