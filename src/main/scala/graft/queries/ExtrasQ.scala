@@ -724,8 +724,8 @@ object ExtrasQ {
     * Totals fold to exact cents in-stream, so the batch SQL adjudicates
     * the streamed state exactly — batching-invariant by construction.
     */
-  val streamTopk = Declared(
-    "stream_topk",
+  val streamTopkPurchasers = Declared(
+    "stream_topk_purchasers",
     (s, dir) => StreamingOps.topkPurchasersStream(s, dir),
     Some("""SELECT CAST(rnk AS INTEGER) AS rnk, user_id, n_purchases,
         total_cents FROM (
@@ -739,7 +739,7 @@ object ExtrasQ {
       WHERE rnk <= 10 ORDER BY rnk"""))
 
   val all: Seq[Declared] = Seq(
-    streamDriftPsi, streamPatternDetect, streamTopk,
+    streamDriftPsi, streamPatternDetect, streamTopkPurchasers,
     mmShardManifest,
     mmPhash, mmCaptionPairs,
     mmCatalog, mmFrames, mmBlob, mmDecode, mmResize, rollingHashQ, streamWindow,

@@ -1614,24 +1614,30 @@ object TextQ {
     * (the vocab-size ablations in the BPE literature report exactly this
     * table). Third consumer of the shared [[bpeLoop]] snapshot.
     *
-    * Scale shapes: every round's readout is two aggregates over the
-    * VOCAB-sized dictionary state (types via a distinct fold of the
-    * exploded symbol column, corpus tokens via one weighted sum) — the
-    * corpus was paid once when the dictionary folded; the round-0
+    * Scale shapes: every round's readout is ONE aggregate over the
+    * VOCAB-sized dictionary state — the exploded symbol column feeds a
+    * distinct type count and the weighted corpus-token sum in the same
+    * fold (sum(wc) over exploded elements ≡ sum(wc·|symbols|) per row) —
+    * the corpus was paid once when the dictionary folded; the round-0
     * baseline joins back as a 1-row broadcast.
+    *
+    * Overflow bound: `compression_nano` forms `1e9 * n_tokens_corpus`
+    * in i64 before the integer divide, so it is exact up to ~9.2e9
+    * corpus tokens (Long.MaxValue / 1e9) — same bound class as r_nano
+    * in graph_assortativity. Past that, restructure to divide
+    * base_tokens first; at this suite's BPE fixture scale the corpus
+    * is vocab-bounded and sits far below the limit.
     */
   val bpeVocabCoverage = Declared(
     "bpe_vocab_coverage",
     (s, dir) => {
       val (_, _, vocabs) = bpeLoop(s, dir)
       val perRound = vocabs.zipWithIndex.map { case (v, r) =>
-        val toks = v.select(col("wc"), split(trim(col("seq")), "  ").as("a"))
-        val counts = toks.agg(
-          sum(col("wc") * size(col("a"))).as("n_tokens_corpus"))
-        val types = toks.select(explode(col("a")).as("tok")).distinct()
-          .agg(count(lit(1)).as("n_token_types"))
-        counts.crossJoin(types).select(lit(r).as("round"),
-          col("n_token_types"), col("n_tokens_corpus"))
+        v.select(col("wc"), explode(split(trim(col("seq")), "  ")).as("tok"))
+          .agg(count_distinct(col("tok")).as("n_token_types"),
+            sum(col("wc")).as("n_tokens_corpus"))
+          .select(lit(r).as("round"),
+            col("n_token_types"), col("n_tokens_corpus"))
       }.reduce(_ unionByName _)
       val base = perRound.filter(col("round") === 0)
         .select(col("n_tokens_corpus").as("base_tokens"))

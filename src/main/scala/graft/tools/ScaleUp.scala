@@ -40,19 +40,41 @@ object ScaleUp {
   private val Letters = ('a' to 'z').mkString + ('A' to 'Z').mkString
   private val Digits = "0123456789"
 
-  /** Per-copy bijective character map: letters rotate by k within each
-    * case, digits rotate by k. Copy 0 is the identity (originals survive
-    * verbatim, so absolute-id probes like vec_id<3 still hit real rows).
+  /** Per-copy bijective character map over the COMBINED 52-letter cycle
+    * (lower+upper as one rotation orbit) plus a 10-digit cycle. Copy 0 is
+    * the identity (originals survive verbatim, so absolute-id probes like
+    * vec_id<3 still hit real rows).
+    *
+    * Why one 52-cycle and not per-case 26-rotations: two distinct
+    * rotations of a single cycle differ at EVERY character (pairwise
+    * deranged), so any text containing at least one letter maps to a
+    * different string under every k in 0..51 — the earlier per-case
+    * construction cycled every 26 copies, and since the fixture docs
+    * contain no digits, a 100-copy corpus degenerated into exact-dup
+    * classes of ~4 (measured: 500k docs, only 129,792 distinct texts,
+    * 723k spurious exact-dup pairs — which bent every dedup scaling
+    * probe superlinear for fixture reasons, not plan reasons).
     */
   private def rot(k: Int): (String, String) = {
     def rotStr(s: String, by: Int) = {
       val n = s.length
       (0 until n).map(i => s((i + by) % n)).mkString
     }
-    val lower = ('a' to 'z').mkString
-    val upper = ('A' to 'Z').mkString
-    (Letters + Digits,
-      rotStr(lower, k) + rotStr(upper, k) + rotStr(Digits, k))
+    (Letters + Digits, rotStr(Letters, k % 52) + rotStr(Digits, k % 10))
+  }
+
+  /** Per-copy text transform: 52-cycle rotation for k mod 52, and for
+    * k >= 52 additionally REVERSE the string — reversal preserves every
+    * within-copy invariant the scaling model needs (8-gram shingle sets
+    * reverse bijectively, so near-dup pairs keep their exact Jaccard;
+    * token counts and lengths are unchanged) while sharing no shingles
+    * with any unreversed copy on natural text. 52 rotations × {identity,
+    * reverse} = 104 pairwise-collision-free copies.
+    */
+  private def copyText(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    val (from, to) = rot(k)
+    val t = translate(c, from, to)
+    if (k >= 52) reverse(t) else t
   }
 
   def main(args: Array[String]): Unit = {
@@ -60,6 +82,11 @@ object ScaleUp {
     val src = args(0)
     val out = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    // 52 rotations × {id, reverse} — past 104 the text transforms repeat
+    // and the corpus degenerates into exact-dup classes (a measured
+    // pathology, not scale). ALWAYS scale from the pristine sf0.1 fixture:
+    // transforms COMPOSE, so scaling an already-scaled dir re-collides.
+    require(copies <= 104, s"copies=$copies > 104 distinct text transforms")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -101,10 +128,9 @@ object ScaleUp {
       d.withColumn("event_id", col("event_id") + lit(k * EVT))
         .withColumn("user_id", col("user_id") + lit(k * USER))), "events", 8)
     write(clones("documents") { (d, k) =>
-      val (from, to) = rot(k)
       d.withColumn("doc_id", col("doc_id") + lit(k * DOC))
-        .withColumn("text", translate(col("text"), from, to))
-        .withColumn("source", translate(col("source"), from, to))
+        .withColumn("text", copyText(col("text"), k))
+        .withColumn("source", copyText(col("source"), k))
     }, "documents", 8)
     write(clones("embeddings")((d, k) =>
       d.withColumn("vec_id", col("vec_id") + lit(k * VEC))

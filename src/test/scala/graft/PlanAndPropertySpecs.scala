@@ -522,7 +522,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "rec_eval_pop_baseline", // 50-row broadcast popularity list fan-out + 1-row spine
     "rec_metrics",       // 1-row user/catalog-total broadcasts
     "eval_bootstrap_ci", // 1-row sorted replica-accuracy array broadcast
-    "dq_load_anomaly"    // 1-row median / MAD baseline broadcasts
+    "dq_load_anomaly",   // 1-row median / MAD baseline broadcasts
+    "bpe_vocab_coverage" // 1-row round-0 baseline-tokens broadcast
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
