@@ -82,7 +82,7 @@ object DedupQ {
     * overstating dedup_ngram_jaccard ~9× purely from this accounting).
     */
   private[graft] def warmShared(
-      s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     bandedCandidates(s, dir) // eager localCheckpoint: the call materializes
 
   private def bandedCandidates(
@@ -1451,8 +1451,9 @@ object DedupQ {
     *
     * At scale: the gram fan-out is map-side; the only corpus-sized shuffle
     * is (hash, doc_id, pos) — 16 bytes/char, the same O(corpus) cost the
-    * suffix-array pipelines pay, and the df≥2 filter is a partial-agg'd
-    * hash count. 32-bit hashes keep the shuffle narrow at benchmark scale;
+    * suffix-array pipelines pay, and the df≥2 filter is a min/max fold
+    * (min(doc_id) ≠ max(doc_id) ⟺ ≥2 distinct docs — one exchange, no
+    * distinct expand). 32-bit hashes keep the shuffle narrow at benchmark scale;
     * a 100 TB run swaps in [[graft.functions.Hashing.md5Hash60]] (same
     * code, 8 more bytes) to push the collision rate below one span per
     * corpus. Interval math is all integers — zero float divergence risk.
@@ -1470,11 +1471,15 @@ object DedupQ {
           .as(Seq("pos0", "g")))
         .select(col("doc_id"), (col("pos0") + 1).as("pos"),
           graft.functions.Hashing.md5Hash32(col("g")).as("h"))
-      // hashes present in >= 2 distinct docs; the snapshot feeds the dup-mark
-      // join without re-running the gram pipeline
+      // hashes present in >= 2 distinct docs, via the min≠max identity:
+      // "in ≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id). min/max fold
+      // map-side through ONE exchange; the count-distinct formulation
+      // planned an expand + two exchanges keyed by (h, doc_id) and its
+      // final hash-agg spilled at decade scale (measured: 3.9 s at sf1 but
+      // 200.6 s at sf10 — 51× for 10× rows; this identity reads ~linear)
       val dupFps = grams.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select(col("h"))
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1")).select(col("h"))
       val dupPos = grams.join(dupFps, "h")
         .select(col("doc_id"), col("pos"))
       // exact union length of overlapping [pos, pos+L) intervals: running
@@ -1504,7 +1509,7 @@ object DedupQ {
           ${graft.functions.Hashing.md5Hash32DuckSql("substr(text, CAST(i AS INTEGER), 40)")} AS h
         FROM documents, unnest(range(1, greatest(len(text) - 39, 0) + 1)) t(i)),
       dupfps AS (
-        SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        SELECT h FROM grams GROUP BY h HAVING min(doc_id) <> max(doc_id)),
       duppos AS (
         SELECT doc_id, pos FROM grams JOIN dupfps USING (h)),
       cov AS (
