@@ -68,4 +68,44 @@ object Similarity {
         s"CASE WHEN list_dot_product($vecExpr, $lst) > 0.0 THEN ${1 << j} ELSE 0 END"
       }
       .mkString(" + ")
+
+  /** Resolution ladder for sign-LSH SELF-JOIN (pair-generating) queries:
+    * plane count grows with corpus size so expected bucket occupancy
+    * (n / 2^p) stays ≤ ~100 and within-bucket pair volume stays LINEAR
+    * per decade — with p frozen, occupancy grows with n and pair volume
+    * grows QUADRATICALLY (measured before this ladder existed:
+    * dedup_embed_cosine 4.2 s at sf1 → 349.7 s at sf10, sim_knn_graph
+    * 8.5 s → 1133.7 s — both ~100×/decade on 10× data). Three pinned
+    * tiers (base, base+3, base+6 planes — +3 planes ≈ one 8× resolution
+    * step), mirrored in oracle SQL by a CASE on count(*); [[planes]] is
+    * prefix-stable in its seed so every tier's first `base` hyperplanes
+    * are the original family. The recall cost of finer buckets is the
+    * standard LSH trade (collision prob (1-θ/π)^p): production amplifies
+    * with more OR-tables or moves to the IVF path (sim_ivfpq's flat
+    * probes) — documented, not hidden.
+    */
+  def lshPlaneCount(n: Long, base: Int): Int =
+    if (n <= (1L << base) * 100L) base
+    else if (n <= (1L << (base + 3)) * 100L) base + 3
+    else base + 6
+
+  /** Planes for [[lshPlaneCount]]'s tier at corpus size n. */
+  def planesFor(n: Long, base: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] =
+    planes(lshPlaneCount(n, base), dim, seed)
+
+  /** DuckDB mirror of [[planesFor]]: a CASE on `countSql` (a scalar count
+    * subquery over the same set the Spark side counts) selecting the same
+    * tier's bucket expression.
+    */
+  def lshBucketSqlAdaptive(
+      vecExpr: String, countSql: String, base: Int, dim: Int,
+      seed: Long = 42L): String = {
+    val t1 = (1L << base) * 100L
+    val t2 = (1L << (base + 3)) * 100L
+    s"""CASE WHEN ($countSql) <= $t1
+        THEN ${lshBucketSql(vecExpr, planes(base, dim, seed))}
+        WHEN ($countSql) <= $t2
+        THEN ${lshBucketSql(vecExpr, planes(base + 3, dim, seed))}
+        ELSE ${lshBucketSql(vecExpr, planes(base + 6, dim, seed))} END"""
+  }
 }

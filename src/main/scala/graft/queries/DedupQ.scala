@@ -864,11 +864,14 @@ object DedupQ {
       FROM buckets GROUP BY bucket HAVING count(*) > 1
       ORDER BY bucket"""))
 
-  private val dedupPlanes = Similarity.planes(nPlanes = 8, dim = 64)
-
-  /** Embedding near-dup pairs: 8-plane sign-LSH bucketing, exact cosine
-    * inside buckets, threshold 0.8. The hyperplanes are fixed literals
-    * shared with the oracle, so bucketing is engine-identical.
+  /** Embedding near-dup pairs: sign-LSH bucketing at the corpus-tracking
+    * resolution of [[Similarity.lshPlaneCount]] (8 planes up to 25.6k
+    * vectors, +3 planes per tier — occupancy-bounded so within-bucket pair
+    * volume stays linear per decade; frozen 8-plane buckets measured
+    * 83×/decade at sf10), exact cosine inside buckets, threshold 0.8. The
+    * hyperplanes are fixed literals shared with the oracle (the adaptive
+    * tier is a CASE on the same count in both engines), so bucketing is
+    * engine-identical at every scale.
     *
     * The bucket self-join goes through [[graft.operators.BucketJoin]], so a
     * hot bucket (near-constant embedding corpus) is salted instead of
@@ -878,10 +881,12 @@ object DedupQ {
   val embedCosine = Declared(
     "dedup_embed_cosine",
     (s, dir) => {
+      val nVecs = t(s, dir, "embeddings").count() // parquet metadata count
+      val planes = Similarity.planesFor(nVecs, base = 8, dim = 64)
       val e = t(s, dir, "embeddings").select(
         col("vec_id"),
         col("embedding"),
-        Similarity.lshBucket(col("embedding"), dedupPlanes).as("bucket"))
+        Similarity.lshBucket(col("embedding"), planes).as("bucket"))
       val cand = graft.operators.BucketJoin.saltedCandidatePairs(
         e.select(col("vec_id"), col("bucket")), "vec_id", Seq("bucket"))
       cand
@@ -894,7 +899,8 @@ object DedupQ {
     },
     Some(s"""WITH b AS (
         SELECT vec_id, embedding,
-          ${Similarity.lshBucketSql("embedding", dedupPlanes)} AS bucket
+          ${Similarity.lshBucketSqlAdaptive(
+            "embedding", "SELECT count(*) FROM embeddings", 8, 64)} AS bucket
         FROM embeddings)
       SELECT * FROM (
         SELECT a.vec_id AS id1, b2.vec_id AS id2,
@@ -1118,7 +1124,13 @@ object DedupQ {
     * broadcast; assignment is a map-side argmin folded in one hash
     * aggregate; the within-cluster pair join routes through the shared
     * skew-salted [[graft.operators.BucketJoin]] so a hot cell cannot
-    * single-task the stage; k grows with n to hold cluster sizes constant.
+    * single-task the stage; k GROWS WITH n — k = max(8, ⌈n/2500⌉), the
+    * same rule in both engines (one metadata-cheap count) — to hold cell
+    * sizes constant, which is what keeps within-cell pair volume LINEAR
+    * per decade. Measured necessity: with k frozen at 8 the 200k-vector
+    * sf10 corpus packs 25k vectors per cell → ~2.5e9 within-cell cosines,
+    * and the probe ran >50 minutes before being cut; with k=80 the same
+    * corpus holds 2500 per cell and pair volume is 10× sf1's, not 100×.
     * Deviations, both documented: the keeper is the LOWEST vec_id of a
     * duplicate neighborhood (the paper keeps the member farthest from the
     * centroid — id order is engine-replayable, the tie-broken float order
@@ -1131,7 +1143,8 @@ object DedupQ {
   val semantic = Declared(
     "dedup_semantic",
     (s, dir) => {
-      val k = 8
+      val nVecs = t(s, dir, "embeddings").count() // parquet metadata count
+      val k = math.max(8L, (nVecs + 2499L) / 2500L) // ceil(n/2500)
       val tau = 0.40
       val e = t(s, dir, "embeddings")
         .select(
@@ -1177,11 +1190,14 @@ object DedupQ {
           coalesce(col("drop_id_sum"), lit(0L)).as("drop_id_sum"))
         .orderBy(col("cluster"))
     },
-    Some("""WITH ev AS (
+    Some("""WITH kk AS (
+        SELECT greatest(8, CAST(ceil(count(*) / 2500.0) AS BIGINT)) AS k
+        FROM embeddings),
+      ev AS (
         SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings),
       init AS (
-        SELECT vec_id % 8 AS cluster, CAST(i AS INTEGER) AS i,
+        SELECT vec_id % (SELECT k FROM kk) AS cluster, CAST(i AS INTEGER) AS i,
                avg(emb[CAST(i AS INTEGER)]) AS v
         FROM ev CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
       c0 AS (SELECT cluster, list(v ORDER BY i) AS centroid FROM init GROUP BY cluster),
@@ -1369,7 +1385,8 @@ object DedupQ {
     * its best cross-lingual match by embedding cosine — the
     * translation-pair discovery step of a multilingual pretraining
     * pipeline. Candidates come from [[embedCosine]]'s sign-LSH buckets
-    * (cross-language pairs sharing an 8-bit sign pattern), so mining is
+    * (cross-language pairs sharing a sign pattern, at the same
+    * corpus-tracking [[Similarity.lshPlaneCount]] resolution), so mining is
     * bucket-blocked like every dedup op here — never an all-pairs
     * cross-language scan — and the skew-salted BucketJoin bounds hot
     * buckets; the per-en-doc best is a partitioned top-1 window over the
@@ -1383,9 +1400,11 @@ object DedupQ {
     "mine_bitext",
     (s, dir) => {
       val lang = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val nVecs = t(s, dir, "embeddings").count()
+      val planes = Similarity.planesFor(nVecs, base = 8, dim = 64)
       val e = t(s, dir, "embeddings").select(
         col("vec_id"), col("embedding"),
-        Similarity.lshBucket(col("embedding"), dedupPlanes).as("bucket"))
+        Similarity.lshBucket(col("embedding"), planes).as("bucket"))
       val cand = graft.operators.BucketJoin.saltedCandidatePairs(
         e.select(col("vec_id"), col("bucket")), "vec_id", Seq("bucket"))
       val scored = cand
@@ -1408,7 +1427,8 @@ object DedupQ {
     },
     Some(s"""WITH b AS (
         SELECT vec_id, embedding,
-          ${Similarity.lshBucketSql("embedding", dedupPlanes)} AS bucket
+          ${Similarity.lshBucketSqlAdaptive(
+            "embedding", "SELECT count(*) FROM embeddings", 8, 64)} AS bucket
         FROM embeddings),
       lang AS (SELECT doc_id, lang FROM documents),
       cand AS (

@@ -72,12 +72,19 @@ object SimilarityQ {
       FROM b CROSS JOIN q WHERE bucket = qbucket
       ORDER BY cos DESC, vec_id LIMIT 10"""))
 
-  /** 4 independent sign-LSH tables (6 planes each) for the pair query below:
-    * a similar pair is a candidate iff it collides in ANY band (OR over
-    * tables), the standard recall amplification for pairwise LSH.
+  /** 4 independent sign-LSH tables for the pair queries below: a similar
+    * pair is a candidate iff it collides in ANY band (OR over tables), the
+    * standard recall amplification for pairwise LSH. Each table's plane
+    * count follows [[Similarity.lshPlaneCount]] (base 6 → 64 buckets up to
+    * 6.4k vectors, +3 planes per tier) so per-table bucket occupancy stays
+    * bounded and candidate volume stays LINEAR per decade — with the table
+    * resolution frozen at 6 planes, sim_knn_graph measured 8.5 s at sf1 →
+    * 1133.7 s at sf10 (133× on 10× data: ~3.1k vectors per bucket at 200k
+    * corpus → ~1.2B within-bucket pairs). The OR over 4 tables is what
+    * holds recall as per-table collision probability declines with p.
     */
-  private val pairBands: Seq[Seq[Array[Double]]] =
-    (0 until 4).map(b => Similarity.planes(nPlanes = 6, dim = 64, seed = 101L + b))
+  private def pairBandsFor(n: Long): Seq[Seq[Array[Double]]] =
+    (0 until 4).map(b => Similarity.planesFor(n, base = 6, dim = 64, seed = 101L + b))
 
   /** Top-5 most similar pairs within one label partition (the per-group
     * variant a clustering/linkage step consumes). Candidates come from a
@@ -92,9 +99,10 @@ object SimilarityQ {
     (s, dir) => {
       val e = t(s, dir, "embeddings").filter(col("label") === 0)
         .select(col("vec_id"), col("embedding"))
+      val bands = pairBandsFor(e.count()) // the self-joined set sizes the tier
       val banded = e.select(
         col("vec_id"),
-        posexplode(array(pairBands.map(ps =>
+        posexplode(array(bands.map(ps =>
           Similarity.lshBucket(col("embedding"), ps)): _*)).as(Seq("band", "bucket")))
       // salted bucket self-join (shared BucketJoin engine): a hot (band,
       // bucket) cell fans out instead of pinning one reducer at n²
@@ -109,8 +117,9 @@ object SimilarityQ {
         .limit(5)
     },
     Some {
-      val bandSelects = pairBands.zipWithIndex.map { case (ps, b) =>
-        s"SELECT vec_id, $b AS band, ${Similarity.lshBucketSql("embedding", ps)} AS bucket FROM e"
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT vec_id, $b AS band, ${Similarity.lshBucketSqlAdaptive(
+          "embedding", "SELECT count(*) FROM e", 6, 64, seed = 101L + b)} AS bucket FROM e"
       }.mkString("\n        UNION ALL ")
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
       banded AS (
@@ -1685,10 +1694,12 @@ object SimilarityQ {
     "sim_knn_graph",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      val nVecs = t(s, dir, "embeddings").count() // parquet metadata count
+      val bands = pairBandsFor(nVecs)
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val banded = e.select(
         col("vec_id"),
-        posexplode(array(pairBands.map(ps =>
+        posexplode(array(bands.map(ps =>
           Similarity.lshBucket(col("embedding"), ps)): _*)).as(Seq("band", "bucket")))
       val cand = graft.operators.BucketJoin.saltedCandidatePairs(
         banded, "vec_id", Seq("band", "bucket"))
@@ -1706,8 +1717,10 @@ object SimilarityQ {
         .orderBy(col("src"), col("rk"))
     },
     Some {
-      val bandSelects = pairBands.zipWithIndex.map { case (ps, b) =>
-        s"SELECT vec_id, $b AS band, ${Similarity.lshBucketSql("embedding", ps)} AS bucket FROM embeddings"
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT vec_id, $b AS band, ${Similarity.lshBucketSqlAdaptive(
+          "embedding", "SELECT count(*) FROM embeddings", 6, 64,
+          seed = 101L + b)} AS bucket FROM embeddings"
       }.mkString("\n        UNION ALL ")
       s"""WITH banded AS (
         $bandSelects),
