@@ -75,19 +75,51 @@ object Similarity {
     * per decade — with p frozen, occupancy grows with n and pair volume
     * grows QUADRATICALLY (measured before this ladder existed:
     * dedup_embed_cosine 4.2 s at sf1 → 349.7 s at sf10, sim_knn_graph
-    * 8.5 s → 1133.7 s — both ~100×/decade on 10× data). Three pinned
-    * tiers (base, base+3, base+6 planes — +3 planes ≈ one 8× resolution
-    * step), mirrored in oracle SQL by a CASE on count(*); [[planes]] is
-    * prefix-stable in its seed so every tier's first `base` hyperplanes
-    * are the original family. The recall cost of finer buckets is the
-    * standard LSH trade (collision prob (1-θ/π)^p): production amplifies
-    * with more OR-tables or moves to the IVF path (sim_ivfpq's flat
-    * probes) — documented, not hidden.
+    * 8.5 s → 1133.7 s — both ~100×/decade on 10× data). Tiers are
+    * base, base+3, base+6, … (+3 planes ≈ one 8× resolution step),
+    * UNBOUNDED: p is the smallest tier with 100·2^p ≥ n, so the
+    * occupancy bound holds at every corpus size instead of saturating
+    * (the r9 ladder stopped at base+6, which re-created the quadratic
+    * cliff one decade out — ~1.6M vectors for the base-8 family).
+    * Mirrored in oracle SQL by a CASE on count(*) over the same tier
+    * thresholds ([[lshBucketSqlAdaptive]]); [[planes]] is prefix-stable
+    * in its seed so every tier's first `base` hyperplanes are the
+    * original family. p is capped at [[MaxLshPlanes]] = 30 (bucket ids
+    * are Int bitmasks, `1 << j`, in both the codegen'd expression and
+    * the oracle's INT32 `<<`): the occupancy bound therefore holds to
+    * 100·2^30 ≈ 1.07e11 vectors (~27 TB of raw 64-dim float32) — past
+    * that, production amplifies with more OR-tables or moves to the IVF
+    * path (sim_ivfpq's flat probes), the standard LSH recall/resolution
+    * trade (collision prob (1-θ/π)^p) — documented, not hidden.
     */
-  def lshPlaneCount(n: Long, base: Int): Int =
-    if (n <= (1L << base) * 100L) base
-    else if (n <= (1L << (base + 3)) * 100L) base + 3
-    else base + 6
+  def lshPlaneCount(n: Long, base: Int): Int = {
+    @annotation.tailrec
+    def go(p: Int): Int =
+      if (p >= MaxLshPlanes || n <= lshTierCeiling(p)) p
+      else go(math.min(p + 3, MaxLshPlanes))
+    go(base)
+  }
+
+  /** Int-bitmask bucket ids bound the ladder at 30 planes (see
+    * [[lshPlaneCount]] scaladoc for what that means at scale).
+    */
+  val MaxLshPlanes: Int = 30
+
+  /** Largest corpus size tier p covers: expected occupancy n / 2^p ≤ 100. */
+  def lshTierCeiling(p: Int): Long = (1L << p) * 100L
+
+  /** The tier sequence [[lshBucketSqlAdaptive]] materializes: every tier
+    * from `base` upward until one covers `maxN` (so the generated CASE
+    * agrees with [[lshPlaneCount]] for ALL n ≤ lshTierCeiling(last tier)).
+    * Exposed so specs can pin Spark-tier/oracle-tier agreement at the
+    * exact boundary values.
+    */
+  def lshTiersFor(base: Int, maxN: Long): Seq[Int] = {
+    val tiers = scala.collection.mutable.ArrayBuffer(base)
+    while (tiers.last < MaxLshPlanes && lshTierCeiling(tiers.last) < maxN)
+      tiers += math.min(tiers.last + 3, MaxLshPlanes)
+    tiers.toSeq
+  }
 
   /** Planes for [[lshPlaneCount]]'s tier at corpus size n. */
   def planesFor(n: Long, base: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] =
@@ -95,17 +127,19 @@ object Similarity {
 
   /** DuckDB mirror of [[planesFor]]: a CASE on `countSql` (a scalar count
     * subquery over the same set the Spark side counts) selecting the same
-    * tier's bucket expression.
+    * tier's bucket expression. The ladder is generated over every tier up
+    * to the first that covers `maxN` (default 1e9 — three decades past the
+    * largest synthesized probe corpus), so oracle and Spark agree at every
+    * n the driver or a probe can reach; the Spark side itself is unbounded.
     */
   def lshBucketSqlAdaptive(
       vecExpr: String, countSql: String, base: Int, dim: Int,
-      seed: Long = 42L): String = {
-    val t1 = (1L << base) * 100L
-    val t2 = (1L << (base + 3)) * 100L
-    s"""CASE WHEN ($countSql) <= $t1
-        THEN ${lshBucketSql(vecExpr, planes(base, dim, seed))}
-        WHEN ($countSql) <= $t2
-        THEN ${lshBucketSql(vecExpr, planes(base + 3, dim, seed))}
-        ELSE ${lshBucketSql(vecExpr, planes(base + 6, dim, seed))} END"""
+      seed: Long = 42L, maxN: Long = 1000000000L): String = {
+    val tiers = lshTiersFor(base, maxN)
+    val whens = tiers.init.map { p =>
+      s"WHEN ($countSql) <= ${lshTierCeiling(p)}\n        THEN ${lshBucketSql(vecExpr, planes(p, dim, seed))}"
+    }.mkString("\n        ")
+    s"""CASE $whens
+        ELSE ${lshBucketSql(vecExpr, planes(tiers.last, dim, seed))} END"""
   }
 }

@@ -665,7 +665,9 @@ object StreamingOps {
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("total_cents"))
-    val name = "graft_stream_topk_sink"
+    // own sink name: sharing trendingTopK's would createOrReplace its temp
+    // view with a different schema, breaking any deferred read of the other
+    val name = "graft_stream_topk_purchasers_sink"
     runTuned(spark, scanParts) {
       val q = agg.writeStream
         .outputMode(OutputMode.Complete)

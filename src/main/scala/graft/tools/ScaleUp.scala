@@ -54,39 +54,72 @@ object ScaleUp {
     * classes of ~4 (measured: 500k docs, only 129,792 distinct texts,
     * 723k spurious exact-dup pairs — which bent every dedup scaling
     * probe superlinear for fixture reasons, not plan reasons).
+    *
+    * CASE-SENSITIVITY ASSUMPTION (block 0 only): rotations r and r+26 of
+    * the 52-cycle map each letter to the same letter in the OPPOSITE
+    * case, so copies at rotation distance 26 within block 0 are exact
+    * duplicates after lower()-folding. No current pair-generating query
+    * case-folds text, and ScaleUpSpec pins the assumption; blocks >= 1
+    * (k >= 104) use CASELESS CJK alphabets and are immune by
+    * construction, so a future lower()-normalizing dedup op can at worst
+    * re-collide within the first 104 copies, never across blocks.
     */
-  private def rot(k: Int): (String, String) = {
+  private[graft] def charMap(k: Int): (String, String) = {
     def rotStr(s: String, by: Int) = {
       val n = s.length
       (0 until n).map(i => s((i + by) % n)).mkString
     }
-    (Letters + Digits, rotStr(Letters, k % 52) + rotStr(Digits, k % 10))
+    val block = k / 104
+    val alpha = if (block == 0) Letters else blockAlphabet(block)
+    (Letters + Digits, rotStr(alpha, k % 52) + rotStr(Digits, k % 10))
   }
 
-  /** Per-copy text transform: 52-cycle rotation for k mod 52, and for
-    * k >= 52 additionally REVERSE the string — reversal preserves every
-    * within-copy invariant the scaling model needs (8-gram shingle sets
-    * reverse bijectively, so near-dup pairs keep their exact Jaccard;
-    * token counts and lengths are unchanged) while sharing no shingles
-    * with any unreversed copy on natural text. 52 rotations × {identity,
-    * reverse} = 104 pairwise-collision-free copies.
+  /** Disjoint 52-char target alphabet for transform block g >= 1: a
+    * contiguous run of CJK unified ideographs (U+4E00 + (g-1)*52 ..).
+    * Caseless (lower/upper are identity — no case-fold degeneracy),
+    * single-BMP-codepoint letters (length/substr/translate all treat them
+    * as one char in Spark AND DuckDB), and trivially shingle-disjoint
+    * from every other block and from block 0's Latin.
     */
-  private def copyText(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
-    val (from, to) = rot(k)
+  private def blockAlphabet(g: Int): String =
+    (0 until 52).map(i => (0x4E00 + (g - 1) * 52 + i).toChar).mkString
+
+  /** Per-copy text transform: within each 104-copy block, 52-cycle
+    * rotation for k mod 52, and for k % 104 >= 52 additionally REVERSE
+    * the string — reversal preserves every within-copy invariant the
+    * scaling model needs (8-gram shingle sets reverse bijectively, so
+    * near-dup pairs keep their exact Jaccard; token counts and lengths
+    * are unchanged) while sharing no shingles with any unreversed copy
+    * on natural text. Block g >= 1 maps letters into its own disjoint
+    * caseless alphabet ([[blockAlphabet]]), so blocks share no letter
+    * characters at all. 104 copies per block x [[MaxBlocks]] blocks =
+    * [[MaxCopies]] pairwise-collision-free copies; k < 104 is
+    * bit-identical to the r9 family (existing corpora reproduce).
+    */
+  private[graft] def copyText(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    val (from, to) = charMap(k)
     val t = translate(c, from, to)
-    if (k >= 52) reverse(t) else t
+    if (k % 104 >= 52) reverse(t) else t
   }
+
+  /** 11 blocks x 104 = 1144 distinct text transforms (>= the 520 the r9
+    * verdict asked for; raise MaxBlocks if a fourth decade ever needs
+    * more — CJK has ~21k contiguous ideographs, enough for ~400 blocks).
+    */
+  private[graft] val MaxBlocks = 11
+  private[graft] val MaxCopies = 104 * MaxBlocks
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <srcDir> <outDir> [copies=10]")
     val src = args(0)
     val out = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
-    // 52 rotations × {id, reverse} — past 104 the text transforms repeat
-    // and the corpus degenerates into exact-dup classes (a measured
-    // pathology, not scale). ALWAYS scale from the pristine sf0.1 fixture:
-    // transforms COMPOSE, so scaling an already-scaled dir re-collides.
-    require(copies <= 104, s"copies=$copies > 104 distinct text transforms")
+    // 104 transforms per alphabet block × MaxBlocks blocks — past that the
+    // text transforms repeat and the corpus degenerates into exact-dup
+    // classes (a measured pathology, not scale). ALWAYS scale from the
+    // pristine sf0.1 fixture: transforms COMPOSE, so scaling an
+    // already-scaled dir re-collides.
+    require(copies <= MaxCopies, s"copies=$copies > $MaxCopies distinct text transforms")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Similarity
+
+/** Round-10 specs: the un-saturated sign-LSH resolution ladder (VERDICT r9
+  * asks #1 and #6). The ladder is the one place where a Spark-side count and
+  * an oracle-side scalar subquery must pick the SAME tier for correctness to
+  * hold at scales no driver fixture witnesses — these tests pin (a) the tier
+  * function itself across decades, (b) Spark-tier/oracle-tier agreement at
+  * the exact boundary values, against the GENERATED SQL text rather than a
+  * reimplementation, and (c) the occupancy bound that makes within-bucket
+  * pair volume linear per decade.
+  */
+class R10OpsSpec extends AnyFunSuite {
+
+  private val bases = Seq(6, 8) // the two deployed families (sim_*, dedup_*)
+
+  test("lshPlaneCount: occupancy n/2^p <= 100 across 8 decades, monotone, capped") {
+    for (base <- bases) {
+      var prev = 0
+      for (d <- 2 to 10; n <- Seq(math.pow(10, d).toLong, 3 * math.pow(10, d).toLong)) {
+        val p = Similarity.lshPlaneCount(n, base)
+        assert(p >= base && p <= Similarity.MaxLshPlanes, s"base=$base n=$n p=$p range")
+        assert(p >= prev, s"base=$base n=$n p=$p not monotone")
+        prev = p
+        // the bound the whole ladder exists for — except past the documented
+        // Int-bitmask cap (~1.07e11 vectors), where the scaladoc hands off
+        // to OR-amplification / the IVF path
+        if (p < Similarity.MaxLshPlanes)
+          assert(n.toDouble / (1L << p) <= 100.0, s"base=$base n=$n p=$p occupancy")
+      }
+      // un-saturated: the r9 ladder froze at base+6; the third decade past
+      // the base tier must now keep stepping (this is the exact cliff r9
+      // deferred — base-8 at 5M vectors needed p=17, not 14)
+      assert(Similarity.lshPlaneCount(5000000L, 8) == 17)
+      assert(Similarity.lshPlaneCount(50000000L, 8) == 20)
+      // and the cap engages where documented
+      assert(Similarity.lshPlaneCount(Long.MaxValue / 2, 8) == Similarity.MaxLshPlanes)
+    }
+  }
+
+  test("tier boundaries: lshPlaneCount flips exactly at each ceiling") {
+    for (base <- bases) {
+      val tiers = Similarity.lshTiersFor(base, maxN = 1000000000L)
+      assert(tiers.head == base)
+      assert(tiers == tiers.sorted && tiers.distinct == tiers)
+      for (p <- tiers.init) {
+        val t = Similarity.lshTierCeiling(p)
+        assert(Similarity.lshPlaneCount(t, base) == p, s"base=$base at ceiling($p)=$t")
+        assert(Similarity.lshPlaneCount(t + 1, base) == math.min(p + 3, Similarity.MaxLshPlanes),
+          s"base=$base just past ceiling($p)")
+      }
+      // the generated ladder covers maxN: the last tier's ceiling is >= maxN
+      // (so oracle and Spark agree at every n the driver or a probe reaches)
+      assert(Similarity.lshTierCeiling(tiers.last) >= 1000000000L)
+    }
+  }
+
+  test("oracle CASE ladder: generated SQL thresholds equal the Spark tiers") {
+    for (base <- bases) {
+      val sql = Similarity.lshBucketSqlAdaptive(
+        "embedding", "SELECT count(*) FROM embeddings", base, dim = 4, seed = 7L)
+      // extract the literal `<= N` guards the CASE actually ships to DuckDB
+      val guards = raw"<=\s+(\d+)".r.findAllMatchIn(sql).map(_.group(1).toLong).toSeq
+      val tiers = Similarity.lshTiersFor(base, maxN = 1000000000L)
+      assert(guards == tiers.init.map(Similarity.lshTierCeiling),
+        s"base=$base SQL guards $guards != tier ceilings")
+      // each branch's bucket expression has exactly p plane terms: count the
+      // per-plane `1 << j` payloads (`THEN 2^j ELSE 0`) per CASE branch
+      val branchPlaneCounts = sql.split(raw"WHEN \(SELECT").drop(1).zip(tiers).map {
+        case (branch, p) => raw"ELSE 0 END".r.findAllIn(branch).size -> p
+      }
+      // the final ELSE branch rides on the last WHEN's split segment, so the
+      // last segment carries lastTier + lastTier plane terms
+      branchPlaneCounts.init.foreach { case (cnt, p) => assert(cnt == p, s"base=$base tier $p") }
+      val (lastCnt, lastP) = branchPlaneCounts.last
+      assert(lastCnt == lastP + tiers.last, s"base=$base final WHEN+ELSE")
+    }
+  }
+
+  test("planes are prefix-stable across tiers (the recall-ladder invariant)") {
+    val lo = Similarity.planes(8, dim = 16, seed = 42L)
+    val hi = Similarity.planes(14, dim = 16, seed = 42L)
+    assert(hi.take(8).zip(lo).forall { case (a, b) => a.sameElements(b) })
+  }
+}
