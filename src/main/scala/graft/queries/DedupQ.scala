@@ -97,7 +97,52 @@ object DedupQ {
       }
     }
 
-  private val K = 16
+  /** MinHash banding geometry: BANDS fixed at 4 (the OR-recall knob);
+    * ROWS PER BAND grows with the corpus — the same corpus-tracking-
+    * resolution discipline as [[graft.functions.Similarity.lshPlaneCount]].
+    * An accidental (non-dup) pair collides on a band with prob ≈ s_bg^rows
+    * (s_bg ≈ background Jaccard ≈ 0.1 on 8-char shingles), so with rows
+    * frozen the accidental-candidate count grows QUADRATICALLY in n
+    * (measured: banded candidates 12.3× on a 10× decade vs verified
+    * output's exact 10× — r9 clean-corpus probes). One extra row per
+    * decade past 100k docs cuts the accidental coefficient ~10× per step,
+    * keeping candidates output-linear; true near-dups (j ≥ 0.9) keep
+    * ≥ 97% OR-recall at rows=8 (1-(1-0.9^8)^4). Capped at rows=8 (K=32
+    * hashes): past 100M docs production amplifies with more bands — the
+    * standard banding trade, documented like the plane ladder's. The
+    * oracle mirrors the tier with a CASE on the same full-corpus count
+    * ([[bandRowsCaseSql]]); rows(n) is keyed to the FULL corpus count on
+    * both engines even when a consumer restricts doc_id afterwards, so
+    * restriction stays exact.
+    */
+  private[graft] val Bands = 4
+  private[graft] val BaseRows = 4
+  private[graft] val MaxRows = 8
+
+  /** Smallest rows-per-band with accidental candidates output-linear at
+    * corpus size n: BaseRows up to 100k docs, +1 per decade, capped.
+    */
+  private[graft] def bandRowsFor(n: Long): Int = {
+    @annotation.tailrec
+    def go(r: Int): Int =
+      if (r >= MaxRows || n <= bandRowCeiling(r)) r else go(r + 1)
+    go(BaseRows)
+  }
+
+  /** Largest corpus size tier r covers (1e5 docs at BaseRows, ×10 per row). */
+  private[graft] def bandRowCeiling(r: Int): Long =
+    (BaseRows until r).foldLeft(100000L)((c, _) => c * 10L)
+
+  /** DuckDB CASE selecting the same per-tier expression the Spark side
+    * picks: `exprFor(rows)` renders the tier body, the guard is `countSql`
+    * (the FULL documents count) against [[bandRowCeiling]].
+    */
+  private def bandRowsCaseSql(countSql: String)(exprFor: Int => String): String = {
+    val tiers = BaseRows to MaxRows
+    val whens = tiers.init.map(r =>
+      s"WHEN ($countSql) <= ${bandRowCeiling(r)} THEN ${exprFor(r)}").mkString("\n          ")
+    s"CASE $whens\n          ELSE ${exprFor(tiers.last)} END"
+  }
 
   /** K-position portable MinHash signature per doc (one column per
     * position). `docs` must already be spread across cores — see the
@@ -116,32 +161,33 @@ object DedupQ {
     * (single-partition) side — measured 5× the cost of this stage.
     */
   private def minhashSignatures(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
       val (h1c, h2c) = graft.functions.Hashing.minhashBasePortable(col("x"))
       val hashed = docs
         .select(col("doc_id"), explode(TextFns.charShingles("text", 8)).as("x"))
         .select(col("doc_id"), h1c.as("h1"), h2c.as("h2"))
-      // mod 2^31-1 decorrelates the K minima: without it one small-hash
+      // mod 2^31-1 decorrelates the k minima: without it one small-hash
       // shingle wins every k and unrelated docs collide on all bands (see
       // MinHashSignatureAgg doc — same family, same fix)
       val P = graft.functions.MinHashSignatureAgg.P
-      val sigAggs = (0 until K).map(k =>
-        min(pmod(col("h1") + lit(k.toLong) * col("h2"), lit(P))).as(s"sig_$k"))
+      val sigAggs = (0 until k).map(j =>
+        min(pmod(col("h1") + lit(j.toLong) * col("h2"), lit(P))).as(s"sig_$j"))
       hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
   }
 
   private def buildBandedCandidates(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-      val BANDS = 4; val ROWS = 4
+      // rows-per-band tracks the FULL corpus (parquet-metadata count)
+      val rows = bandRowsFor(t(s, dir, "documents").count())
       // spread BEFORE shingling: a single-file scan would run the whole
       // shingle+md5 pipeline on one core (Tables.spread is a no-op when the
       // scan already has enough splits)
       val docs = Tables.spread(t(s, dir, "documents"), "doc_id")
-      val sigs = minhashSignatures(docs)
+      val sigs = minhashSignatures(docs, Bands * rows)
       val banded = sigs.select(
         col("doc_id"),
-        posexplode(array((0 until BANDS).map { b =>
-          concat_ws(",", (0 until ROWS).map(r => col(s"sig_${b * ROWS + r}").cast("string")): _*)
+        posexplode(array((0 until Bands).map { b =>
+          concat_ws(",", (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string")): _*)
         }: _*)).as(Seq("band", "bkey")))
         // tiny (BANDS short rows per doc); snapshot so the self-join's two
         // sides don't each recompute the shingle+hash+signature pipeline
@@ -195,15 +241,22 @@ object DedupQ {
         "CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(s1.sh, s2.sh))) AS DOUBLE)",
       scoreName: String = "jaccard",
       minScore: Double = 0.5): String = {
-      val K = 16; val ROWS = 4
       val d1 = graft.functions.Hashing.md5Hash32DuckSql("x", 1)
       val d2 = graft.functions.Hashing.md5Hash32DuckSql("x", 9)
-      val sigCols = (0 until K).map(k =>
+      // compute the MAX tier's signature width; the band key CASE below
+      // reads only the tier the corpus count selects
+      val sigCols = (0 until Bands * MaxRows).map(k =>
         s"list_min(list_transform(sh, x -> ($d1 + $k * $d2) % 2147483647)) AS sig_$k")
         .mkString(",\n          ")
-      val bandSelects = (0 until K / ROWS).map { b =>
-        val key = (0 until ROWS).map(r => s"CAST(sig_${b * ROWS + r} AS VARCHAR)")
-          .mkString(" || ',' || ")
+      // rows-per-band tier keyed to the FULL corpus count (never the
+      // where-restricted scan — mirrors the Spark side, which bands the
+      // full corpus once and restricts candidates afterwards)
+      val cnt = "SELECT count(*) FROM documents"
+      val bandSelects = (0 until Bands).map { b =>
+        val key = bandRowsCaseSql(cnt) { rows =>
+          (0 until rows).map(r => s"CAST(sig_${b * rows + r} AS VARCHAR)")
+            .mkString(" || ',' || ")
+        }
         s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
       }.mkString("\n        UNION ALL ")
       s"""sh AS (
@@ -1015,26 +1068,29 @@ object DedupQ {
     * dedup quality visibly degrades. Signatures are recomputed only for
     * candidate MEMBERS (semi-join first — near-linear in the dup count,
     * never a second full-corpus pass); est values are exact multiples of
-    * 1/16 so the comparison itself adds no float noise.
+    * 1/K (K = Bands × rows at the corpus's banding tier) so the
+    * comparison itself adds no float noise.
     */
   val minhashAccuracy = Declared(
     "dedup_minhash_accuracy",
     (s, dir) => {
+      // K tracks the banding tier (est granularity 1/K on both engines)
+      val kN = Bands * bandRowsFor(t(s, dir, "documents").count())
       val cand = bandedCandidates(s, dir)
       val members = cand.select(col("id1").as("doc_id"))
         .union(cand.select(col("id2").as("doc_id"))).distinct()
       val docs = Tables.spread(
         t(s, dir, "documents").join(members, "doc_id"), "doc_id")
       // snapshot: both join sides below are renamed projections of this one
-      // aggregate — without the checkpoint the member shingle+md5+16-min
+      // aggregate — without the checkpoint the member shingle+md5+K-min
       // pipeline executes once per side (same discipline as the banded
       // self-join's localCheckpoint above)
-      val sigs = minhashSignatures(docs).localCheckpoint()
+      val sigs = minhashSignatures(docs, kN).localCheckpoint()
       def side(tag: String) = sigs.select(
-        col("doc_id").as(tag) +: (0 until K).map(k => col(s"sig_$k").as(s"${tag}_$k")): _*)
-      val est = (0 until K)
+        col("doc_id").as(tag) +: (0 until kN).map(k => col(s"sig_$k").as(s"${tag}_$k")): _*)
+      val est = (0 until kN)
         .map(k => (col(s"id1_$k") === col(s"id2_$k")).cast("int"))
-        .reduce(_ + _).cast("double") / K
+        .reduce(_ + _).cast("double") / kN
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
       cand
         .join(side("id1"), "id1").join(side("id2"), "id2")
@@ -1051,9 +1107,13 @@ object DedupQ {
           round(max(abs(col("est") - col("exact"))), 6).as("worst"))
     },
     Some {
-      val estSql = (0 until K)
-        .map(k => s"CASE WHEN a.sig_$k = b.sig_$k THEN 1 ELSE 0 END")
-        .mkString("(", " + ", s") / ${K}.0")
+      // est = matches/K at the tier's K — same CASE-on-count as the bands
+      val estSql = bandRowsCaseSql("SELECT count(*) FROM documents") { rows =>
+        val k = Bands * rows
+        (0 until k)
+          .map(j => s"CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END")
+          .mkString("(", " + ", s") / ${k}.0")
+      }
       s"""WITH ${ngramPairCtes("", scoreName = "exact", minScore = -1.0)},
       est AS (
         SELECT p.id1, p.id2, p.exact, $estSql AS est

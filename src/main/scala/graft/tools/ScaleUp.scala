@@ -130,46 +130,63 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String, parts: Int): Unit =
-      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     // key-family offsets: round powers of ten ≥ each sf0.1 max
     val CUST = 100000L; val ORD = 1000000L; val PART = 100000L
     val SUPP = 10000L; val DOC = 10000L; val VEC = 10000L
     val EVT = 1000000L; val USER = 10000L
 
-    def clones(t: String)(xform: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until copies).map(k => xform(read(t), k)).reduce(_ unionByName _)
+    // clones are written in CHUNKS of <= 26 copies (overwrite the first
+    // chunk, append the rest): a single copies-wide unionByName is a
+    // copies-branch plan, and past a few hundred branches Catalyst
+    // analysis/codegen on the driver dwarfs the write itself — chunking
+    // keeps every job's plan small regardless of the copy count
+    def writeClones(t: String, parts: Int)(xform: (DataFrame, Int) => DataFrame): Unit =
+      (0 until copies).grouped(26).zipWithIndex.foreach { case (ks, i) =>
+        ks.map(k => xform(read(t), k)).reduce(_ unionByName _)
+          .repartition(parts)
+          .write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(s"$out/$t.parquet")
+      }
 
     // dims held fixed in TPC-H's own scaling model
-    Seq("region", "nation").foreach(t => write(read(t), t, 1))
+    Seq("region", "nation").foreach(t =>
+      read(t).repartition(1).write.mode("overwrite").parquet(s"$out/$t.parquet"))
 
-    write(clones("customer")((d, k) =>
-      d.withColumn("c_custkey", col("c_custkey") + lit(k * CUST))), "customer", 4)
-    write(clones("supplier")((d, k) =>
-      d.withColumn("s_suppkey", col("s_suppkey") + lit(k * SUPP))), "supplier", 2)
-    write(clones("part")((d, k) =>
-      d.withColumn("p_partkey", col("p_partkey") + lit(k * PART))), "part", 4)
-    write(clones("orders")((d, k) =>
+    writeClones("customer", 4)((d, k) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(k * CUST)))
+    writeClones("supplier", 2)((d, k) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(k * SUPP)))
+    writeClones("part", 4)((d, k) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(k * PART)))
+    writeClones("orders", 8)((d, k) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(k * ORD))
-        .withColumn("o_custkey", col("o_custkey") + lit(k * CUST))), "orders", 8)
-    write(clones("lineitem")((d, k) =>
+        .withColumn("o_custkey", col("o_custkey") + lit(k * CUST)))
+    writeClones("lineitem", 16)((d, k) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(k * ORD))
         .withColumn("l_partkey", col("l_partkey") + lit(k * PART))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(k * SUPP))), "lineitem", 16)
-    write(clones("events")((d, k) =>
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * SUPP)))
+    writeClones("events", 8)((d, k) =>
       d.withColumn("event_id", col("event_id") + lit(k * EVT))
-        .withColumn("user_id", col("user_id") + lit(k * USER))), "events", 8)
-    write(clones("documents") { (d, k) =>
+        .withColumn("user_id", col("user_id") + lit(k * USER)))
+    writeClones("documents", 8) { (d, k) =>
       d.withColumn("doc_id", col("doc_id") + lit(k * DOC))
         .withColumn("text", copyText(col("text"), k))
         .withColumn("source", copyText(col("source"), k))
-    }, "documents", 8)
-    write(clones("embeddings")((d, k) =>
+    }
+    // k < 104: the r9 +0.001·k uniform shift (bit-identical corpora).
+    // k >= 104 a BOUNDED per-(copy,dim) shift in [-0.1, 0.1]: the uniform
+    // shift reaches +1.0/dim by copy 1000, at which point every late-copy
+    // vector is dominated by the constant component and pairwise cosines
+    // all approach 1 — the corpus would measure that pathology, not scale.
+    writeClones("embeddings", 8)((d, k) =>
       d.withColumn("vec_id", col("vec_id") + lit(k * VEC))
         .withColumn("embedding",
-          expr(s"transform(embedding, x -> CAST(x + ${k}*0.001d AS FLOAT))"))),
-      "embeddings", 8)
+          if (k < 104)
+            expr(s"transform(embedding, x -> CAST(x + ${k}*0.001d AS FLOAT))")
+          else
+            expr(s"transform(embedding, (x, i) -> CAST(x + " +
+              s"((($k*31 + i*17) % 201) - 100) * 0.001d AS FLOAT))")))
 
     val counts = graft.Tables.names.map(t =>
       t -> spark.read.parquet(s"$out/$t.parquet").count()).toMap

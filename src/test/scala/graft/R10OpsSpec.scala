@@ -80,6 +80,37 @@ class R10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHash rows-per-band ladder: tiers, boundaries, cap") {
+    import graft.queries.DedupQ
+    // base tier covers every driver fixture (sf0.01 = 5k docs, sf0.1 = 50k)
+    assert(DedupQ.bandRowsFor(5000L) == DedupQ.BaseRows)
+    assert(DedupQ.bandRowsFor(50000L) == DedupQ.BaseRows)
+    // +1 row per decade past 100k, flipping exactly at each ceiling
+    for (r <- DedupQ.BaseRows until DedupQ.MaxRows) {
+      val c = DedupQ.bandRowCeiling(r)
+      assert(DedupQ.bandRowsFor(c) == r, s"at ceiling($r)=$c")
+      assert(DedupQ.bandRowsFor(c + 1) == r + 1, s"just past ceiling($r)")
+    }
+    // the r9 probe corpora: sf1 (50k docs) keeps rows=4 — measured history
+    // reproduces — while sf10 (500k) steps to rows=5, the tier that cuts
+    // the measured 12.3×/decade accidental-candidate term ~10×
+    assert(DedupQ.bandRowsFor(500000L) == 5)
+    assert(DedupQ.bandRowsFor(Long.MaxValue) == DedupQ.MaxRows)
+  }
+
+  test("MinHash banding oracle: CASE guards in shipped SQL equal the Spark tiers") {
+    import graft.queries.DedupQ
+    val sql = SparkEntry.oracleSql("dedup_ngram_jaccard")
+    val guards = raw"\(SELECT count\(\*\) FROM documents\) <= (\d+)".r
+      .findAllMatchIn(sql).map(_.group(1).toLong).toSeq
+    val expected = (DedupQ.BaseRows until DedupQ.MaxRows).map(DedupQ.bandRowCeiling)
+    // one CASE per band, each walking the full tier ladder
+    assert(guards == Seq.fill(DedupQ.Bands)(expected).flatten,
+      s"guards $guards != ${DedupQ.Bands}× $expected")
+    // the oracle's signature CTE is wide enough for the top tier
+    assert(sql.contains(s"AS sig_${DedupQ.Bands * DedupQ.MaxRows - 1}"))
+  }
+
   test("planes are prefix-stable across tiers (the recall-ladder invariant)") {
     val lo = Similarity.planes(8, dim = 16, seed = 42L)
     val hi = Similarity.planes(14, dim = 16, seed = 42L)
