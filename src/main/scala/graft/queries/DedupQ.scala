@@ -1179,18 +1179,29 @@ object DedupQ {
     * [[embedCosine]]'s sign-LSH blocking: k-means cells adapt to the data's
     * density instead of random hyperplanes.
     *
-    * Shapes at 100 TB: centroids are seeded deterministically (vec_id mod
-    * k, averaged — the replayable seeding sim_ivf_train uses) and
-    * broadcast; assignment is a map-side argmin folded in one hash
-    * aggregate; the within-cluster pair join routes through the shared
-    * skew-salted [[graft.operators.BucketJoin]] so a hot cell cannot
-    * single-task the stage; k GROWS WITH n — k = max(8, ⌈n/2500⌉), the
-    * same rule in both engines (one metadata-cheap count) — to hold cell
-    * sizes constant, which is what keeps within-cell pair volume LINEAR
-    * per decade. Measured necessity: with k frozen at 8 the 200k-vector
-    * sf10 corpus packs 25k vectors per cell → ~2.5e9 within-cell cosines,
-    * and the probe ran >50 minutes before being cut; with k=80 the same
-    * corpus holds 2500 per cell and pair volume is 10× sf1's, not 100×.
+    * Shapes at 100 TB — a HIERARCHICAL quantizer, because flat k-means
+    * cannot scale this op: holding cell sizes constant needs k ∝ n, and
+    * flat assignment costs n·k distance evaluations = O(n²). That is not
+    * hypothetical: the r9 flat version (k = ⌈n/2500⌉) measured 26.1 s at
+    * sf10 → 859 s at the r10 sf100 corpus (33× on 10× vectors — 1.6e9
+    * assignment distances + 2.5e9 within-cell cosines at occupancy 2500).
+    * Now: vectors DESCEND a 4-ary centroid tree. Level-ℓ centroids are the
+    * elementwise means of the (vec_id mod 4^ℓ) classes — deterministic,
+    * data-derived, assignment-independent, so both engines rebuild the
+    * identical codebook — and a vector at cell c refines to the nearest of
+    * the ≤4 existing children {c + j·4^(ℓ-1)} (distance rounded to 6dp,
+    * ties to the smaller cid; at least one child class is provably
+    * nonempty). Depth is the integer ladder L(n) = smallest L ≥ 2 with
+    * n ≤ 256·4^L (capped at 15; same [[semanticLevels]] rule in both
+    * engines via a metadata-cheap count, the oracle unrolled with per-level
+    * activity guards on the same thresholds — the
+    * [[graft.functions.Similarity.lshPlaneCount]] discipline). Cost:
+    * assignment is n·4·L distances (linear × log-depth), cell occupancy
+    * stays ≤ ~256 so within-cell pair volume is ~128·n (linear), and each
+    * level is one broadcast join + one hash-agg argmin — no stage anywhere
+    * grows faster than n·log n. The within-cluster pair join routes through
+    * the shared skew-salted [[graft.operators.BucketJoin]] so a hot cell
+    * cannot single-task the stage.
     * Deviations, both documented: the keeper is the LOWEST vec_id of a
     * duplicate neighborhood (the paper keeps the member farthest from the
     * centroid — id order is engine-replayable, the tie-broken float order
@@ -1200,34 +1211,61 @@ object DedupQ {
     * distribution). Distances round to 6dp before the argmin so the
     * assignment never hinges on 1e-15 float-order noise.
     */
+  /** Descent depth for [[semantic]]: smallest L ≥ 2 with n ≤ 256·4^L
+    * (integer thresholds — no float log at tier boundaries), capped at 15
+    * (4^15 ≈ 1e9 cells; past ~2.7e11 vectors the scaladoc's trade applies).
+    */
+  private[graft] def semanticLevels(n: Long): Int = {
+    @annotation.tailrec
+    def go(l: Int): Int =
+      if (l >= 15 || n <= 256L * (1L << (2 * l))) l else go(l + 1)
+    go(2)
+  }
+
   val semantic = Declared(
     "dedup_semantic",
     (s, dir) => {
       val nVecs = t(s, dir, "embeddings").count() // parquet metadata count
-      val k = math.max(8L, (nVecs + 2499L) / 2500L) // ceil(n/2500)
+      val levels = semanticLevels(nVecs)
       val tau = 0.40
       val e = t(s, dir, "embeddings")
         .select(
           col("vec_id"), col("embedding"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-      // seed centroids: mean of each (vec_id mod k) cell, elementwise
-      val c0 = e.withColumn("cluster", col("vec_id") % k)
-        .select(col("cluster"), posexplode(col("emb")))
-        .groupBy(col("cluster"), col("pos"))
+        // feeds `levels` centroid aggregates + the descent + the pair join
+        .localCheckpoint()
+      // level-ℓ codebook: elementwise mean of each (vec_id mod 4^ℓ) class
+      def centroids(pow: Long) = e
+        .select((col("vec_id") % pow).as("cid"), posexplode(col("emb")))
+        .groupBy(col("cid"), col("pos"))
         .agg(avg(col("col")).as("v"))
-        .groupBy(col("cluster"))
+        .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-        .select(col("cluster").as("c_id"), expr("transform(pv, x -> x.v)").as("centroid"))
-      val assigned = e.crossJoin(broadcast(c0))
-        .select(
-          col("vec_id"), col("embedding"), col("c_id"),
-          round(expr(
-            "aggregate(zip_with(emb, centroid, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
-          ), 6).as("d"))
-        .groupBy(col("vec_id"))
-        .agg(
-          min(struct(col("d"), col("c_id"))).getField("c_id").as("cluster"),
-          first(col("embedding")).as("embedding"))
+        .select(col("cid"), expr("transform(pv, x -> x.v)").as("centroid"))
+      // descend: refine each vector's cell to the nearest existing child
+      var state = e.select(col("vec_id"), col("emb"), lit(0L).as("cell"))
+      for (l <- 1 to levels) {
+        val pow = 1L << (2 * l)
+        val powPrev = pow >> 2
+        state = state
+          .select(col("vec_id"), col("emb"), col("cell"),
+            explode(expr("sequence(0L, 3L)")).as("j"))
+          .select(col("vec_id"), col("emb"),
+            (col("cell") + col("j") * powPrev).as("cid"))
+          .join(broadcast(centroids(pow)), "cid")
+          .select(col("vec_id"), col("emb"), col("cid"),
+            round(expr(
+              "aggregate(zip_with(emb, centroid, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
+            ), 6).as("d"))
+          .groupBy(col("vec_id"))
+          .agg(
+            min(struct(col("d"), col("cid"))).getField("cid").as("cell"),
+            first(col("emb")).as("emb"))
+          .select(col("vec_id"), col("emb"), col("cell"))
+      }
+      val assigned = state
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cell").as("cluster"))
         // feeds the pair join twice (both sides) plus the cluster summary —
         // materialize once, like every multi-consumer assignment here
         .localCheckpoint()
@@ -1250,25 +1288,44 @@ object DedupQ {
           coalesce(col("drop_id_sum"), lit(0L)).as("drop_id_sum"))
         .orderBy(col("cluster"))
     },
-    Some("""WITH kk AS (
-        SELECT greatest(8, CAST(ceil(count(*) / 2500.0) AS BIGINT)) AS k
-        FROM embeddings),
+    Some {
+      // unrolled 4-ary descent, one CTE block per level up to LMAX = 11
+      // (covers n ≤ 256·4^11 ≈ 1.07e9 — the other ladders' range). A level
+      // past L(n) is a no-op: its activity guard (same integer threshold as
+      // semanticLevels) keeps the previous cell. The j=0 child (cid = cell)
+      // provably exists at every level — cell < 4^L(n) < n, so vec_id =
+      // cell itself seeds that mod class — so the inner join never drops a
+      // vector.
+      val LMAX = 11
+      val levelCtes = (1 to LMAX).map { l =>
+        val pow = 1L << (2 * l)
+        val powPrev = pow >> 2
+        val active =
+          if (l <= 2) "TRUE"
+          else s"(SELECT n FROM nn) > ${256L * (1L << (2 * (l - 1)))}"
+        s"""ci_$l AS (
+        SELECT vec_id % $pow AS cid, CAST(i AS INTEGER) AS i,
+               avg(emb[CAST(i AS INTEGER)]) AS v
+        FROM ev CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+      c_$l AS (SELECT cid, list(v ORDER BY i) AS centroid FROM ci_$l GROUP BY cid),
+      p_$l AS (
+        SELECT a.vec_id, a.emb, a.cell, c.cid,
+          round(list_distance(a.emb, c.centroid) ^ 2, 6) AS d
+        FROM a_${l - 1} a
+        CROSS JOIN generate_series(0, 3) t(j)
+        JOIN c_$l c ON c.cid = a.cell + j * $powPrev),
+      a_$l AS (
+        SELECT vec_id, emb, CASE WHEN $active THEN cid ELSE cell END AS cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+              FROM p_$l) WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
       ev AS (
         SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings),
-      init AS (
-        SELECT vec_id % (SELECT k FROM kk) AS cluster, CAST(i AS INTEGER) AS i,
-               avg(emb[CAST(i AS INTEGER)]) AS v
-        FROM ev CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
-      c0 AS (SELECT cluster, list(v ORDER BY i) AS centroid FROM init GROUP BY cluster),
-      scored AS (
-        SELECT ev.vec_id, ev.emb, c0.cluster,
-          round(list_distance(ev.emb, c0.centroid) ^ 2, 6) AS d
-        FROM ev CROSS JOIN c0),
-      assign AS (
-        SELECT vec_id, emb, cluster FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-          FROM scored) WHERE rn = 1),
+      a_0 AS (SELECT vec_id, emb, CAST(0 AS BIGINT) AS cell FROM ev),
+      $levelCtes,
+      assign AS (SELECT vec_id, emb, cell AS cluster FROM a_$LMAX),
       dropped AS (
         SELECT DISTINCT b.vec_id AS id2
         FROM assign a JOIN assign b
@@ -1282,7 +1339,8 @@ object DedupQ {
         coalesce(any_value(d.n_dropped), 0) AS n_dropped,
         coalesce(any_value(d.drop_id_sum), 0) AS drop_id_sum
       FROM assign a LEFT JOIN drops d ON a.cluster = d.cluster
-      GROUP BY a.cluster ORDER BY a.cluster"""))
+      GROUP BY a.cluster ORDER BY a.cluster"""
+    })
 
   /** Blocked fuzzy record linkage (entity resolution) — match a DIRTY feed
     * of records against a clean master by edit distance, the

@@ -111,6 +111,32 @@ class R10OpsSpec extends AnyFunSuite {
     assert(sql.contains(s"AS sig_${DedupQ.Bands * DedupQ.MaxRows - 1}"))
   }
 
+  test("semantic descent-depth ladder: boundaries, cap, oracle guards") {
+    import graft.queries.DedupQ
+    // minimum depth 2 covers every driver fixture (sf0.01 = 2k vectors)
+    assert(DedupQ.semanticLevels(2000L) == 2)
+    assert(DedupQ.semanticLevels(4096L) == 2)   // = 256·4^2
+    assert(DedupQ.semanticLevels(4097L) == 3)
+    // flips exactly at each integer ceiling 256·4^L
+    for (l <- 2 until 15) {
+      val c = 256L * (1L << (2 * l))
+      assert(DedupQ.semanticLevels(c) == l, s"at ceiling($l)=$c")
+      assert(DedupQ.semanticLevels(c + 1) == math.min(l + 1, 15), s"past ceiling($l)")
+    }
+    // the r10 probe corpora: sf10 (200k vectors) → L=5, sf100 (2M) → L=7
+    assert(DedupQ.semanticLevels(200000L) == 5)
+    assert(DedupQ.semanticLevels(2000000L) == 7)
+    assert(DedupQ.semanticLevels(Long.MaxValue / 2) == 15)
+    // oracle: per-level activity guards carry exactly the Spark thresholds
+    val sql = SparkEntry.oracleSql("dedup_semantic")
+    val guards = raw"\(SELECT n FROM nn\) > (\d+)".r
+      .findAllMatchIn(sql).map(_.group(1).toLong).toSeq
+    assert(guards == (3 to 11).map(l => 256L * (1L << (2 * (l - 1)))),
+      s"oracle guards $guards")
+    // levels 1..11 unrolled: the last assign CTE reads a_11
+    assert(sql.contains("FROM a_11"))
+  }
+
   test("planes are prefix-stable across tiers (the recall-ladder invariant)") {
     val lo = Similarity.planes(8, dim = 16, seed = 42L)
     val hi = Similarity.planes(14, dim = 16, seed = 42L)
