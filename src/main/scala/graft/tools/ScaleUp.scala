@@ -109,11 +109,31 @@ object ScaleUp {
   private[graft] val MaxBlocks = 11
   private[graft] val MaxCopies = 104 * MaxBlocks
 
+  /** Deterministic signed permutation of the 64 embedding dims for copy
+    * k >= 104: Fisher–Yates + sign flips off a fixed-seed LCG
+    * (java.util.Random is a specified generator, stable across JVMs).
+    */
+  private[graft] def signedPerm(k: Int): (Array[Int], Array[Int]) = {
+    val rng = new java.util.Random(7700L + k)
+    val perm = Array.tabulate(64)(identity)
+    for (i <- 63 to 1 by -1) {
+      val j = rng.nextInt(i + 1)
+      val t = perm(i); perm(i) = perm(j); perm(j) = t
+    }
+    val sign = Array.fill(64)(if (rng.nextBoolean()) 1 else -1)
+    (perm, sign)
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleUp <srcDir> <outDir> [copies=10]")
+    require(args.length >= 2,
+      "usage: ScaleUp <srcDir> <outDir> [copies=10] [tables=all]")
     val src = args(0)
     val out = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional comma list: regenerate a subset in place (e.g. after a
+    // transform fix to one table family) without rewriting the full corpus
+    val tableFilter: String => Boolean =
+      if (args.length > 3) args(3).split(",").toSet else (_: String) => true
     // 104 transforms per alphabet block × MaxBlocks blocks — past that the
     // text transforms repeat and the corpus degenerates into exact-dup
     // classes (a measured pathology, not scale). ALWAYS scale from the
@@ -142,15 +162,16 @@ object ScaleUp {
     // analysis/codegen on the driver dwarfs the write itself — chunking
     // keeps every job's plan small regardless of the copy count
     def writeClones(t: String, parts: Int)(xform: (DataFrame, Int) => DataFrame): Unit =
-      (0 until copies).grouped(26).zipWithIndex.foreach { case (ks, i) =>
-        ks.map(k => xform(read(t), k)).reduce(_ unionByName _)
-          .repartition(parts)
-          .write.mode(if (i == 0) "overwrite" else "append")
-          .parquet(s"$out/$t.parquet")
-      }
+      if (tableFilter(t))
+        (0 until copies).grouped(26).zipWithIndex.foreach { case (ks, i) =>
+          ks.map(k => xform(read(t), k)).reduce(_ unionByName _)
+            .repartition(parts)
+            .write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(s"$out/$t.parquet")
+        }
 
     // dims held fixed in TPC-H's own scaling model
-    Seq("region", "nation").foreach(t =>
+    Seq("region", "nation").filter(tableFilter).foreach(t =>
       read(t).repartition(1).write.mode("overwrite").parquet(s"$out/$t.parquet"))
 
     writeClones("customer", 4)((d, k) =>
@@ -174,19 +195,28 @@ object ScaleUp {
         .withColumn("text", copyText(col("text"), k))
         .withColumn("source", copyText(col("source"), k))
     }
-    // k < 104: the r9 +0.001·k uniform shift (bit-identical corpora).
-    // k >= 104 a BOUNDED per-(copy,dim) shift in [-0.1, 0.1]: the uniform
-    // shift reaches +1.0/dim by copy 1000, at which point every late-copy
-    // vector is dominated by the constant component and pairwise cosines
-    // all approach 1 — the corpus would measure that pathology, not scale.
+    // k < 104: the r9 +0.001·k uniform shift (bit-identical corpora, so
+    // every committed probe capture stays reproducible). k >= 104: a
+    // per-copy SIGNED PERMUTATION of the 64 dims — the embedding analog of
+    // the text transform's disjoint alphabets. An orthogonal transform
+    // preserves every within-copy dot product exactly (the copy's near-dup
+    // structure scales linearly), while cross-copy cosines are ~random
+    // (≈ 0, far below any dup threshold). The shift family can NOT extend
+    // that far: all shifted copies of a vector stay mutual near-dups
+    // (cosine ≈ 1), so at 1000 copies every pair-emitting embedding query
+    // faces Ω(copies²) GENUINE pairs — measured: mine_bitext/sim_knn_graph
+    // filled an 80 GB spill disk at sf100 before this transform existed.
     writeClones("embeddings", 8)((d, k) =>
       d.withColumn("vec_id", col("vec_id") + lit(k * VEC))
         .withColumn("embedding",
           if (k < 104)
             expr(s"transform(embedding, x -> CAST(x + ${k}*0.001d AS FLOAT))")
-          else
-            expr(s"transform(embedding, (x, i) -> CAST(x + " +
-              s"((($k*31 + i*17) % 201) - 100) * 0.001d AS FLOAT))")))
+          else {
+            val (perm, sign) = signedPerm(k)
+            array((0 until 64).map(j =>
+              (col("embedding").getItem(perm(j)) * lit(sign(j).toDouble))
+                .cast("float")): _*)
+          }))
 
     val counts = graft.Tables.names.map(t =>
       t -> spark.read.parquet(s"$out/$t.parquet").count()).toMap

@@ -67,6 +67,27 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(to.take(52).toLowerCase == to.take(52))
   }
 
+  test("embedding signed-perms: bijective, ±1 signs, within-copy geometry exact") {
+    // a signed permutation is orthogonal: within-copy dot products (hence
+    // cosines, hence the copy's near-dup structure) are exactly preserved,
+    // while cross-copy cosines are ~random — the property that keeps the
+    // synthesized corpus's embedding dup structure LINEAR in copies
+    val seen = scala.collection.mutable.Set.empty[(Seq[Int], Seq[Int])]
+    for (k <- 104 until 104 + 64) {
+      val (perm, sign) = ScaleUp.signedPerm(k)
+      assert(perm.sorted.sameElements(0 until 64), s"k=$k not a permutation")
+      assert(sign.forall(s => s == 1 || s == -1), s"k=$k signs")
+      assert(seen.add((perm.toSeq, sign.toSeq)), s"k=$k transform repeats")
+      // exact dot-product preservation on a concrete pair
+      val a = Array.tabulate(64)(i => math.sin(i + 1))
+      val b = Array.tabulate(64)(i => math.cos(2 * i + 1))
+      def ap(v: Array[Double]) = Array.tabulate(64)(j => sign(j) * v(perm(j)))
+      val d0 = a.zip(b).map { case (x, y) => x * y }.sorted.sum
+      val d1 = ap(a).zip(ap(b)).map { case (x, y) => x * y }.sorted.sum
+      assert(d0 == d1, s"k=$k dot product not preserved")
+    }
+  }
+
   test("Column copyText agrees with the driver-side mirror on sampled k") {
     import spark.implicits._
     val df = Seq(text).toDF("text")
