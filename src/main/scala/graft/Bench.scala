@@ -128,11 +128,19 @@ object Bench {
       val st0 = stealTicks()
       val g0 = gcMillis()
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      // on failure keep the ROOT cause's class+message: "errors":["name"]
+      // alone cost a round of diagnosis (VERDICT r10 #1 — an sf100 probe
+      // errored and the capture recorded nothing about WHY)
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case t: Throwable =>
+          val root = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .reduceLeft((_, c) => c)
+          Some(s"${root.getClass.getSimpleName}: ${String.valueOf(root.getMessage).take(300)}")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       val st = if (st0 < 0) -1L else { val s1 = stealTicks(); if (s1 < 0) -1L else s1 - st0 }
       val gc = if (g0 < 0) -1L else { val g1 = gcMillis(); if (g1 < 0) -1L else g1 - g0 }
-      (name, sec, st, ok, gc)
+      (name, sec, st, err, gc)
     }
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -149,16 +157,24 @@ object Bench {
     // a crashed query must not masquerade as a fast one: its (truncated)
     // timing still counts, but the capture names it — a non-empty errors
     // list means total/queries are NOT comparable to other rounds
-    val errors = results.collect { case (k, _, _, false, _) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, _, Some(_), _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+    val errorMsgs = results.collect { case (k, _, _, Some(m), _) =>
+      "\"" + k + "\":" + jstr(m)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val stealDelta =
       if (steal0 < 0) -1L else { val s1 = stealTicks(); if (s1 < 0) -1L else s1 - steal0 }
     val gcDelta =
       if (gc0 < 0) -1L else { val g1 = gcMillis(); if (g1 < 0) -1L else g1 - gc0 }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"steal_delta":$stealDelta,"query_steal":$stolen,"gc_delta_ms":$gcDelta,"query_gc_ms":$gcs,"errors":$errors}"""
-    println(line)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"steal_delta":$stealDelta,"query_steal":$stolen,"gc_delta_ms":$gcDelta,"query_gc_ms":$gcs,"errors":$errors,"error_msgs":$errorMsgs}"""
     // the driver's BENCH_rN.json artifact keeps only the tail of stdout, so
     // most per-query timings were invisible to cross-round judging; persist
     // the full line in the repo (committed each round as bench_full_rN.json)
@@ -167,6 +183,11 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_full_latest.json")),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // a read-only cwd must not fail the bench
+    // stop BEFORE printing, then flush: the result JSON must be the FINAL
+    // stdout line so a tail-only capture of the run still parses (BENCH_r10
+    // arrived with "parsed": null because shutdown output followed the line)
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

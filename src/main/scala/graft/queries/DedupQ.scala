@@ -107,9 +107,12 @@ object DedupQ {
     * output's exact 10× — r9 clean-corpus probes). One extra row per
     * decade past 100k docs cuts the accidental coefficient ~10× per step,
     * keeping candidates output-linear; true near-dups (j ≥ 0.9) keep
-    * ≥ 97% OR-recall at rows=8 (1-(1-0.9^8)^4). Capped at rows=8 (K=32
-    * hashes): past 100M docs production amplifies with more bands — the
-    * standard banding trade, documented like the plane ladder's. The
+    * ≥ 97% OR-recall through rows=5 (1-(1-0.9^5)^4 ≈ 0.972); at the
+    * rows=8 cap the same formula reads ≈ 89.5% (1-(1-0.9^8)^4) — the
+    * recall spent per resolution step (R11OpsSpec pins both figures).
+    * Capped at rows=8 (K=32 hashes): past 100M docs production amplifies
+    * with more bands — the standard banding trade, documented like the
+    * plane ladder's. The
     * oracle mirrors the tier with a CASE on the same full-corpus count
     * ([[bandRowsCaseSql]]); rows(n) is keyed to the FULL corpus count on
     * both engines even when a consumer restricts doc_id afterwards, so
@@ -1292,10 +1295,13 @@ object DedupQ {
       // unrolled 4-ary descent, one CTE block per level up to LMAX = 11
       // (covers n ≤ 256·4^11 ≈ 1.07e9 — the other ladders' range). A level
       // past L(n) is a no-op: its activity guard (same integer threshold as
-      // semanticLevels) keeps the previous cell. The j=0 child (cid = cell)
-      // provably exists at every level — cell < 4^L(n) < n, so vec_id =
-      // cell itself seeds that mod class — so the inner join never drops a
-      // vector.
+      // semanticLevels) keeps the previous cell. The inner join never drops
+      // a vector: the 4 child mod classes {cell, cell+4^(l-1), ...}
+      // partition the parent class, so a nonempty parent cell has at least
+      // one nonempty child among its 4 — the argmin over existing children
+      // is total. (NOT the stronger "vec_id = cell itself always exists":
+      // that assumes contiguous 0..n-1 ids, which ScaleUp's strided
+      // key-space violates; the partition argument needs no contiguity.)
       val LMAX = 11
       val levelCtes = (1 to LMAX).map { l =>
         val pow = 1L << (2 * l)
