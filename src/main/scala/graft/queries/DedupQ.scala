@@ -1512,13 +1512,25 @@ object DedupQ {
     * (cross-language pairs sharing a sign pattern, at the same
     * corpus-tracking [[Similarity.lshPlaneCount]] resolution), so mining is
     * bucket-blocked like every dedup op here — never an all-pairs
-    * cross-language scan — and the skew-salted BucketJoin bounds hot
-    * buckets; the per-en-doc best is a partitioned top-1 window over the
-    * candidates, and only the global top-20 readout leaves the executors
-    * (TakeOrderedAndProject). Scope stated plainly: recall is
-    * candidate-limited (a true translation hashing to a different bucket
-    * is unseen) — the production dial is more/probed buckets, exactly the
-    * ANN recall trade the sim_* family measures.
+    * cross-language scan; the per-en-doc best is a partitioned top-1
+    * window over the candidates, and only the global top-20 readout leaves
+    * the executors (TakeOrderedAndProject). Scope stated plainly: recall
+    * is candidate-limited (a true translation hashing to a different
+    * bucket is unseen) — the production dial is more/probed buckets,
+    * exactly the ANN recall trade the sim_* family measures.
+    *
+    * Plan shape (r11, same rebuild as [[graft.queries.SimilarityQ]]'s
+    * sim_knn_graph): the ladder holds candidate pairs linear in n (KnnDiag
+    * measured 42.5M at 2M vectors), so the pairs must never shuffle.
+    * Embedding and language ride the single bucket shuffle once (n rows),
+    * pairs generate inside the sort-merge self-join stage with the
+    * cross-lingual filter and cosine inline, and `row_number = 1` becomes
+    * a partial WindowGroupLimit below the exchange — per map partition
+    * only the best candidate per en_doc shuffles. The r10 shape
+    * materialized the pair set and re-joined vectors + language BY ID
+    * (four pair-sized shuffles; 186 s contended at 2M vectors where this
+    * shape reads the curve cleanly — probes/r11/probe_knnbitext_*.json).
+    * Single band ⇒ each pair collides at most once ⇒ no dedup needed.
     */
   val bitext = Declared(
     "mine_bitext",
@@ -1529,14 +1541,13 @@ object DedupQ {
       val e = t(s, dir, "embeddings").select(
         col("vec_id"), col("embedding"),
         Similarity.lshBucket(col("embedding"), planes).as("bucket"))
-      val cand = graft.operators.BucketJoin.saltedCandidatePairs(
-        e.select(col("vec_id"), col("bucket")), "vec_id", Seq("bucket"))
-      val scored = cand
-        .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
-        .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
-        .join(lang.select(col("doc_id").as("id1"), col("lang").as("lang1")), "id1")
-        .join(lang.select(col("doc_id").as("id2"), col("lang").as("lang2")), "id2")
-        .filter((col("lang1") === "en") =!= (col("lang2") === "en"))
+        .join(lang.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+      def side(tag: String) = e.select(
+        col("vec_id").as(s"id$tag"), col("embedding").as(s"e$tag"),
+        col("lang").as(s"lang$tag"), col("bucket").as(s"bucket$tag"))
+      val scored = side("1").join(side("2"),
+          col("bucket1") === col("bucket2") && col("id1") < col("id2") &&
+            ((col("lang1") === "en") =!= (col("lang2") === "en")))
         .select(
           when(col("lang1") === "en", col("id1")).otherwise(col("id2")).as("en_doc"),
           when(col("lang1") === "en", col("id2")).otherwise(col("id1")).as("other_doc"),

@@ -1683,12 +1683,35 @@ object SimilarityQ {
     * SemDeDup's neighborhood pass). [[knnJoin]] answers a query BATCH; this
     * materializes the per-node edge list for ALL nodes, so brute force is
     * off the table by construction — candidates come from the 4-table
-    * sign-LSH bucket join (OR-amplified recall, skew-salted buckets), each
-    * node keeps its top-3 by exact cosine. Neighbors are candidate-limited:
-    * a node whose true neighbor never collides in any band misses it — the
-    * standard LSH recall trade documented by sim_recall_report. Pair scores
-    * compute once (id1 < id2) and fan to both orientations before the
-    * per-node top-k window — the scan never runs twice.
+    * sign-LSH bucket join (OR-amplified recall), each node keeps its top-3
+    * by exact cosine. Neighbors are candidate-limited: a node whose true
+    * neighbor never collides in any band misses it — the standard LSH
+    * recall trade documented by sim_recall_report.
+    *
+    * Plan shape (the r11 rebuild — this is the op whose r10 shape ERRORED
+    * at the third decade): the ladder keeps candidate PAIRS linear in n
+    * (~n·occ/2·bands; KnnDiag measured 495M implied pairs at 2M vectors),
+    * so nothing pair-sized may ever shuffle. Embeddings ride the banded
+    * bucket shuffle ONCE (4n rows ≈ 4 GB at 2M vectors), pairs generate
+    * inside the sort-merge join stage, cosine is scored inline, both
+    * orientations explode in-stage, and the `row_number ≤ 3` filter
+    * becomes a partial WindowGroupLimit (Spark 3.5+ rule) BELOW the
+    * exchange — only ~3 rows per src per map partition shuffle to the
+    * final window. The r10 shape instead materialized the distinct pair
+    * set and re-joined the 64-dim vectors BY ID (two pair-sized shuffles
+    * ~1 KB/row, then a pair-sized global window sort) — it read 89.6 s at
+    * 200k vectors and died at 339 s at 2M; this shape reads the whole
+    * curve sub-linearly (see probes/r11/probe_knnbitext_*.json).
+    *
+    * Cross-band duplicate pairs are eliminated with ZERO shuffle by the
+    * first-colliding-band rule: both sides carry their 4 bucket ids, and a
+    * pair is emitted from band b only when no band b' < b also collided —
+    * an inline codegen'd filter that reproduces the oracle's DISTINCT
+    * exactly (each colliding pair survives from exactly one band). Skew:
+    * per-cell occupancy is ladder-bounded in expectation (~100) and the
+    * hottest measured cell holds 1216 members (~740k in-stage pairs,
+    * milliseconds); a pathological exact-dup cell is AQE skew-split, and
+    * mass duplication belongs to the dedup_* family upstream.
     */
   val knnGraph = Declared(
     "sim_knn_graph",
@@ -1696,20 +1719,32 @@ object SimilarityQ {
       import org.apache.spark.sql.expressions.Window
       val nVecs = t(s, dir, "embeddings").count() // parquet metadata count
       val bands = pairBandsFor(nVecs)
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val banded = e.select(
-        col("vec_id"),
-        posexplode(array(bands.map(ps =>
-          Similarity.lshBucket(col("embedding"), ps)): _*)).as(Seq("band", "bucket")))
-      val cand = graft.operators.BucketJoin.saltedCandidatePairs(
-        banded, "vec_id", Seq("band", "bucket"))
-      val scored = cand
-        .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
-        .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
+      val e = t(s, dir, "embeddings").select(
+        Seq(col("vec_id"), col("embedding")) ++
+          bands.indices.map(b =>
+            Similarity.lshBucket(col("embedding"), bands(b)).as(s"bk$b")): _*)
+      val nb = bands.length
+      def side(tag: String) = e.select(
+        Seq(col("vec_id").as(s"id$tag"), col("embedding").as(s"e$tag")) ++
+          (0 until nb).map(b => col(s"bk$b").as(s"bk$tag$b")) :+
+          posexplode(array((0 until nb).map(b => col(s"bk$b")): _*))
+            .as(Seq(s"band$tag", s"bucket$tag")): _*)
+      // emit each colliding pair from its FIRST colliding band only: for
+      // every earlier band b', buckets must differ — inline filter, no
+      // DISTINCT shuffle, same pair set as the oracle's DISTINCT
+      val firstBand = (0 until nb - 1).map(bp =>
+        col("band1") <= bp || col(s"bk1$bp") =!= col(s"bk2$bp")).reduce(_ && _)
+      val scored = side("1").join(side("2"),
+          col("band1") === col("band2") && col("bucket1") === col("bucket2") &&
+            col("id1") < col("id2") && firstBand)
         .select(col("id1"), col("id2"),
           round(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))
-      val both = scored.select(col("id1").as("src"), col("id2").as("dst"), col("cos"))
-        .union(scored.select(col("id2").as("src"), col("id1").as("dst"), col("cos")))
+      val both = scored.select(
+          explode(array(
+            struct(col("id1").as("src"), col("id2").as("dst")),
+            struct(col("id2").as("src"), col("id1").as("dst")))).as("sd"),
+          col("cos"))
+        .select(col("sd.src").as("src"), col("sd.dst").as("dst"), col("cos"))
       val win = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
       both.withColumn("rk", row_number().over(win))
         .filter(col("rk") <= 3)
