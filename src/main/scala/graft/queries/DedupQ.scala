@@ -1528,8 +1528,9 @@ object DedupQ {
     * a partial WindowGroupLimit below the exchange — per map partition
     * only the best candidate per en_doc shuffles. The r10 shape
     * materialized the pair set and re-joined vectors + language BY ID
-    * (four pair-sized shuffles; 186 s contended at 2M vectors where this
-    * shape reads the curve cleanly — probes/r11/probe_knnbitext_*.json).
+    * (four pair-sized shuffles; 186 s contended at 2M vectors). This
+    * shape, measured calm: 3.5 s (20k) → 6.4 s (200k) → 28.0 s (2M
+    * vectors) — probes/r11/probe_knnbitext_sf{1,10,100}.json.
     * Single band ⇒ each pair collides at most once ⇒ no dedup needed.
     */
   val bitext = Declared(

@@ -1700,8 +1700,9 @@ object SimilarityQ {
     * final window. The r10 shape instead materialized the distinct pair
     * set and re-joined the 64-dim vectors BY ID (two pair-sized shuffles
     * ~1 KB/row, then a pair-sized global window sort) — it read 89.6 s at
-    * 200k vectors and died at 339 s at 2M; this shape reads the whole
-    * curve sub-linearly (see probes/r11/probe_knnbitext_*.json).
+    * 200k vectors and died at 339 s at 2M; this shape reads 2.7 s (20k) →
+    * 20.2 s (200k) → 81.1 s (2M vectors) — 7.5× then 4.0× on 10×/decade,
+    * sub-linear both decades (probes/r11/probe_knnbitext_sf{1,10,100}).
     *
     * Cross-band duplicate pairs are eliminated with ZERO shuffle by the
     * first-colliding-band rule: both sides carry their 4 bucket ids, and a
