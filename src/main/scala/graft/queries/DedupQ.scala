@@ -929,10 +929,21 @@ object DedupQ {
     * tier is a CASE on the same count in both engines), so bucketing is
     * engine-identical at every scale.
     *
-    * The bucket self-join goes through [[graft.operators.BucketJoin]], so a
-    * hot bucket (near-constant embedding corpus) is salted instead of
-    * becoming a single-reducer n² — and only (vec_id, bucket) ints cross the
-    * bucket shuffle; the 64-float vectors re-join by id afterwards.
+    * Plan shape (r11, the sim_knn_graph rebuild applied here): candidate
+    * pairs are ladder-linear but plentiful (KnnDiag: 42.5M at 2M vectors),
+    * so they must never shuffle — the old shape materialized the pair ids
+    * and re-joined the 64-float vectors BY ID (a ~23 GB pair-sized shuffle
+    * at 2M vectors; measured 32.9 s at 200k, 29.1 s at 2M). Now the
+    * embedding rides the single bucket shuffle once (n rows), the
+    * self-join generates pairs in-stage, and cosine + the 0.8 threshold
+    * filter inline — Catalyst pushes the threshold into the SMJ join
+    * condition itself, so only OUTPUT pairs (true near-dups) even leave
+    * the join. Measured same-session before → after: 3.3→2.0 s (20k),
+    * 32.9→5.7 s (200k), 29.1→6.1 s (2M vectors) —
+    * probes/r11/probe_lshfam{,2}_sf*.json. Skew: per-cell occupancy is
+    * ladder-bounded in expectation; a pathological hot cell
+    * (near-constant corpus) is AQE skew-split, and mass-identical
+    * vectors belong to exact dedup upstream.
     */
   val embedCosine = Declared(
     "dedup_embed_cosine",
@@ -943,11 +954,11 @@ object DedupQ {
         col("vec_id"),
         col("embedding"),
         Similarity.lshBucket(col("embedding"), planes).as("bucket"))
-      val cand = graft.operators.BucketJoin.saltedCandidatePairs(
-        e.select(col("vec_id"), col("bucket")), "vec_id", Seq("bucket"))
-      cand
-        .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
-        .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
+      def side(tag: String) = e.select(
+        col("vec_id").as(s"id$tag"), col("embedding").as(s"e$tag"),
+        col("bucket").as(s"bucket$tag"))
+      side("1").join(side("2"),
+          col("bucket1") === col("bucket2") && col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
           round(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))
         .filter(col("cos") >= 0.8)
@@ -1272,11 +1283,15 @@ object DedupQ {
         // feeds the pair join twice (both sides) plus the cluster summary —
         // materialize once, like every multi-consumer assignment here
         .localCheckpoint()
-      val cand = graft.operators.BucketJoin.saltedCandidatePairs(
-        assigned.select(col("vec_id"), col("cluster")), "vec_id", Seq("cluster"))
-      val dropped = cand
-        .join(assigned.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
-        .join(assigned.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
+      // r11: pairs generate INSIDE the cell self-join stage (embeddings ride
+      // the cell shuffle once; the old shape materialized salted pair ids
+      // and re-joined vectors by id — a pair-sized shuffle). The distinct on
+      // id2 is output-bounded (≤ n) and partial-aggregates map-side.
+      def pairSide(tag: String) = assigned.select(
+        col("vec_id").as(s"id$tag"), col("embedding").as(s"e$tag"),
+        col("cluster").as(s"cluster$tag"))
+      val dropped = pairSide("1").join(pairSide("2"),
+          col("cluster1") === col("cluster2") && col("id1") < col("id2"))
         .filter(round(Similarity.cosine(col("e1"), col("e2")), 6) >= tau)
         .select(col("id2")).distinct() // greedy: a smaller-id neighbor exists
       val drops = dropped

@@ -88,29 +88,37 @@ object SimilarityQ {
 
   /** Top-5 most similar pairs within one label partition (the per-group
     * variant a clustering/linkage step consumes). Candidates come from a
-    * banded sign-LSH bucket join — NOT all-pairs: each doc explodes into 4
-    * (band, bucket) keys (ints only; embeddings never cross that shuffle),
-    * the self-join is a plain equi-join bounded by bucket size, and exact
-    * cosine runs only on the deduped candidate pairs after re-joining the
-    * vectors by id. Survives a hot label at 100× where crossJoin cannot.
+    * banded sign-LSH bucket join — NOT all-pairs: the self-join is a plain
+    * equi-join bounded by ladder-capped bucket size. Plan shape (r11, the
+    * sim_knn_graph rebuild applied here): embeddings ride the banded
+    * shuffle once, pairs generate in-stage, cosine scores inline, and
+    * cross-band duplicates die in-stage via the first-colliding-band
+    * filter (== the oracle's DISTINCT; R11OpsSpec pins the equality) —
+    * only the global top-5 leaves the stage (TakeOrderedAndProject).
+    * Survives a hot label at 100× where crossJoin cannot; a pathological
+    * hot cell is AQE skew-split.
     */
   val pairsWithinLabel = Declared(
     "sim_pairs_label0",
     (s, dir) => {
-      val e = t(s, dir, "embeddings").filter(col("label") === 0)
+      val e0 = t(s, dir, "embeddings").filter(col("label") === 0)
         .select(col("vec_id"), col("embedding"))
-      val bands = pairBandsFor(e.count()) // the self-joined set sizes the tier
-      val banded = e.select(
-        col("vec_id"),
-        posexplode(array(bands.map(ps =>
-          Similarity.lshBucket(col("embedding"), ps)): _*)).as(Seq("band", "bucket")))
-      // salted bucket self-join (shared BucketJoin engine): a hot (band,
-      // bucket) cell fans out instead of pinning one reducer at n²
-      val cand = graft.operators.BucketJoin.saltedCandidatePairs(
-        banded, "vec_id", Seq("band", "bucket"))
-      cand
-        .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
-        .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
+      val bands = pairBandsFor(e0.count()) // the self-joined set sizes the tier
+      val nb = bands.length
+      val e = e0.select(
+        Seq(col("vec_id"), col("embedding")) ++
+          bands.indices.map(b =>
+            Similarity.lshBucket(col("embedding"), bands(b)).as(s"bk$b")): _*)
+      def side(tag: String) = e.select(
+        Seq(col("vec_id").as(s"id$tag"), col("embedding").as(s"e$tag")) ++
+          (0 until nb).map(b => col(s"bk$b").as(s"bk$tag$b")) :+
+          posexplode(array((0 until nb).map(b => col(s"bk$b")): _*))
+            .as(Seq(s"band$tag", s"bucket$tag")): _*)
+      val firstBand = (0 until nb - 1).map(bp =>
+        col("band1") <= bp || col(s"bk1$bp") =!= col(s"bk2$bp")).reduce(_ && _)
+      side("1").join(side("2"),
+          col("band1") === col("band2") && col("bucket1") === col("bucket2") &&
+            col("id1") < col("id2") && firstBand)
         .select(col("id1"), col("id2"),
           round(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))
         .orderBy(col("cos").desc, col("id1"), col("id2"))

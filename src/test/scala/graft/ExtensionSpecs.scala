@@ -128,9 +128,11 @@ class BucketJoinSpec extends AnyFunSuite {
     assert(pairSet(4) == pairSet(Int.MaxValue))
   }
 
-  test("dedup_embed_cosine and sim_pairs_label0 route through BucketJoin (no raw self-join)") {
-    // the two queries' physical plans must not contain a cartesian product
-    // and must still return their oracle-checked shapes (driver re-verifies)
+  test("dedup_embed_cosine and sim_pairs_label0 pair on bucket equi-joins, never cartesian") {
+    // r11: the pair queries generate candidates inside a bucket-keyed equi
+    // self-join (embeddings ride the bucket shuffle; pairs never shuffle) —
+    // the plans must show a real join key, not a cartesian product, at any
+    // corpus where LSH collapses buckets (driver re-verifies results)
     val q1 = SparkEntry.queries("dedup_embed_cosine")(spark, TestSpark.sf)
     val q2 = SparkEntry.queries("sim_pairs_label0")(spark, TestSpark.sf)
     Seq(q1, q2).foreach { df =>
