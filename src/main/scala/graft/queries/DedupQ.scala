@@ -940,7 +940,12 @@ object DedupQ {
     * condition itself, so only OUTPUT pairs (true near-dups) even leave
     * the join. Measured same-session before → after: 3.3→2.0 s (20k),
     * 32.9→5.7 s (200k), 29.1→6.1 s (2M vectors) —
-    * probes/r11/probe_lshfam{,2}_sf*.json. Skew: per-cell occupancy is
+    * probes/r11/probe_{lshfam,pairjoin}_sf*.json — and a FOURTH decade
+    * measured at 20M vectors (10000 signed-permutation copies,
+    * tools/ScaleUp embeddings-only fixture): 65.1 s calm, zero errors,
+    * 580M in-stage pairs at the p=20 tier
+    * (probes/r11/probe_pairjoin_sf1000e.json) — the shape one 32-core
+    * node carries through 10^4× the judged corpus. Skew: per-cell occupancy is
     * ladder-bounded in expectation; a pathological hot cell
     * (near-constant corpus) is AQE skew-split, and mass-identical
     * vectors belong to exact dedup upstream.

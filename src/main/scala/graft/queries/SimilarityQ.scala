@@ -1711,6 +1711,15 @@ object SimilarityQ {
     * 200k vectors and died at 339 s at 2M; this shape reads 2.7 s (20k) →
     * 20.2 s (200k) → 81.1 s (2M vectors) — 7.5× then 4.0× on 10×/decade,
     * sub-linear both decades (probes/r11/probe_knnbitext_sf{1,10,100}).
+    * The FOURTH decade is a cluster's, not this box's — stated with
+    * measured arithmetic, not hand-waving: at 20M vectors KnnDiag reads
+    * 7.56B implied pairs (p=18, 4 bands), whose two orientations are
+    * ~360 GB of transient partial-limit sort — per-DECADE volume is still
+    * linear (pairs ≈ n·occ/2·bands with occ ladder-bounded), so 32
+    * executors each see exactly the per-core volume this host handled at
+    * 2M, but one 32-core/65 GB-scratch node cannot hold the decade alone.
+    * dedup_embed_cosine (single band, occ ~19 at its p=20 tier) DOES fit:
+    * measured at 20M vectors in probes/r11/probe_pairjoin_sf1000e.json.
     *
     * Cross-band duplicate pairs are eliminated with ZERO shuffle by the
     * first-colliding-band rule: both sides carry their 4 bucket ids, and a
