@@ -1216,11 +1216,15 @@ object DedupQ {
     * activity guards on the same thresholds — the
     * [[graft.functions.Similarity.lshPlaneCount]] discipline). Cost:
     * assignment is n·4·L distances (linear × log-depth), cell occupancy
-    * stays ≤ ~256 so within-cell pair volume is ~128·n (linear), and each
-    * level is one broadcast join + one hash-agg argmin — no stage anywhere
-    * grows faster than n·log n. The within-cluster pair join routes through
-    * the shared skew-salted [[graft.operators.BucketJoin]] so a hot cell
-    * cannot single-task the stage.
+    * stays ≤ ~256 so within-cell pair volume is ~128·n (linear). r11
+    * shape: the codebook aggregates the corpus ONCE (finest-level
+    * elementwise sums; upper levels roll up arithmetically), and the
+    * whole descent runs with ZERO exchanges — per level one broadcast
+    * join (children-per-parent array) + an inline
+    * [[graft.functions.SqDist]] argmin, so emb never leaves its scan
+    * partition; the within-cluster drop stage pairs in-stage inside the
+    * cell self-join (the dedup_embed_cosine shape). No stage grows faster
+    * than n·log n, and nothing embedding-sized ever shuffles.
     * Deviations, both documented: the keeper is the LOWEST vec_id of a
     * duplicate neighborhood (the paper keeps the member farthest from the
     * centroid — id order is engine-replayable, the tie-broken float order
@@ -1251,39 +1255,53 @@ object DedupQ {
         .select(
           col("vec_id"), col("embedding"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-        // feeds `levels` centroid aggregates + the descent + the pair join
-        .localCheckpoint()
-      // level-ℓ codebook: elementwise mean of each (vec_id mod 4^ℓ) class
-      def centroids(pow: Long) = e
-        .select((col("vec_id") % pow).as("cid"), posexplode(col("emb")))
+      // finest-level per-class elementwise sums, computed ONCE: every
+      // level's codebook is an arithmetic roll-up of this ≤4^L-row table.
+      // (The r10 shape re-aggregated the FULL corpus per level — L exploded
+      // passes; at the finest level sum/count grouped by cid equals avg
+      // bit-exactly, and upper-level roll-ups differ from a direct mean
+      // only in double-addition order, which round(d, 6) absorbs — the
+      // same tolerance that already covers Spark-vs-DuckDB sum order.)
+      val powL = 1L << (2 * levels)
+      val fin = e
+        .select((col("vec_id") % powL).as("cid"), posexplode(col("emb")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col")).as("v"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("c"))
+        .localCheckpoint()
+      // level-ℓ codebook grouped per PARENT cell: the ≤4 existing children
+      // with centroids, one row per parent — ONE broadcast join per level
+      def childrenOf(pow: Long, powPrev: Long) = fin
+        .groupBy((col("cid") % pow).as("cid"), col("pos"))
+        .agg((sum(col("s")) / sum(col("c"))).as("v"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
         .select(col("cid"), expr("transform(pv, x -> x.v)").as("centroid"))
-      // descend: refine each vector's cell to the nearest existing child
-      var state = e.select(col("vec_id"), col("emb"), lit(0L).as("cell"))
+        .groupBy((col("cid") % powPrev).as("pcell"))
+        .agg(collect_list(struct(col("cid"), col("centroid"))).as("children"))
+      // descend: refine each vector's cell to the nearest existing child.
+      // ZERO exchanges in the descent: each level is one broadcast join
+      // plus an inline argmin over ≤4 candidates (native codegen'd
+      // sq_dist, rounded to 6dp, ties to the smaller cid — the exact
+      // min(struct(d, cid)) order) — emb never leaves its scan partition.
+      // The r10 shape exploded ×4 WITH the 512-byte emb and re-grouped by
+      // vec_id at every level (~42 GB of shuffle per level at 20M
+      // vectors); its 4th-decade trial died in SPILL_OUT_OF_MEMORY at
+      // 435 s — captured by Bench's error_msgs, fixed here.
+      var state = e.select(
+        col("vec_id"), col("embedding"), col("emb"), lit(0L).as("cell"))
       for (l <- 1 to levels) {
         val pow = 1L << (2 * l)
         val powPrev = pow >> 2
+        val scoredKids = transform(col("children"), c => struct(
+          round(graft.functions.SqDist.sq_dist(col("emb"), c.getField("centroid")), 6).as("d"),
+          c.getField("cid").as("cid")))
         state = state
-          .select(col("vec_id"), col("emb"), col("cell"),
-            explode(expr("sequence(0L, 3L)")).as("j"))
-          .select(col("vec_id"), col("emb"),
-            (col("cell") + col("j") * powPrev).as("cid"))
-          .join(broadcast(centroids(pow)), "cid")
-          .select(col("vec_id"), col("emb"), col("cid"),
-            round(expr(
-              "aggregate(zip_with(emb, centroid, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
-            ), 6).as("d"))
-          .groupBy(col("vec_id"))
-          .agg(
-            min(struct(col("d"), col("cid"))).getField("cid").as("cell"),
-            first(col("emb")).as("emb"))
-          .select(col("vec_id"), col("emb"), col("cell"))
+          .join(broadcast(childrenOf(pow, powPrev)), col("cell") === col("pcell"))
+          .select(col("vec_id"), col("embedding"), col("emb"),
+            array_min(filter(scoredKids, x => x.getField("d").isNotNull))
+              .getField("cid").as("cell"))
       }
       val assigned = state
-        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
         .select(col("vec_id"), col("embedding"), col("cell").as("cluster"))
         // feeds the pair join twice (both sides) plus the cluster summary —
         // materialize once, like every multi-consumer assignment here
