@@ -1567,8 +1567,11 @@ object DedupQ {
     * only the best candidate per en_doc shuffles. The r10 shape
     * materialized the pair set and re-joined vectors + language BY ID
     * (four pair-sized shuffles; 186 s contended at 2M vectors). This
-    * shape, measured calm: 3.5 s (20k) → 6.4 s (200k) → 28.0 s (2M
-    * vectors) — probes/r11/probe_knnbitext_sf{1,10,100}.json.
+    * shape, measured calm and ISOLATED: 4.1 s (20k) → 6.2 s (200k) →
+    * 6.8 s (2M vectors) — near-FLAT across three decades
+    * (probes/r11/probe_mbitext_sf{1,10,100}.json; the same-session
+    * in-suite capture read 28.0 s at sf100 — sibling-query GC/page-cache
+    * tax, the isolated number is the attributable one).
     * Single band ⇒ each pair collides at most once ⇒ no dedup needed.
     */
   val bitext = Declared(
