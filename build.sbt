@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// the bench artifact. sbt's default LoggedOutput prefixes forked-run stdout
+// with "[info] " and its "[success] Total time: Ns" footer trails the
+// program's output — BENCH_r10 and BENCH_r11 both arrived `parsed: null`
+// because of that footer (VERDICT r11 ask #4). Raw pass-through plus no
+// success footer makes the result JSON the process's final stdout line with
+// no sbt invocation-side flags needed.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command loop, not by another setting — the
+// unused-key lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -4,7 +4,14 @@
 # capture only if its own steal_delta stays under the threshold — otherwise
 # wait and retry. Usage:
 #   calm_probe.sh <sfDir> <onlyCsv> <outFile> [maxStealDelta] [tries]
+# Export SPARK_GRAFT_SESSION=<id> once before a probing sitting: Bench
+# echoes it into every capture's "session_id", and probe_index.py prints
+# adjacent-scale ratios only between captures of the SAME session — round
+# number alone proved too coarse (two r11 captures of one query differed
+# 4x across sittings; ADVICE r11 #4). Unset, each capture gets a per-probe
+# fallback id, so cross-probe ratios stay suppressed rather than wrong.
 set -u
+export SPARK_GRAFT_SESSION="${SPARK_GRAFT_SESSION:-solo-$$-$(date +%s)}"
 SFDIR=$1; ONLY=$2; OUT=$3; MAXSTEAL=${4:-400}; TRIES=${5:-6}
 steal() { awk '/^cpu /{print $9; exit}' /proc/stat; }
 for i in $(seq 1 "$TRIES"); do

@@ -30,6 +30,32 @@ object Bench {
         .map(b => math.max(0L, b.getCollectionTime)).sum
     } catch { case _: Throwable => -1L }
 
+  /** Calm-capture steal ceiling: 0.1% of the run's total CPU ticks
+    * (`totalSec` × 100 ticks/s × `cpus`, per /proc/stat's aggregate line),
+    * floored at 100 ticks so sub-second probe runs aren't flagged by one
+    * stray tick. r11's two full-suite captures straddle it cleanly: the calm
+    * one (248.7 s, steal 97) passes, the contended one that overwrote it
+    * (279.8 s, steal 1634 — 0.18% of run ticks) fails.
+    */
+  private[graft] def calmCeiling(totalSec: Double, cpus: Int): Long =
+    math.max(100L, (totalSec * cpus / 10.0).toLong)
+
+  /** Where to persist the capture. A contended run must not overwrite a
+    * calm-attested file of record: round 11's final commit did exactly that
+    * (bench_full_latest.json's 248.7 s calm capture replaced by a steal-1634
+    * one), making the round's noisiest number the headline (VERDICT r11
+    * ask #3). Rule: if this capture is contended and the existing file at
+    * `path` self-attests calm (carries `"contended":false`), divert to
+    * `<path minus .json>.contended.json`; in every other case (calm capture,
+    * no existing file, or an existing file without a calm attestation)
+    * write in place.
+    */
+  private[graft] def latestWriteTarget(
+      path: String, contended: Boolean, existing: Option[String]): String =
+    if (contended && existing.exists(_.contains("\"contended\":false")))
+      path.stripSuffix(".json") + ".contended.json"
+    else path
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -173,20 +199,46 @@ object Bench {
       if (steal0 < 0) -1L else { val s1 = stealTicks(); if (s1 < 0) -1L else s1 - steal0 }
     val gcDelta =
       if (gc0 < 0) -1L else { val g1 = gcMillis(); if (g1 < 0) -1L else g1 - gc0 }
+    // calm attestation, in-capture: contended means steal exceeded 0.1% of
+    // the run's CPU ticks — absolutes from such a capture are completion
+    // evidence, not comparable timings. steal_delta = -1 (no /proc/stat)
+    // can't attest either way and is marked contended so it never becomes
+    // a calm file of record.
+    val cpusN = try cpus.toInt catch { case _: Throwable => 1 }
+    val contended = stealDelta < 0 || stealDelta > calmCeiling(total, cpusN)
+    // builder-session tag: probe ratios are only trustworthy within one
+    // session's captures (this host's cross-round absolutes drift), and
+    // round number is too coarse a proxy — r11's mine_bitext read 6.8 s
+    // isolated vs 28.0 s in-suite, both "r11" (ADVICE r11 #4). calm_probe.sh
+    // exports one id per probing session; probe_index.py keys its ratio
+    // gate on it when present.
+    val sessionId = sys.env.getOrElse("SPARK_GRAFT_SESSION", "")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"steal_delta":$stealDelta,"query_steal":$stolen,"gc_delta_ms":$gcDelta,"query_gc_ms":$gcs,"errors":$errors,"error_msgs":$errorMsgs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpusN,"warmup_sec":$warmupSec,"steal_delta":$stealDelta,"contended":$contended,"session_id":${jstr(sessionId)},"query_steal":$stolen,"gc_delta_ms":$gcDelta,"query_gc_ms":$gcs,"errors":$errors,"error_msgs":$errorMsgs}"""
     // the driver's BENCH_rN.json artifact keeps only the tail of stdout, so
     // most per-query timings were invisible to cross-round judging; persist
-    // the full line in the repo (committed each round as bench_full_rN.json)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_full_latest.json")),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // a read-only cwd must not fail the bench
+    // the full line in the repo (committed each round as bench_full_rN.json).
+    // A contended capture never overwrites a calm file of record — it lands
+    // at <file>.contended.json instead (VERDICT r11 ask #3).
+    try {
+      val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_full_latest.json")
+      val existing =
+        try {
+          val p = java.nio.file.Paths.get(requested)
+          if (java.nio.file.Files.exists(p))
+            Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+          else None
+        } catch { case _: Throwable => None }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(latestWriteTarget(requested, contended, existing)),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // a read-only cwd must not fail the bench
     // stop BEFORE printing, then flush: the result JSON must be the FINAL
     // stdout line so a tail-only capture of the run still parses (BENCH_r10
-    // arrived with "parsed": null because shutdown output followed the line)
-    spark.stop()
+    // arrived with "parsed": null because shutdown output followed the line).
+    // stop() itself is guarded — if shuffle/temp-dir cleanup throws, the
+    // result line must still reach stdout (ADVICE r11 #2).
+    try spark.stop() catch { case _: Throwable => () }
     println(line)
     System.out.flush()
   }

@@ -1245,12 +1245,20 @@ object DedupQ {
     go(2)
   }
 
-  val semantic = Declared(
-    "dedup_semantic",
-    (s, dir) => {
+  /** The descent stage of [[semantic]], exposed `private[graft]` so
+    * R12OpsSpec can pin its plan shape: the r11 rebuild's invariant —
+    * *nothing embedding-sized ever shuffles; the descent is L broadcast
+    * joins and emb never leaves its scan partition* — lived only in
+    * scaladoc and probe captures, so a refactor could silently reintroduce
+    * the ~42 GB/level vec_id re-group that OOM'd the first fourth-decade
+    * trial (VERDICT r11 ask #6). Returns one row per vector:
+    * (vec_id, embedding, emb, cell) with cell the level-L(n) cluster id.
+    */
+  private[graft] def semanticDescent(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       val nVecs = t(s, dir, "embeddings").count() // parquet metadata count
       val levels = semanticLevels(nVecs)
-      val tau = 0.40
       val e = t(s, dir, "embeddings")
         .select(
           col("vec_id"), col("embedding"),
@@ -1301,7 +1309,14 @@ object DedupQ {
             array_min(filter(scoredKids, x => x.getField("d").isNotNull))
               .getField("cid").as("cell"))
       }
-      val assigned = state
+      state
+  }
+
+  val semantic = Declared(
+    "dedup_semantic",
+    (s, dir) => {
+      val tau = 0.40
+      val assigned = semanticDescent(s, dir)
         .select(col("vec_id"), col("embedding"), col("cell").as("cluster"))
         // feeds the pair join twice (both sides) plus the cluster summary —
         // materialize once, like every multi-consumer assignment here

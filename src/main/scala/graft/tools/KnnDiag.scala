@@ -29,11 +29,13 @@ object KnnDiag {
     val n = e.count()
     println(s"DIAG n_vectors $n")
 
-    // sim_knn_graph: 4 OR-tables at base 6
+    // sim_knn_graph: the DEPLOYED band geometry (SimilarityQ.pairBandsFor —
+    // not a local copy, so this readout can't drift from the query;
+    // ADVICE r11 #3)
     locally {
       val p = Similarity.lshPlaneCount(n, base = 6)
       println(s"DIAG knn_planes $p buckets ${1L << p} expected_occ ${n.toDouble / (1L << p)}")
-      val bands = (0 until 4).map(b => Similarity.planesFor(n, base = 6, dim = 64, seed = 101L + b))
+      val bands = graft.queries.SimilarityQ.pairBandsFor(n)
       val banded = e.select(
         col("vec_id"),
         posexplode(array(bands.map(ps =>

@@ -66,8 +66,9 @@ class R11OpsSpec extends AnyFunSuite {
     val dir = TestSpark.sf
     val e = Tables.t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val n = e.count()
-    val bands = (0 until 4).map(b =>
-      Similarity.planesFor(n, base = 6, dim = 64, seed = 101L + b))
+    // the DEPLOYED geometry, not a copy: if sim_knn_graph's banding ever
+    // changes, this pin follows it (ADVICE r11 #3)
+    val bands = queries.SimilarityQ.pairBandsFor(n)
     // reference: the oracle's formulation — union all bands, DISTINCT pairs
     val banded = e.select(
       col("vec_id"),
@@ -85,10 +86,10 @@ class R11OpsSpec extends AnyFunSuite {
         Similarity.lshBucket(col("embedding"), bands(b)).as(s"bk$b")): _*)
     def side(tag: String) = wide.select(
       Seq(col("vec_id").as(s"id$tag")) ++
-        (0 until 4).map(b => col(s"bk$b").as(s"bk$tag$b")) :+
-        posexplode(array((0 until 4).map(b => col(s"bk$b")): _*))
+        bands.indices.map(b => col(s"bk$b").as(s"bk$tag$b")) :+
+        posexplode(array(bands.indices.map(b => col(s"bk$b")): _*))
           .as(Seq(s"band$tag", s"bucket$tag")): _*)
-    val firstBand = (0 until 3).map(bp =>
+    val firstBand = (0 until bands.length - 1).map(bp =>
       col("band1") <= bp || col(s"bk1$bp") =!= col(s"bk2$bp")).reduce(_ && _)
     val got = side("1").join(side("2"),
         col("band1") === col("band2") && col("bucket1") === col("bucket2") &&

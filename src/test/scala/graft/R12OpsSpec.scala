@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, SortMergeJoinExec}
+
+/** Round-12 specs (VERDICT r11 asks #3 and #6, ADVICE r11 #2/#4).
+  *
+  * 1. dedup_semantic's zero-exchange descent, PLAN-pinned: the r11 rebuild's
+  *    governing invariant — nothing embedding-sized ever shuffles; each
+  *    level is one broadcast join and `emb` never leaves its scan
+  *    partition — previously lived only in scaladoc and probe captures
+  *    (26.1→859 s flat k-means at sf10→sf100, then OOM at 20M vectors were
+  *    both materialized-shuffle regressions found the hard way). The pin
+  *    asserts the executed plan, so a refactor can't silently reintroduce
+  *    the ~42 GB/level shuffle.
+  *
+  * 2. Bench's calm-capture gate: a contended full-suite run must not
+  *    overwrite a calm-attested bench_full_latest.json (r11's final commit
+  *    replaced the round's calm 248.7 s capture with a steal-1634 one, and
+  *    "latest wins" made the noisy number the file of record).
+  */
+class R12OpsSpec extends AnyFunSuite {
+
+  test("dedup_semantic descent: no exchange carries an embedding column") {
+    val spark = TestSpark.spark
+    // AQE wraps stages opaquely to collect(); disable for the structural
+    // audit (the PlanAndPropertySpecs discipline)
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val descent = queries.DedupQ.semanticDescent(spark, TestSpark.sf)
+      val plan = descent.queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      // exchanges DO exist — the codebook roll-up aggregates (cid, pos)
+      // scalars and collects codebook-sized centroid arrays; what must
+      // never appear in any exchange is the per-VECTOR embedding (the
+      // n-sized 512-byte payload whose shuffle OOM'd the first
+      // fourth-decade trial)
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name.toLowerCase)
+        assert(!names.exists(n => n == "emb" || n == "embedding"),
+          s"an exchange carries an embedding-sized column: ${e.output.map(_.name)}")
+      }
+      // ...and every exchanged row set is codebook-keyed, never vec_id-keyed
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name.toLowerCase)
+        assert(!names.contains("vec_id"),
+          s"an exchange carries per-vector rows: ${e.output.map(_.name)}")
+      }
+      // shape: exactly L broadcast joins (one per descent level), zero
+      // sort-merge joins — the vector path is scan → L broadcast probes.
+      // Level 1's probe key is the literal cell=0, which Catalyst plans as
+      // a broadcast NESTED-LOOP join (no equi key once the literal folds);
+      // deeper levels are broadcast HASH joins — both are broadcast-side
+      // and shuffle nothing on the vector path
+      val levels = queries.DedupQ.semanticLevels(
+        Tables.t(spark, TestSpark.sf, "embeddings").count())
+      val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+      val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(bhj.size + bnlj.size == levels,
+        s"expected $levels broadcast joins (one per level), got " +
+          s"${bhj.size} hash + ${bnlj.size} nested-loop")
+      assert(smj.isEmpty, s"descent contains ${smj.size} sort-merge join(s)")
+      assert(exchanges.nonEmpty,
+        "no exchanges at all — the codebook roll-up vanished; vacuous pin")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("bench calm gate: ceiling is 0.1% of run ticks, floored at 100") {
+    // r11's real captures straddle the gate: calm 248.7 s / steal 97 passes,
+    // the contended overwrite 279.8 s / steal 1634 fails
+    assert(Bench.calmCeiling(248.7, 32) == 795L)
+    assert(97L <= Bench.calmCeiling(248.7, 32))
+    assert(1634L > Bench.calmCeiling(279.8, 32))
+    // sub-second probes aren't flagged by a stray tick
+    assert(Bench.calmCeiling(0.4, 32) == 100L)
+  }
+
+  test("bench calm gate: contended run never overwrites a calm file of record") {
+    val calm = Some("""{"metric":"total","value":1.0,"contended":false}""")
+    val noisy = Some("""{"metric":"total","value":1.0,"contended":true}""")
+    // the r11 failure mode, now diverted
+    assert(Bench.latestWriteTarget("bench_full_latest.json", contended = true, calm)
+      == "bench_full_latest.contended.json")
+    // calm capture always lands in place
+    assert(Bench.latestWriteTarget("bench_full_latest.json", contended = false, calm)
+      == "bench_full_latest.json")
+    // nothing calm to protect: first write, or an unattested legacy file
+    assert(Bench.latestWriteTarget("bench_full_latest.json", contended = true, None)
+      == "bench_full_latest.json")
+    assert(Bench.latestWriteTarget("bench_full_latest.json", contended = true,
+      Some("""{"metric":"total","value":1.0}""")) == "bench_full_latest.json")
+    // a contended file of record is fair game for a newer contended capture
+    assert(Bench.latestWriteTarget("bench_full_latest.json", contended = true, noisy)
+      == "bench_full_latest.json")
+  }
+}
