@@ -1016,36 +1016,39 @@ object DedupQ {
     * cannot). This is the exact-substring-duplication detector — license
     * blocks, verbatim quotes — complementing the set-similarity family.
     *
-    * Shapes at scale: grams are a per-row fan-out (no shuffle), the sliding
-    * min is a window partitioned by doc, fingerprints are ~|text|/W per doc.
-    * Ubiquitous fingerprints (df > 10) are dropped before the pair join —
-    * the standard frequency cap that bounds any fingerprint's pair fan-out
-    * at C(10,2) and keeps the self-join linear in practice (same reason the
-    * suffix-array pipelines drop ultra-frequent seeds).
+    * Shapes at scale (r12 rebuild): fingerprint selection happens entirely
+    * INSIDE the scan partition — one native expression per document
+    * ([[graft.functions.WinnowFps]]) computes the gram hashes, the sliding
+    * W-minima and the within-doc distinct in a fused primitive-long loop,
+    * so only ~|text|/W distinct fingerprints per doc ever leave the scan.
+    * Two rejected shapes, both measured: the r11 form posexploded every
+    * gram and ran the sliding min as a window partitioned by doc — a
+    * corpus-CHARACTER-sized exchange (~2.3B rows ≈ 100+ GB at 5M docs)
+    * followed by a same-sized distinct, which spilled past the third
+    * decade (9.5 → 26.4 s calm at sf1→sf10, then ≥347 s at sf100 — the
+    * per-decade step jumping 2.8× → ≥13× exactly where the exchange
+    * outgrew memory); an in-row HOF form
+    * (`array_min(slice(hs, j, W))` per gram) removed the shuffles but paid
+    * interpreted lambdas plus a boxed 16-element array allocation per gram
+    * and measured SLOWER at sf10 (45.8 s). Ubiquitous fingerprints
+    * (df > 10) are dropped before the pair join — the standard frequency
+    * cap that bounds any fingerprint's pair fan-out at C(10,2) and keeps
+    * the self-join linear in practice (same reason the suffix-array
+    * pipelines drop ultra-frequent seeds).
     */
   val winnow = Declared(
     "dedup_winnow",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val K = 32
       val W = 16
-      val grams = Tables.spread(t(s, dir, "documents"), "doc_id")
-        .select(col("doc_id"), posexplode(expr(
-          s"""CASE WHEN length(text) < $K THEN array()
-              ELSE transform(sequence(1, length(text) - ${K - 1}),
-                             i -> substr(text, i, $K)) END"""))
-          .as(Seq("pos", "g")))
-      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.currentRow, W - 1)
-      // fingerprints snapshot feeds the df-cap AND both sides of the pair
-      // join — without it the gram+window pipeline re-runs three times
-      val fps = grams
-        .select(col("doc_id"), col("pos"),
-          graft.functions.Hashing.md5Hash32(col("g")).as("h"))
-        .withColumn("fp", min(col("h")).over(byPos))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        .filter(col("pos") <= col("n") - W) // only FULL windows select
-        .select(col("doc_id"), col("fp")).distinct()
+      // fingerprint selection is one native expression per document
+      // ([[graft.functions.WinnowFps]]): gram hashes, sliding minima and
+      // the within-doc distinct all happen in-row in the scan stage —
+      // only ~|text|/W fingerprints per doc ever leave it. Snapshot feeds
+      // the df-cap AND both sides of the pair join.
+      val fps = Tables.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"),
+          explode(graft.functions.WinnowFps.winnow_fps(col("text"), K, W)).as("fp"))
         .localCheckpoint()
       val keep = fps.join(
         fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
