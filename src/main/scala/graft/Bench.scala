@@ -214,25 +214,33 @@ object Bench {
     // gate on it when present.
     val sessionId = sys.env.getOrElse("SPARK_GRAFT_SESSION", "")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpusN,"warmup_sec":$warmupSec,"steal_delta":$stealDelta,"contended":$contended,"session_id":${jstr(sessionId)},"query_steal":$stolen,"gc_delta_ms":$gcDelta,"query_gc_ms":$gcs,"errors":$errors,"error_msgs":$errorMsgs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpusN,"shuffle_partitions":$shufflePartitions,"warmup_sec":$warmupSec,"steal_delta":$stealDelta,"contended":$contended,"session_id":${jstr(sessionId)},"query_steal":$stolen,"gc_delta_ms":$gcDelta,"query_gc_ms":$gcs,"errors":$errors,"error_msgs":$errorMsgs}"""
     // the driver's BENCH_rN.json artifact keeps only the tail of stdout, so
     // most per-query timings were invisible to cross-round judging; persist
     // the full line in the repo (committed each round as bench_full_rN.json).
     // A contended capture never overwrites a calm file of record — it lands
-    // at <file>.contended.json instead (VERDICT r11 ask #3).
-    try {
-      val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_full_latest.json")
-      val existing =
-        try {
-          val p = java.nio.file.Paths.get(requested)
-          if (java.nio.file.Files.exists(p))
-            Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-          else None
-        } catch { case _: Throwable => None }
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(latestWriteTarget(requested, contended, existing)),
-        (line + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // a read-only cwd must not fail the bench
+    // at <file>.contended.json instead (VERDICT r11 ask #3). A FILTERED run
+    // (SPARK_GRAFT_ONLY probe) never lands in the default file at all: the
+    // file of record is the full suite, and the calm gate can't tell a calm
+    // one-query probe from a calm 372-query capture — two r12 probe commits
+    // replaced the suite capture with single-query lines before this guard.
+    // Probes that want a file say so via SPARK_GRAFT_BENCH_FILE.
+    val benchFile = sys.env.get("SPARK_GRAFT_BENCH_FILE")
+      .orElse(if (only.isEmpty) Some("bench_full_latest.json") else None)
+    benchFile.foreach { requested =>
+      try {
+        val existing =
+          try {
+            val p = java.nio.file.Paths.get(requested)
+            if (java.nio.file.Files.exists(p))
+              Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+            else None
+          } catch { case _: Throwable => None }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(latestWriteTarget(requested, contended, existing)),
+          (line + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () } // a read-only cwd must not fail the bench
+    }
     // stop BEFORE printing, then flush: the result JSON must be the FINAL
     // stdout line so a tail-only capture of the run still parses (BENCH_r10
     // arrived with "parsed": null because shutdown output followed the line).

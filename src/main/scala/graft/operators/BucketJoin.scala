@@ -29,12 +29,19 @@ object BucketJoin {
     * with hot buckets salted as described above. `bucketed` must carry
     * exactly (idCol ++ bucketCols); payload columns should be re-joined by
     * id afterwards so they never cross the bucket shuffle.
+    *
+    * `keepCols` (⊆ bucketCols) survive into the output and the distinct —
+    * a multi-config sweep (dedup_lsh_tuning) banding several geometries in
+    * ONE pass keeps its config tag here, so "distinct pairs PER CONFIG"
+    * still holds while the bucket shuffle, hot-bucket census and pair
+    * distinct each run once instead of once per config.
     */
   def saltedCandidatePairs(
       bucketed: DataFrame,
       idCol: String,
       bucketCols: Seq[String],
-      bucketCap: Int = 100000): DataFrame = {
+      bucketCap: Int = 100000,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val bCols = bucketCols.map(col)
 
     val hotFans = bucketed.groupBy(bCols: _*)
@@ -54,7 +61,7 @@ object BucketJoin {
         explode(sequence(lit(0), col("__fan") - 1)).as("__salt"): _*)
     a.join(b, bucketCols :+ "__salt")
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
+      .select(col("id1") +: col("id2") +: keepCols.map(col): _*)
       .distinct()
   }
 }

@@ -91,6 +91,38 @@ object MinHashLsh {
       banded, idCol, Seq("band", "band_hash"), bucketCap)
   }
 
+  /** Band the signature table at SEVERAL (bands × rowsPerBand) splits of
+    * the K hashes in ONE pass: every config's band rows ride a single
+    * bucket shuffle (band ids are offset per config, so buckets of
+    * different configs can never mix), the hot-bucket census and the pair
+    * distinct each run once, and the returned pairs carry their config
+    * index — (id1, id2, cfg), distinct PER CONFIG. Per config the pair set
+    * is exactly [[bandedCandidates]]'s (MultiBandSpec pins the equality);
+    * the win is structural: a 3-config sweep pays 1 banded sort + 1
+    * distinct instead of 3 + 3, and downstream the signature est-join runs
+    * once over the union instead of once per config (6 signature-table
+    * shuffles → 2 at dedup_lsh_tuning's sf100 scale).
+    */
+  def multiBandedCandidates(
+      sigs: DataFrame, idCol: String, configs: Seq[(Int, Int)],
+      bucketCap: Int = 100000): DataFrame = {
+    configs.foreach { case (b, r) =>
+      require(b * r == K, s"bands*rows must equal $K") }
+    val arrays = configs.zipWithIndex.map { case ((b, r), ci) =>
+      val off = configs.take(ci).map(_._1).sum
+      s"transform(sequence(0, ${b - 1}), bb -> named_struct(" +
+        s"'cfg', $ci, 'band', $off + bb, " +
+        s"'band_hash', xxhash64(slice(signature, bb * $r + 1, $r))))"
+    }.mkString("concat(", ", ", ")")
+    val banded = sigs
+      .select(col(idCol), explode(expr(arrays)).as("bb"))
+      .select(col(idCol), col("bb.cfg").as("cfg"),
+        col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    BucketJoin.saltedCandidatePairs(
+      banded, idCol, Seq("cfg", "band", "band_hash"), bucketCap,
+      keepCols = Seq("cfg"))
+  }
+
   def candidatePairs(
       sigs: DataFrame, idCol: String, bucketCap: Int = 100000): DataFrame = {
     val cand = bandedCandidates(sigs, idCol, BANDS, ROWS, bucketCap)

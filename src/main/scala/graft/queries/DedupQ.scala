@@ -824,6 +824,19 @@ object DedupQ {
     * midpoint (1/b)^(1/r), inlined as the same literal on both engines.
     * Match counts fold as exact integers (est-Jaccard = matches/64 only at
     * readout).
+    *
+    * Measured curve (r12, isolated calm session `probes/r12/probe_lsht2_*`,
+    * steal ≤ 0.08% of run ticks): 3.3 → 21.2 → 129.9 s at sf1/sf10/sf100 —
+    * 6.3×/6.1× per decade on 32 fixed cores, sub-linear, with LshDiag
+    * confirming every volume exactly linear (collision rows 115k→1.15M,
+    * pairs 36k→360k per decade; pairs ≈ 0.7·docs, so pair-sized work is
+    * NOT this family's hazard). The r12 rebuild got there structurally:
+    * the old per-config loop paid the banding machinery three times and
+    * the signature est-join six sig-table shuffles; the multi-config
+    * single-pass ([[MinHashLsh.multiBandedCandidates]]) pays once + two,
+    * and measured 4.5× faster at sf100 (579 → 130 s, same host, same
+    * shuffle settings). The r11 in-suite 347 s reading was never the calm
+    * truth — the old shape read 579 s isolated at 256 shuffle partitions.
     */
   val lshTuning = Declared(
     "dedup_lsh_tuning",
@@ -831,23 +844,39 @@ object DedupQ {
       val sigs = MinHashLsh
         .signatures(t(s, dir, "documents"), "doc_id", "text")
         .localCheckpoint()
+      // all three geometries band in ONE pass (config-tagged pairs), so the
+      // banded sort, hot-bucket census, pair distinct and the signature
+      // est-join each run once instead of once per config — the r12 rebuild
+      // after the isolated sf100 probe attributed the sweep's cost to 3×
+      // repeated banding machinery over exactly-linear volumes (LshDiag:
+      // collision rows 115k→1.15M, pairs 36k→360k across sf1→sf10; the
+      // pair set is ~0.7·n rows, so pair-sized joins are NOT the embedding
+      // family's disease here — repeated corpus-sized sorts were)
+      val cand = MinHashLsh
+        .multiBandedCandidates(sigs, "doc_id", lshConfigs)
       val s1 = sigs.select(col("doc_id").as("id1"), col("signature").as("sig1"))
       val s2 = sigs.select(col("doc_id").as("id2"), col("signature").as("sig2"))
-      lshConfigs.map { case (b, r) =>
-        MinHashLsh.bandedCandidates(sigs, "doc_id", b, r)
-          .join(s1, "id1").join(s2, "id2")
-          .select(expr(
-            "aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)")
-            .as("m"))
-          .agg(count(lit(1)).as("n_candidates"),
-            coalesce(sum(col("m")), lit(0L)).as("sm"))
-          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-            lit(sCurveThreshold(b, r)).as("threshold_est"),
-            col("n_candidates"),
-            round(col("sm").cast("double") /
-              (greatest(col("n_candidates"), lit(1L)) * 64.0), 6)
-              .as("mean_est_jaccard"))
-      }.reduce(_ unionByName _).orderBy(col("bands").desc)
+      val scored = cand.join(s1, "id1").join(s2, "id2")
+        .select(col("cfg"), expr(
+          "aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)")
+          .as("m"))
+        .groupBy(col("cfg"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("m")), lit(0L)).as("sm"))
+      // a config with zero candidates must still emit its row (the oracle's
+      // per-config global agg always yields one) — right-join the 3-row
+      // config table and zero-fill
+      import s.implicits._
+      val cfgDf = lshConfigs.zipWithIndex.map { case ((b, r), ci) =>
+        (ci, b, r, sCurveThreshold(b, r))
+      }.toDF("cfg", "bands", "rows_per_band", "threshold_est")
+      scored.join(cfgDf, Seq("cfg"), "right")
+        .select(col("bands"), col("rows_per_band"), col("threshold_est"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          round(coalesce(col("sm"), lit(0L)).cast("double") /
+            (greatest(coalesce(col("n_candidates"), lit(0L)), lit(1L)) * 64.0), 6)
+            .as("mean_est_jaccard"))
+        .orderBy(col("bands").desc)
     },
     Some {
       val estSum = MinHashLsh.estSumSql

@@ -102,14 +102,17 @@ object ScaleUp {
     if (k % 104 >= 52) reverse(t) else t
   }
 
-  /** 11 blocks x 104 = 1144 distinct text transforms (>= the 520 the r9
-    * verdict asked for; raise MaxBlocks if a fourth TEXT decade ever needs
-    * more — CJK has ~21k contiguous ideographs, enough for ~400 blocks).
-    * The cap binds text tables only: the r11 fourth-decade EMBEDDINGS
-    * fixture (10000 copies, signed permutations never cycle) exceeds it
-    * legitimately by filtering `documents` out (see main's require).
+  /** 100 blocks x 104 = 10400 distinct text transforms — raised from 11
+    * blocks in r12 so a fourth TEXT decade (10000 copies = 50M docs) is
+    * constructible for dedup_minhash's scale curve; CJK has ~21k contiguous
+    * ideographs = ~400 blocks of headroom, and ScaleUpSpec checks the FULL
+    * family for pairwise distinctness and shingle disjointness at this
+    * size (driver-side, still sub-second). The cap binds text tables only:
+    * the r11 fourth-decade EMBEDDINGS fixture (10000 copies, signed
+    * permutations never cycle) exceeds any cap legitimately by filtering
+    * `documents` out (see main's require).
     */
-  private[graft] val MaxBlocks = 11
+  private[graft] val MaxBlocks = 100
   private[graft] val MaxCopies = 104 * MaxBlocks
 
   /** Deterministic signed permutation of the 64 embedding dims for copy

@@ -78,6 +78,32 @@ class R12OpsSpec extends AnyFunSuite {
     assert(Bench.calmCeiling(0.4, 32) == 100L)
   }
 
+  test("multiBandedCandidates: per-config pair set equals bandedCandidates'") {
+    // the r12 dedup_lsh_tuning rebuild banded all three geometries in one
+    // pass (one bucket shuffle / census / distinct instead of three, one
+    // shared signature est-join instead of per-config) — this pin is the
+    // semantic half of that trade: per config, the tagged pair set must be
+    // EXACTLY what the single-config primitive produces, so the sweep's
+    // DuckDB oracle (unchanged) keeps checking the same candidates
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val sigs = operators.MinHashLsh
+      .signatures(docs, "doc_id", "text").localCheckpoint()
+    val configs = Seq(32 -> 2, 16 -> 4, 8 -> 8)
+    val multi = operators.MinHashLsh
+      .multiBandedCandidates(sigs, "doc_id", configs)
+      .collect().map(r => (r.getInt(2), (r.getLong(0), r.getLong(1)))).toSet
+    for (((b, r), ci) <- configs.zipWithIndex) {
+      val single = operators.MinHashLsh
+        .bandedCandidates(sigs, "doc_id", b, r)
+        .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+      val tagged = multi.collect { case (c, p) if c == ci => p }
+      assert(tagged == single, s"config ${b}x$r pair sets differ")
+      assert(single.nonEmpty, s"config ${b}x$r vacuous on the fixture")
+    }
+  }
+
   test("bench calm gate: contended run never overwrites a calm file of record") {
     val calm = Some("""{"metric":"total","value":1.0,"contended":false}""")
     val noisy = Some("""{"metric":"total","value":1.0,"contended":true}""")
