@@ -15,15 +15,51 @@ import org.apache.spark.sql.functions._
 object GraphQ {
   import Tables.t
 
+  /** Size-gated broadcast hint for the node-sized message/state table of an
+    * iterative graph round (rank vector, alive set, label map). The whole
+    * family's per-round shape is "static edge table ⋈ node state → aggregate
+    * by the other endpoint"; hash-partitioning the EDGE table by the
+    * aggregate key once (checkpointed) and broadcasting the state makes the
+    * round exchange-free on the edge side — the state is O(nodes) (16M rows
+    * ≈ 256 MB at the sf100 corpus, one in-process reference in local mode,
+    * a torrent broadcast on a cluster) while the edge table is O(edges)
+    * (1.1B rows ≈ 18 GB there), so shipping state to edges beats shuffling
+    * edges to state by the edge/node ratio, every round. Gate: past ~30M
+    * rows (≈2 GB hashed) the hint is withheld and Catalyst plans a shuffle
+    * join — correct at any scale, broadcast-fast on every measurable one.
+    */
+  private def msgHint(df: DataFrame, rows: Long): DataFrame =
+    if (rows >= 0 && rows <= 30000000L) broadcast(df) else df
+
+  /** One power-iteration round: damped rank from the previous rank vector
+    * over a dst-partitioned edge table carrying outdeg. Broadcast join +
+    * in-place aggregate-by-dst — R12OpsSpec pins zero ShuffleExchange in
+    * this stage.
+    */
+  private[graft] def rankRound(
+      edges: DataFrame, rank: DataFrame, nNodes: Long): DataFrame =
+    edges.join(msgHint(rank, nNodes), edges("src") === rank("node"))
+      .select(col("dst"), expr("rank div outdeg").as("contrib"))
+      .groupBy(col("dst"))
+      .agg(sum(col("contrib")).as("cb"))
+      .select(col("dst").as("node"),
+        expr("150000000L + (85L * cb) div 100L").as("rank"))
+
   /** PageRank over the bipartite customer–supplier graph (an edge per
     * distinct (customer, supplier) trading pair in lineitem ⋈ orders),
     * made undirected so no node dangles. Three power iterations with 0.85
     * damping; top-20 nodes reported.
     *
-    * Scale shape: the edge list (with out-degrees attached) is built once
-    * and localCheckpointed; each round is one shuffle-on-src join plus one
-    * aggregate-by-dst — O(edges) per round, state is O(nodes), nothing on
-    * the driver but the loop counter. Supplier node ids are offset by
+    * Scale shape: the edge list (with out-degrees attached) is built once,
+    * hash-partitioned by dst — the per-round AGGREGATE key — and
+    * localCheckpointed; each round broadcasts the O(nodes) rank vector onto
+    * it ([[msgHint]]) and aggregates contributions by dst IN PLACE, so a
+    * power iteration moves zero edge-sized bytes: the only per-round
+    * exchange is the node-sized rank table itself. (The r7–r11 shape
+    * shuffled the edge list per round — join-on-src plus aggregate-by-dst —
+    * and measured 161 s at the sf10 corpus.) State is O(nodes), nothing on
+    * the driver but the loop counter and the node count that gates the
+    * hint. Supplier node ids are offset by
     * 10^9 to disjoint the two key spaces — deliberately NOT a
     * fixture-sized constant: the round-7 10x-scale probe corpus grew the
     * customer id range past the original 100000 offset, silently fusing
@@ -45,9 +81,17 @@ object GraphQ {
       val undirected = eraw
         .select(col("c").as("src"), (col("su") + 1000000000L).as("dst"))
         .union(eraw.select((col("su") + 1000000000L).as("src"), col("c").as("dst")))
+      // the degree table doubles as the node dimension: it is node-sized,
+      // checkpointed once, and seeds the rank vector without an extra
+      // distinct over the edge list
       val deg = undirected.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      val edges = undirected.join(deg, "src").localCheckpoint()
-      var rank = edges.select(col("src").as("node")).distinct()
+        .localCheckpoint()
+      val nNodes = deg.count()
+      // ONE edge-sized shuffle for the whole query: attach outdeg by
+      // broadcast, partition by dst (the per-round aggregate key), pin it
+      val edges = undirected.join(msgHint(deg, nNodes), "src")
+        .repartition(col("dst")).localCheckpoint()
+      var rank = deg.select(col("src").as("node"))
         .withColumn("rank", lit(1000000000L))
       // checkpoint each round (DedupClusters' cadence): fusing all three
       // rounds into one lineage LOOKS like it saves jobs, but in a warm
@@ -57,13 +101,7 @@ object GraphQ {
       // cost; in a cold JVM generic JIT warmup (~5 s) dominates either
       // way. An unbounded convergence loop needs the flat lineage anyway.
       for (_ <- 1 to 3) {
-        rank = edges.join(rank, edges("src") === rank("node"))
-          .select(col("dst"), expr("rank div outdeg").as("contrib"))
-          .groupBy(col("dst"))
-          .agg(sum(col("contrib")).as("cb"))
-          .select(col("dst").as("node"),
-            expr("150000000L + (85L * cb) div 100L").as("rank"))
-          .localCheckpoint()
+        rank = rankRound(edges, rank, nNodes).localCheckpoint()
       }
       rank
         .select(col("node"), col("rank"),
@@ -179,42 +217,85 @@ object GraphQ {
              (SELECT n_triangles FROM tri) AS n_triangles"""))
 
   /** One k-core peel cascade over an undirected (src, dst) edge frame:
-    * `rounds` iterations of drop-every-node-with-degree-<-k, each round one
-    * degree aggregate + two semi-joins, edge set localCheckpointed so the
-    * lineage stays flat (the [[pagerank]] cadence). Exposed for KCoreSpec's
-    * crafted-chain cascade proof.
+    * `rounds` iterations of drop-every-node-with-degree-<-k. The peel is
+    * tracked as a shrinking ALIVE NODE SET over a static edge table rather
+    * than by re-materializing the edge list per round (the r7–r11 shape,
+    * which paid three edge-sized shuffles plus an edge-sized checkpoint
+    * every round and measured 288 s at the sf10 corpus): the edge table is
+    * hash-partitioned by src — the degree key — ONCE and checkpointed, and
+    * each round is a broadcast semi-join on the alive dst set ([[msgHint]])
+    * plus an in-place degree aggregate, so a round moves zero edge-sized
+    * bytes and materializes only O(nodes).
+    *
+    * Equivalence with the edge-filter formulation (the oracle's e1..e6 CTE
+    * chain): with A_0 = all nodes and A_{r+1} = {v : |Γ(v) ∩ A_r| ≥ k},
+    * induction gives A_{r+1} ⊆ A_r (a node dead at round j has
+    * |Γ(v) ∩ A_r| ≤ |Γ(v) ∩ A_{j-1}| < k forever after, so filtering only
+    * the DST side of the semi-join is enough — dead sources can't re-enter)
+    * and E|_{A_r} = e_r exactly. Monotonicity also yields the free
+    * convergence test: A_{r+1} ⊆ A_r means an unchanged COUNT proves the
+    * fixed point, and every remaining round is a literal no-op — so the
+    * loop early-exits with the identical result (the fixture converges in
+    * 2 rounds; the crafted KCoreSpec chain keeps cascading and must not
+    * exit). Exposed for KCoreSpec's crafted-chain cascade proof.
     */
+  /** One peel round: alive nodes after dropping degree-<-k over the
+    * subgraph induced by `alive` (None = all alive). On a src-partitioned
+    * edge table the plan is one broadcast semi-join + one in-place hash
+    * aggregate — R12OpsSpec pins zero ShuffleExchange in this stage.
+    */
+  private[graft] def peelRound(
+      edges: DataFrame, alive: Option[(DataFrame, Long)], k: Int): DataFrame = {
+    val live = alive match {
+      case None => edges
+      case Some((a, n)) =>
+        edges.join(msgHint(a.select(col("node").as("dst")), n), Seq("dst"), "left_semi")
+    }
+    live.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .select(col("src").as("node"))
+  }
+
   def kcorePeel(edges0: org.apache.spark.sql.DataFrame, k: Int, rounds: Int)
       : org.apache.spark.sql.DataFrame = {
-    var e = edges0.localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src"))
-      e = e.join(keep, "src")
-        .join(keep.select(col("src").as("dst")), "dst")
-        .select(col("src"), col("dst"))
-        .localCheckpoint()
+    if (rounds <= 0) return edges0
+    val edges = edges0.repartition(col("src")).localCheckpoint()
+    var alive: Option[(DataFrame, Long)] = None // None = every node alive
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
+      val next = peelRound(edges, alive, k).localCheckpoint()
+      val nc = next.count()
+      converged = alive.exists(_._2 == nc)
+      alive = Some((next, nc))
+      r += 1
     }
-    e
+    val (a, n) = alive.get
+    edges
+      .join(msgHint(a.select(col("node").as("dst")), n), Seq("dst"), "left_semi")
+      .join(msgHint(a.select(col("node").as("src")), n), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"))
   }
 
   /** k-core decomposition (k=34) of the customer–supplier trading graph —
     * the standard dense-subgraph screen (spam/bot rings, mutually-reinforcing
     * boilerplate clusters) and the classic CASCADING peel: removing a weak
     * node lowers its neighbors' degrees, which can drop them next round.
-    * Peeling runs a FIXED 6 rounds on both engines (the fixture converges in
-    * 2 — once stable, further rounds are no-ops, so a production convergence
-    * loop returns the identical set); the oracle unrolls the same 6 rounds
-    * as chained CTEs. Per round: one hash aggregate + two semi-joins, all
-    * keyed on node id — O(edges) per round, no driver state but the loop
-    * counter, the exact shape that scales out. KCoreSpec proves a ≥4-round
-    * cascade on a crafted pendant-chain graph via [[kcorePeel]].
-    *
-    * Measured bound (r10, `probes/r10/probe_graphcc_sf{1,10}.json`): 31.7 s
-    * at sf1 → 288 s at sf10 — 9.1× on 10× edges on 32 FIXED cores, i.e.
-    * linear-class per round exactly as the shape predicts (the distinct
-    * edge derivation joins 10× lineitem both rounds); a cluster spreads
-    * this decade across executors instead of wall-clock.
+    * Peeling budgets a FIXED 6 rounds on both engines and [[kcorePeel]]
+    * early-exits at the provable fixed point (the fixture converges in 2 —
+    * the peel is monotone, so once the alive count stops shrinking every
+    * further round is a no-op and the result is identical to running all
+    * 6); the oracle unrolls the same 6 rounds as chained CTEs. Per round:
+    * one broadcast semi-join + one in-place hash aggregate over the
+    * src-partitioned static edge table — zero edge-sized exchanges, state
+    * O(nodes), no driver payload but the loop counter and the alive count
+    * that both gates the broadcast and proves convergence.
+    * KCoreSpec proves a ≥4-round cascade on a crafted pendant-chain graph
+    * via [[kcorePeel]]; the r10 edge-refilter shape (three edge shuffles +
+    * an edge checkpoint per round, all 6 rounds always) measured 288 s at
+    * the sf10 corpus — the r12 rebuild exists because that curve read
+    * ~2900 s at sf100, all of it per-round edge motion the alive-set
+    * formulation provably never pays.
     */
   val kcore = Declared(
     "graph_kcore",
@@ -304,18 +385,24 @@ object GraphQ {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
       .distinct()
+    // partitioned by src — the key of the per-round vote aggregate AND its
+    // top-1 window — so each propagation round broadcasts the node-sized
+    // label map onto the pinned edge layout ([[msgHint]]) and elects
+    // in place: zero edge-sized exchanges per round (the pagerank shape)
     val und = eraw
       .select(col("c").as("src"), (col("su") + 1000000000L).as("dst"))
       .union(eraw.select((col("su") + 1000000000L).as("src"), col("c").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint()
     val seeds = t(s, dir, "customer")
       .filter(col("c_custkey") % 10 === 0)
       .select(col("c_custkey").as("node"),
         col("c_nationkey").cast("long").as("label"))
     var labels = seeds
+    var nLab = seeds.count()
     for (_ <- 1 to 2) {
       val votes = und
-        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .join(msgHint(labels.select(col("node").as("dst"), col("label")), nLab), "dst")
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("v"))
       val wVote = Window.partitionBy(col("src"))
         .orderBy(col("v").desc, col("label"))
@@ -325,6 +412,7 @@ object GraphQ {
       labels = seeds.unionByName(
         elected.join(seeds.select(col("node")), Seq("node"), "left_anti"))
         .localCheckpoint()
+      nLab = labels.count()
     }
     (und, labels)
   }
@@ -415,10 +503,14 @@ object GraphQ {
     "graph_modularity",
     (s, dir) => {
       val (und, labels) = tradeLabelSpread(s, dir)
+      // both endpoint-tag joins ship the node-sized label map to the
+      // src-pinned edge table ([[msgHint]]): no edge-sized exchange before
+      // the per-community fold
+      val nLab = labels.count()
       val tagged = und
-        .join(labels.select(col("node").as("src"), col("label").as("sl")),
+        .join(msgHint(labels.select(col("node").as("src"), col("label").as("sl")), nLab),
           Seq("src"), "left")
-        .join(labels.select(col("node").as("dst"), col("label").as("dl")),
+        .join(msgHint(labels.select(col("node").as("dst"), col("label").as("dl")), nLab),
           Seq("dst"), "left")
         .select(coalesce(col("sl"), lit(-1L)).as("sl"),
           coalesce(col("dl"), lit(-1L)).as("dl"))
@@ -559,18 +651,24 @@ object GraphQ {
         .agg(count(lit(1)).as("ns"))
         .filter(col("ns") >= 2)
         .select(col("p1"), col("p2"), expr("1000000L div ns").as("w"))
+      // consumed once per relaxation round; the frontier table is O(reached
+      // nodes), so each round broadcasts it onto the static edge list
+      // ([[msgHint]]) — a relaxation moves only edges INCIDENT to the
+      // frontier, never the full edge set
       val edges = e0.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
         .union(e0.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
-        .localCheckpoint() // consumed once per relaxation round
+        .localCheckpoint()
       var dist = edges.agg(min(col("src")).as("node"))
         .select(col("node"), lit(0L).as("dist"))
         .localCheckpoint()
+      var nDist = 1L
       for (_ <- 1 to 4) {
-        val relaxed = edges.join(dist, edges("src") === dist("node"))
+        val relaxed = edges.join(msgHint(dist, nDist), edges("src") === dist("node"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         dist = dist.union(relaxed)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
           .localCheckpoint()
+        nDist = dist.count()
       }
       dist.orderBy(col("dist"), col("node")).limit(20)
     },
@@ -699,10 +797,17 @@ object GraphQ {
         .distinct()
       val edges = eraw.select(col("c").as("src"), col("su").as("dst"))
         .union(eraw.select(col("su").as("src"), col("c").as("dst")))
+      // degree table is node-sized: checkpoint once, attach to BOTH
+      // endpoints by broadcast ([[msgHint]]) — the two endpoint joins move
+      // zero edge-sized bytes and the final fold is a global aggregate, so
+      // the whole query pays exactly two edge-sized shuffles (the distinct
+      // + the degree groupBy), both irreducible parts of the semantics
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .localCheckpoint()
+      val nNodes = deg.count()
       edges
-        .join(deg.select(col("src"), col("d").as("j")), "src")
-        .join(deg.select(col("src").as("dst"), col("d").as("k")), "dst")
+        .join(msgHint(deg.select(col("src"), col("d").as("j")), nNodes), "src")
+        .join(msgHint(deg.select(col("src").as("dst"), col("d").as("k")), nNodes), "dst")
         .agg(count(lit(1)).as("m_edges"),
           sum(col("j") * col("k")).as("s_jk"),
           sum(col("j") + col("k")).as("s_sum"),

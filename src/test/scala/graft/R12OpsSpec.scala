@@ -104,6 +104,67 @@ class R12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph rounds are exchange-free: peel + power iteration move no edge-sized bytes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // kcore peel round over a src-partitioned static edge table: the
+      // r12 rebuild's whole point is that a round is one broadcast
+      // semi-join + one in-place degree aggregate — zero exchanges
+      val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+        .toDF("src", "dst").repartition(col("src")).localCheckpoint()
+      val alive = Seq(1L, 2L, 3L).toDF("node")
+      val round = queries.GraphQ.peelRound(edges, Some((alive, 3L)), k = 2)
+      val peelEx = round.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(peelEx.isEmpty,
+        s"peel round must not exchange (got ${peelEx.size}): a refactor " +
+          "reintroduced per-round edge motion")
+      assert(round.queryExecution.executedPlan
+        .collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        "alive set must ship to the edges by broadcast")
+      assert(round.as[Long].collect().toSet == Set(1L, 2L, 3L))
+
+      // pagerank power-iteration round over a dst-partitioned edge table
+      // carrying outdeg: broadcast rank join + in-place aggregate-by-dst
+      val pre = Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 1L, 1L), (3L, 1L, 1L))
+        .toDF("src", "dst", "outdeg").repartition(col("dst")).localCheckpoint()
+      val rank0 = Seq((1L, 1000000000L), (2L, 1000000000L), (3L, 1000000000L))
+        .toDF("node", "rank")
+      val next = queries.GraphQ.rankRound(pre, rank0, nNodes = 3L)
+      val prEx = next.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(prEx.isEmpty,
+        s"power iteration must not exchange (got ${prEx.size})")
+      val got = next.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // node 1 receives 1e9 from each single-out-degree neighbor:
+      // 0.15e9 + 0.85 * 2e9; nodes 2,3 each receive 1e9 div 2
+      assert(got(1L) == 150000000L + 85L * 2000000000L / 100L)
+      assert(got(2L) == 150000000L + 85L * 500000000L / 100L)
+      assert(got(3L) == got(2L))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("kcore peel early-exits at the fixed point with the identical edge set") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // triangle + a pendant chain: peeling at k=2 removes the chain in a
+    // cascade; once only the triangle remains, every further round is a
+    // no-op — 6 budgeted rounds and 60 budgeted rounds must agree exactly
+    val und0 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val und = (und0 ++ und0.map(_.swap)).toDF("src", "dst")
+    def edgeSet(rounds: Int) =
+      queries.GraphQ.kcorePeel(und, k = 2, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tri0 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val tri = (tri0 ++ tri0.map(_.swap)).toSet
+    assert(edgeSet(6) == tri)
+    assert(edgeSet(60) == tri, "early exit changed the fixed point")
+  }
+
   test("bench calm gate: contended run never overwrites a calm file of record") {
     val calm = Some("""{"metric":"total","value":1.0,"contended":false}""")
     val noisy = Some("""{"metric":"total","value":1.0,"contended":true}""")
