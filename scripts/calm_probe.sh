@@ -27,7 +27,7 @@ for i in $(seq 1 "$TRIES"); do
   # capture line would otherwise concatenate into unparseable JSON, and
   # the silent json.load failure used to masquerade as steal_delta=999999
   # and burn a retry on a healthy run (ADVICE r7 #5)
-  SPARK_DRIVER_MEM=32g SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$SFDIR" \
+  SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-32g}" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$SFDIR" \
     SPARK_GRAFT_ONLY="$ONLY" sbt -batch "runMain graft.Bench" 2>/dev/null \
     | grep '"metric"' | sed 's/^\[info\] //' | tail -n 1 > "$OUT.tmp"
   sd=$(python3 -c "import json,sys;print(json.load(open('$OUT.tmp'))['steal_delta'])" 2>&1) || {

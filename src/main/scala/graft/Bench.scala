@@ -213,8 +213,12 @@ object Bench {
     // exports one id per probing session; probe_index.py keys its ratio
     // gate on it when present.
     val sessionId = sys.env.getOrElse("SPARK_GRAFT_SESSION", "")
+    // the heap this JVM actually ran with: big-corpus probes override
+    // SPARK_DRIVER_MEM, and a 32 GB capture must not be silently compared
+    // against a 69 GB one — the memory budget is part of the measurement
+    val heapGb = Runtime.getRuntime.maxMemory() >> 30
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpusN,"shuffle_partitions":$shufflePartitions,"warmup_sec":$warmupSec,"steal_delta":$stealDelta,"contended":$contended,"session_id":${jstr(sessionId)},"query_steal":$stolen,"gc_delta_ms":$gcDelta,"query_gc_ms":$gcs,"errors":$errors,"error_msgs":$errorMsgs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpusN,"shuffle_partitions":$shufflePartitions,"warmup_sec":$warmupSec,"steal_delta":$stealDelta,"contended":$contended,"session_id":${jstr(sessionId)},"heap_gb":$heapGb,"query_steal":$stolen,"gc_delta_ms":$gcDelta,"query_gc_ms":$gcs,"errors":$errors,"error_msgs":$errorMsgs}"""
     // the driver's BENCH_rN.json artifact keeps only the tail of stdout, so
     // most per-query timings were invisible to cross-round judging; persist
     // the full line in the repo (committed each round as bench_full_rN.json).
