@@ -165,6 +165,97 @@ class R12OpsSpec extends AnyFunSuite {
     assert(edgeSet(60) == tri, "early exit changed the fixed point")
   }
 
+  test("CF serving: owned-item exclusion is anti-join-equivalent and keeps " +
+      "the top-3 window exchange-free above the vote stream") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // pin the AT-SCALE shape: a fixture-sized byUser broadcasts (harmless),
+    // but the claim under test is the shuffle-join form a 100 TB catalog
+    // takes — force it so the partitioning-reuse pin is deterministic
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // small but non-trivial basket matrix: shared pairs, an owned
+      // candidate that must be excluded, a user below the support threshold
+      val baskets = Seq(
+        (1L, 10L), (1L, 11L), (1L, 12L),
+        (2L, 10L), (2L, 11L), (2L, 13L),
+        (3L, 11L), (3L, 12L), (3L, 13L),
+        (4L, 10L), (4L, 12L)).toDF("u", "i")
+      val (capped, byUser, scored) = queries.RecQ.buildCf(baskets)
+      val served = queries.RecQ.serveTop3(capped, byUser, scored)
+      // r11's anti-join formulation, inline: the r12 array-membership filter
+      // must select the IDENTICAL survivors
+      val nbrs = scored.select($"i1".as("i"), $"i2".as("j"), $"cos_nano")
+        .union(scored.select($"i2".as("i"), $"i1".as("j"), $"cos_nano"))
+      val topNbrs = nbrs.withColumn("nr",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"i").orderBy($"cos_nano".desc, $"j")))
+        .filter($"nr" <= 10).select($"i", $"j", $"cos_nano")
+      val votes = capped.join(topNbrs, "i")
+        .groupBy($"u", $"j")
+        .agg(org.apache.spark.sql.functions.sum($"cos_nano").as("score_nano"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_nbr"))
+      val old = votes
+        .join(capped.select($"u", $"i".as("j")), Seq("u", "j"), "left_anti")
+        .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"u").orderBy($"score_nano".desc, $"j")))
+        .filter($"rnk" <= 3)
+        .select($"u", $"rnk", $"j".as("item"), $"score_nano", $"n_nbr")
+      val got = served.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val want = old.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got == want, "array-membership exclusion drifted from the anti-join")
+      assert(got.nonEmpty)
+      // plan pins: the serving chain carries no anti-join, and the per-user
+      // top-3 window sits directly on the u-keyed join output — zero
+      // exchanges between the window and the vote aggregate's exchange
+      val p = served.queryExecution.executedPlan
+      val anti = p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType.toString.contains("Anti") => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType.toString.contains("Anti") => j
+      }
+      assert(anti.isEmpty, "serving reintroduced an owned-item anti-join")
+      val win = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }.head
+      // walk the single-child spine from the window down to the u-keyed
+      // join: the join's hashpartitioning(u) must feed the window directly
+      // (sorts/filters/projects only) — an exchange on this path means the
+      // window re-shuffled what the join already partitioned
+      var node: org.apache.spark.sql.execution.SparkPlan = win.child
+      var sawExchange = false
+      var sawJoin = false
+      while (!sawJoin && node.children.size == 1) {
+        node match {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            sawExchange = true
+          case _ => ()
+        }
+        node = node.children.head
+        node match {
+          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec |
+               _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+            sawJoin = true
+          case _ => ()
+        }
+      }
+      assert(sawJoin, "expected the u-keyed owned-array join below the window")
+      assert(!sawExchange,
+        "window re-exchanged the u-join output instead of reusing its partitioning")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", saved)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
+  }
+
   test("bench calm gate: contended run never overwrites a calm file of record") {
     val calm = Some("""{"metric":"total","value":1.0,"contended":false}""")
     val noisy = Some("""{"metric":"total","value":1.0,"contended":true}""")
