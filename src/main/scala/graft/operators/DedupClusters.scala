@@ -33,6 +33,20 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
+  /** Size-gated broadcast hint for the node-sized label/message tables of a
+    * propagation round — [[graft.queries.GraphQ]]'s msgHint discipline
+    * applied to the CC loop: the label table is O(nodes) while the edge
+    * table is O(pairs), so shipping labels to the (checkpointed, never
+    * re-shuffled) edge list beats shuffling edges to labels by the
+    * edge/node ratio, every round. Past ~30M rows (≈2 GB hashed) the hint
+    * is withheld and Catalyst plans the shuffle join — correct at any
+    * scale, broadcast-fast on every measurable one. The gate reads the
+    * node count ONCE (a metadata-cheap count over the round-0 label
+    * checkpoint); the label table's row count is invariant across rounds.
+    */
+  private def msgHint(df: DataFrame, rows: Long): DataFrame =
+    if (rows >= 0 && rows <= 30000000L) broadcast(df) else df
+
   /** (id, cluster_id) for every node; cluster_id = min id in its component.
     * `nodes` carries exactly one id column `idCol`; `pairs` carries (id1,
     * id2) edges (undirected, any order, duplicates fine).
@@ -80,11 +94,22 @@ object DedupClusters {
         Seq("id"), "left")
       .select(col("id"), least(col("id"), coalesce(col("nbr_min"), col("id"))).as("label"))
       .localCheckpoint()
+    // the label table's cardinality never changes across rounds: one count
+    // over the round-0 checkpoint gates every round's broadcast hints
+    val nNodes = labels.count()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // every per-round join ships the NODE-sized side ([[msgHint]]): the
+      // edge list stays in place, the propagate and jump joins are
+      // broadcast hash joins, and the only exchange left in a round is the
+      // node-sized min-aggregate by dst (r12: the SMJ form paid ~5
+      // exchanges per round; graph_cc_incremental isolated 8.6 → measured
+      // below after this change)
       val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("label").as("src_label")), "src")
+        .join(msgHint(
+          labels.select(col("id").as("src"), col("label").as("src_label")),
+          nNodes), "src")
         .groupBy(col("dst"))
         .agg(min(col("src_label")).as("nbr_min"))
         .select(col("dst").as("id"), col("nbr_min"))
@@ -92,7 +117,7 @@ object DedupClusters {
       // Snapshotted because the shortcut below consumes it on BOTH join
       // sides — without the checkpoint the edge join would execute twice.
       val prop = labels
-        .join(nbrMin, Seq("id"), "left")
+        .join(msgHint(nbrMin, nNodes), Seq("id"), "left")
         .select(
           col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
@@ -103,7 +128,8 @@ object DedupClusters {
       // log rounds instead of one hop per round.
       val step = prop
         .join(
-          prop.select(col("id").as("label"), col("label").as("__ll")),
+          msgHint(prop.select(col("id").as("label"), col("label").as("__ll")),
+            nNodes),
           Seq("label"), "left")
         .select(
           col("id"),
