@@ -370,17 +370,25 @@ object DedupQ {
         "long_id")
       def h1(c: org.apache.spark.sql.Column) =
         graft.functions.Hashing.minhashBasePortable(c)._1
-      // sidx feeds the anchor window and the verify set aggregation; lidx
-      // feeds the df-stats, the candidate join and the verify sets — both
-      // snapshot once
-      val sidx = docs
-        .select(col("doc_id"), explode(TextFns.charShingles("text", K)).as("x"))
-        .select(col("doc_id"), h1(col("x")).as("h")).distinct()
+      // per-doc hashed shingle SETS, built in array land: hash inside a
+      // transform lambda, array_distinct per doc, checkpoint the arrays.
+      // The r11 shape exploded first and made the set semantics row-wise —
+      // a corpus-sized DISTINCT shuffle per side plus a corpus-sized
+      // collect_list groupBy per side to rebuild the very same arrays for
+      // the verify stage; all rows of one doc are born in one partition, so
+      // the per-doc dedup never needed a shuffle at all (guide §2.4). The
+      // exploded index views below re-derive from the checkpointed arrays
+      // (a cheap in-place explode), and the verify sets ARE the arrays.
+      def hashSet(shingles: org.apache.spark.sql.Column) =
+        array_distinct(transform(shingles, x => h1(x)))
+      val sarr = docs
+        .select(col("doc_id"), hashSet(TextFns.charShingles("text", K)).as("ssh"))
         .localCheckpoint()
-      val lidx = longs
-        .select(col("long_id"), explode(TextFns.charShingles("ltext", K)).as("x"))
-        .select(col("long_id"), h1(col("x")).as("h")).distinct()
+      val larr = longs
+        .select(col("long_id"), hashSet(TextFns.charShingles("ltext", K)).as("lsh"))
         .localCheckpoint()
+      val sidx = sarr.select(col("doc_id"), explode(col("ssh")).as("h"))
+      val lidx = larr.select(col("long_id"), explode(col("lsh")).as("h"))
       val dfreq = lidx.groupBy(col("h")).agg(count(lit(1)).as("df"))
       val anchors = sidx.join(dfreq, Seq("h"), "left")
         .withColumn("dfn", coalesce(col("df"), lit(0L)))
@@ -390,18 +398,15 @@ object DedupQ {
         .select(col("doc_id"), col("h"))
       val cand = anchors.join(lidx, "h")
         .select(col("doc_id"), col("long_id")).distinct()
-      // verify against PRE-BUILT HASH sets aggregated from the same index
-      // rows the blocker uses — shingling inside the verify projection would
-      // re-run the substr pipeline of a long doc once per candidate (~300×
-      // each here), and AQE coalesces the small candidate shuffle to one
-      // partition, so that work would also be single-threaded (measured:
-      // 300 s → ~2 s at sf0.01). Containment over the 32-bit hash sets
-      // equals containment over the 16-gram sets up to hash collisions,
-      // which both engines share bit-for-bit; int arrays broadcast ~2.5×
-      // smaller and intersect much faster than 16-char strings. The
-      // explicit repartition spreads the intersect work back across cores.
-      val ssets = sidx.groupBy(col("doc_id")).agg(collect_list(col("h")).as("ssh"))
-      val lsets = lidx.groupBy(col("long_id")).agg(collect_list(col("h")).as("lsh"))
+      // verify against the PRE-BUILT HASH sets — the same checkpointed
+      // arrays the index exploded from (shingling inside the verify
+      // projection would re-run the substr pipeline of a long doc once per
+      // candidate, ~300× each here, and AQE coalesces the small candidate
+      // shuffle to one partition, making that work single-threaded too —
+      // measured: 300 s → ~2 s at sf0.01). Containment over the 32-bit hash
+      // sets equals containment over the 16-gram sets up to hash collisions,
+      // which both engines share bit-for-bit. The explicit repartition
+      // spreads the intersect work back across cores.
       // both set sides are per-DOC aggregates (one row per doc / per long),
       // tiny next to the candidate list — broadcast them so the verify
       // stage never shuffles a shingle array (the lsets side sits just over
@@ -411,8 +416,8 @@ object DedupQ {
       // with the candidate fanout attached.
       cand
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"), col("long_id"))
-        .join(broadcast(ssets), "doc_id")
-        .join(broadcast(lsets), "long_id")
+        .join(broadcast(sarr), "doc_id")
+        .join(broadcast(larr), "long_id")
         .select(
           col("doc_id").as("short_id"), col("long_id"),
           round(size(array_intersect(col("ssh"), col("lsh"))).cast("double") /
