@@ -1487,12 +1487,26 @@ object TextQ {
     val (vf, ledger, states) = (1 to 4).foldLeft(
       (vocab0, Seq.empty[org.apache.spark.sql.DataFrame], Seq(vocab0))) {
       case ((v, acc, vs), r) =>
-        val top = topPair(v).localCheckpoint(true)
-        val merged = v.crossJoin(broadcast(top.select(col("pair"))))
-          .withColumn("seq", expr(
-            "replace(seq, concat(' ', replace(pair, ' ', '  '), ' '), concat(' ', replace(pair, ' ', ''), ' '))"))
-          .drop("pair").localCheckpoint(true)
-        (merged, acc :+ top.select(lit(r).as("round"), col("pair"), col("freq")),
+        // the election is a 1-ROW aggregate (the round's winning pair) —
+        // read it on the driver and splice it as string LITERALS instead of
+        // checkpointing a 1-row frame and crossJoin-broadcasting it back:
+        // same action count per round, but the merge projection loses its
+        // per-round BroadcastExchange + join and the 1-row RDD checkpoint.
+        // Driver payload is ~bytes/round (the documented KB-scale metadata
+        // read, same class as SimilarityQ's 2-cell prune collects); at any
+        // corpus size the elected pair is still one row — the corpus is
+        // never rescanned after round 0 (scaladoc above).
+        val Array(winner) = topPair(v).collect()
+        val (pair, freq) = (winner.getString(0), winner.getLong(1))
+        val spaced = " " + pair.replace(" ", "  ") + " "
+        val fused = " " + pair.replace(" ", "") + " "
+        val merged = v
+          .withColumn("seq", org.apache.spark.sql.functions.replace(
+            col("seq"), lit(spaced), lit(fused)))
+          .localCheckpoint(true)
+        (merged,
+          acc :+ merged.sparkSession.range(1)
+            .select(lit(r).as("round"), lit(pair).as("pair"), lit(freq).as("freq")),
           vs :+ merged)
     }
     (vf, ledger, states)
