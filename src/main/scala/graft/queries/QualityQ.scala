@@ -254,10 +254,12 @@ object QualityQ {
     * content): one row per orders column with null count/fraction, exact
     * distinct cardinality, and min/max normalized to strings with PINNED
     * formatting (doubles through DECIMAL(18,2), timestamps through an
-    * explicit pattern) so the card is engine-stable. ONE projected scan,
-    * one aggregate — the six exact count-distincts ride Spark's expand
-    * (×6 on the projected rows, the corpus is still read once), min/max
-    * fold on native types and only the final 6-row stack formats them.
+    * explicit pattern) so the card is engine-stable. TWO projected scans,
+    * one 1-row fold each — the six exact count-distincts ride Spark's
+    * expand through a hash aggregate (×6 on the projected rows), min/max
+    * fold sort-free in their own grouping-free aggregate (their string
+    * buffers would otherwise demote the expand pass to a full
+    * SortAggregate — the r12 before-plan sorted 7× the corpus twice).
     * Adding a column adds counters, never a pass.
     */
   val profile = Declared(
@@ -274,15 +276,28 @@ object QualityQ {
         case "timestamp" => date_format(a, "yyyy-MM-dd HH:mm:ss")
         case _           => a.cast("string")
       }
-      val counters = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      // TWO single-row folds instead of one: the count-distinct family
+      // (all-long buffers) rides Expand through a HASH aggregate, while the
+      // min/max family — whose STRING buffers (status/priority/formatted
+      // card values) disqualify HashAggregateExec — folds in a grouping-free
+      // SortAggregate that needs NO sort at all. The r11 single-agg shape
+      // put both families in one aggregate, so the string buffers demoted
+      // the WHOLE thing to SortAggregate and the ×7 Expand output was fully
+      // sorted twice (measured 3.2 s warm at sf0.1; this shape reads the
+      // 6-column projection twice and sorts nothing — at 100 TB two pruned
+      // scans beat sorting 7× the corpus). The 1-row × 1-row crossJoin is
+      // the audited broadcast-spine pattern.
+      val distinctCounters = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nul_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+      val rangeCounters = cols.flatMap(c => Seq(
         fmt(c, min(col(c))).as(s"mn_$c"),
         fmt(c, max(col(c))).as(s"mx_$c")))
       val stacked = cols.map(c =>
         s"'$c', '${dtypes(c)}', nul_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
-      t(s, dir, "orders").select(cols.map(col): _*)
-        .agg(counters.head, counters.tail: _*)
+      val base = t(s, dir, "orders").select(cols.map(col): _*)
+      base.agg(distinctCounters.head, distinctCounters.tail: _*)
+        .crossJoin(broadcast(base.agg(rangeCounters.head, rangeCounters.tail: _*)))
         .selectExpr("n", s"stack(${cols.size}, $stacked) AS " +
           "(column_name, dtype, n_nulls, n_distinct, min_val, max_val)")
         .select(col("column_name"), col("dtype"), col("n_nulls"),
