@@ -135,6 +135,14 @@ object Bench {
     // ...and the propagated-labeling snapshot the two graph readouts share
     if (only.exists(f => Seq("graph_label_spread", "graph_modularity").exists(f.contains)))
       queries.GraphQ.warmShared(spark, sfDir)
+    // ...and the two shared graph EDGE artifacts (trade pairs; co-order
+    // part pairs) their consumer families amortize in the full suite
+    if (only.exists(f => Seq("graph_pagerank", "graph_kcore",
+        "graph_assortativity").exists(f.contains)))
+      queries.GraphQ.warmTrade(spark, sfDir)
+    if (only.exists(f => Seq("graph_triangles", "graph_link_predict",
+        "graph_sssp").exists(f.contains)))
+      queries.GraphQ.warmCoPart(spark, sfDir)
     // ...and the BPE merge-loop snapshot its three readouts share
     if (only.exists(f => Seq("bpe_train", "bpe_encode", "bpe_vocab_coverage").exists(f.contains)))
       queries.TextQ.warmBpeShared(spark, sfDir)
