@@ -485,19 +485,33 @@ object ExtrasQ {
   val mmCaptionPairs = Declared(
     "mm_caption_pairs",
     (s, dir) => {
-      val img = Multimodal.catalog(t(s, dir, "documents"))
-        .select(col("doc_id"), upper(hex(col("blob"))).as("h"),
-          col("meta.width").as("width"), col("meta.height").as("height"))
-        .select(col("doc_id"), phashBits.as("phash"),
-          (least(col("width"), col("height")) >= 64).as("image_ok"))
-      val cap = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          size(graft.functions.TextFns.words(col("text"))).cast("long").as("nw"),
-          length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nc"))
-        .select(col("doc_id"), col("lang"),
+      // both "sides" of the catalog ⋈ caption join are per-row derivations
+      // of the SAME documents row (the fixture synthesizes the media
+      // catalog from the text), so the r11 shape paid a second corpus scan
+      // plus a doc_id SMJ (two exchanges) to re-unite them — and ran the
+      // 4×md5 + 63-comparison phash pipeline on the UNSPREAD scan (one
+      // partition at fixture scale). One spread projection computes both
+      // gates and the fingerprint in a single pass; h ≡ the catalog's
+      // upper(hex(unhex(...))) since Spark's md5 renders lowercase hex and
+      // hex() uppercase. Checkpointed: the keeper election and the funnel
+      // tagging both consume it.
+      val mh = graft.functions.Hashing.md5Hash60(col("text"))
+      val pairs = Tables.spread(t(s, dir, "documents"), "doc_id")
+        .withColumn("__h", mh)
+        .withColumn("h", upper(concat(
+          md5(col("text")), md5(concat(col("text"), lit("a"))),
+          md5(concat(col("text"), lit("b"))), md5(concat(col("text"), lit("c"))))))
+        .withColumn("nw",
+          size(graft.functions.TextFns.words(col("text"))).cast("long"))
+        .withColumn("nc",
+          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+        .select(col("doc_id"), col("lang"), phashBits.as("phash"),
+          (least((lit(32) + col("__h") % 448).cast("int"),
+            (lit(32) + expr("(__h div 448) % 448")).cast("int")) >= 64)
+            .as("image_ok"),
           (col("nw").between(5L, 200L) &&
             col("nc") <= col("nw") * 12L).as("caption_ok"))
-      val pairs = img.join(cap, "doc_id")
+        .localCheckpoint()
       val keepers = pairs.filter(col("caption_ok") && col("image_ok"))
         .groupBy(col("phash")).agg(min(col("doc_id")).as("keeper"))
       pairs.join(broadcast(keepers), Seq("phash"), "left")
