@@ -29,7 +29,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("rec_topn: per-user top-3 is WindowGroupLimit-pruned, not a full rank") {
-    val p = plan("rec_topn")
+    // r12: rec_topn reads the shared serving snapshot, so the window lives
+    // in the SERVING BUILDER's plan now — pin it there (same basket fixture
+    // shape as R12OpsSpec's serving-equivalence test)
+    import spark.implicits._
+    val baskets = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 11L),
+      (3L, 12L)).toDF("u", "i")
+    val (capped, byUser, scored) = queries.RecQ.buildCf(baskets)
+    val p = queries.RecQ.serveTop3(capped, byUser, scored)
+      .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"),
       "rnk <= 3 must prune inside the window, not rank every candidate")
   }
@@ -523,7 +531,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "rec_metrics",       // 1-row user/catalog-total broadcasts
     "eval_bootstrap_ci", // 1-row sorted replica-accuracy array broadcast
     "dq_load_anomaly",   // 1-row median / MAD baseline broadcasts
-    "bpe_vocab_coverage" // 1-row round-0 baseline-tokens broadcast
+    "bpe_vocab_coverage", // 1-row round-0 baseline-tokens broadcast
+    "dq_profile"         // 1-row distinct-counter × 1-row min/max-card spine (r12)
   )
 
   test("no unplanned cartesian or nested-loop joins anywhere") {
