@@ -106,20 +106,20 @@ object RecQ {
     val capped = baskets.join(small, "u").localCheckpoint()
     val deg = capped.groupBy(col("i")).agg(count(lit(1)).as("d"))
     // ONE u-keyed exchange folds each user's basket into a sorted item
-    // array (≤ 100 elements by the cap). The array is both the pair SOURCE
-    // (pairs generate in-stage below — the r11 "pairs never shuffle"
-    // discipline: the old capped ⋈ capped self-join exchanged capped twice
-    // and paid two SMJ sorts before the packed aggregate) and serving's
-    // owned-item membership filter (replacing a pair-sized (u, j)
-    // anti-join — see [[serveTop3]]).
+    // array (≤ 100 elements by the cap) — serving's owned-item membership
+    // filter ([[serveTop3]]) and the pop-baseline exclusion read it.
+    // (An r12 attempt ALSO generated the CF pairs from this array via
+    // nested transform/slice/flatten lambdas; it measured ~4 s SLOWER than
+    // the SMJ self-join at sf0.1 because higher-order array functions
+    // don't participate in whole-stage codegen while the join+packed-agg
+    // path is fully code-generated — reverted, guide §1 measure-first.)
     val byUser = capped.groupBy(col("u"))
-      .agg(sort_array(collect_set(col("i"))).as("items"))
+      .agg(collect_list(col("i")).as("items")) // capped rows are distinct (u,i)
       .localCheckpoint()
-    val pairs = byUser
-      .select(explode(expr(
-        """flatten(transform(items, (x, ix) ->
-          |  transform(slice(items, ix + 2, size(items)),
-          |            y -> x * 4294967296L + y)))""".stripMargin)).as("pk"))
+    val pairs = capped.select(col("u"), col("i").as("i1"))
+      .join(capped.select(col("u"), col("i").as("i2")), "u")
+      .filter(col("i1") < col("i2"))
+      .select((col("i1") * 4294967296L + col("i2")).as("pk"))
       .groupBy(col("pk"))
       .agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= 2)
