@@ -40,6 +40,63 @@ object Bench {
   private[graft] def calmCeiling(totalSec: Double, cpus: Int): Long =
     math.max(100L, (totalSec * cpus / 10.0).toLong)
 
+  /** Per-query drift attestation against the committed calm file of record
+    * (VERDICT r12 ask #2): the host's run-to-run variance exceeds what the
+    * steal gate can see — the driver's two r12 captures of ONE binary
+    * disagreed 3–7× on single queries with per-query steal ≈ 0 (bpe_encode
+    * 10.39 vs 3.73 s, stream_stream_outer 8.98 vs 2.31). So every capture
+    * now self-identifies which of its numbers are outliers the way
+    * `query_steal` already flags steal: queries that moved >2× in either
+    * direction against the calm reference (and aren't sub-half-second on
+    * both sides, where jitter dominates) land in `"suspect"` with their
+    * now/ref ratio. The reference must itself be calm-attested and match
+    * this run's sf and cpu count — otherwise no flags are emitted and
+    * `drift_ref` says why. Flags are DIAGNOSTIC metadata only: nothing
+    * about the timed methodology changes, and a capture with suspects is
+    * still complete — its flagged numbers just shouldn't be read as code
+    * regressions without a re-probe.
+    */
+  private[graft] def driftSuspects(
+      reference: Option[String], sfDir: String, cpus: Int,
+      now: Seq[(String, Double)]): (String, String) = {
+    def field(src: String, name: String): Option[String] =
+      ("\"" + name + "\":(\"[^\"]*\"|[^,}]*)").r
+        .findFirstMatchIn(src).map(_.group(1))
+    reference match {
+      case None => ("null", "{}")
+      case Some(ref) =>
+        val calm = field(ref, "contended").contains("false")
+        val sameSf = field(ref, "sf").contains("\"" + sfDir + "\"")
+        val sameCpus = field(ref, "cpus").contains(cpus.toString)
+        if (!calm || !sameSf || !sameCpus)
+          (s"""{"usable":false,"calm":$calm,"same_sf":$sameSf,"same_cpus":$sameCpus}""",
+            "{}")
+        else {
+          val refQ: Map[String, Double] =
+            "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(ref)
+              .map(_.group(1).split(",").flatMap { kv =>
+                kv.split(":") match {
+                  case Array(k, v) =>
+                    try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
+                    catch { case _: Throwable => None }
+                  case _ => None
+                }
+              }.toMap).getOrElse(Map.empty)
+          val sus = now.flatMap { case (name, sec) =>
+            refQ.get(name).collect {
+              case prev if math.max(sec, prev) >= 0.5 && prev > 0 &&
+                  (sec / prev > 2.0 || sec / prev < 0.5) =>
+                "\"" + name + "\":" + (math.round(sec / prev * 100.0) / 100.0)
+            }
+          }
+          val session = field(ref, "session_id").getOrElse("\"\"")
+          (s"""{"usable":true,"session_id":$session,"n_common":${
+            now.count(r => refQ.contains(r._1))}}""",
+            sus.mkString("{", ",", "}"))
+        }
+    }
+  }
+
   /** Where to persist the capture. A contended run must not overwrite a
     * calm-attested file of record: round 11's final commit did exactly that
     * (bench_full_latest.json's 248.7 s calm capture replaced by a steal-1634
@@ -86,6 +143,21 @@ object Bench {
     Tables.names.foreach { n =>
       Tables.t(spark, sfDir, n).queryExecution.toRdd.foreach(_ => ())
     }
+    // ...and the window/generate/localCheckpoint machinery on the 5-row
+    // region table: alphabetical order makes bpe_encode the suite's FIRST
+    // query, and it kept absorbing a bimodal first-use cost no later query
+    // pays (same binary: 3.2-3.7 s in some calm captures, 10.4-13.5 s in
+    // others, with per-query steal ≈ 0 and GC ≤ 0.3 s — the r12 verdict's
+    // unexplained outlier triple). Its build is the suite's first window,
+    // first generator explode and first eager RDD checkpoint, so their
+    // one-time codegen/JIT/block-registration cost is warmed here like the
+    // scan/shuffle machinery above — measurement hygiene, not query work
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .selectExpr("r_regionkey", "explode(sequence(1, 3)) AS e")
+      .selectExpr("r_regionkey", "e",
+        "row_number() OVER (PARTITION BY r_regionkey ORDER BY e) AS rn")
+      .localCheckpoint(true)
+      .count()
     // ...and the Structured Streaming machinery (state store provider,
     // streaming listener bus, checkpoint scaffolding): its one-time init
     // costs ~2s and would otherwise land entirely on whichever stream_*
@@ -225,8 +297,19 @@ object Bench {
     // SPARK_DRIVER_MEM, and a 32 GB capture must not be silently compared
     // against a 69 GB one — the memory budget is part of the measurement
     val heapGb = Runtime.getRuntime.maxMemory() >> 30
+    // drift self-flags vs the committed calm file of record (scaladoc on
+    // driftSuspects) — additive diagnostic fields, methodology unchanged
+    val referenceCapture =
+      try {
+        val p = java.nio.file.Paths.get("bench_full_latest.json")
+        if (java.nio.file.Files.exists(p))
+          Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        else None
+      } catch { case _: Throwable => None }
+    val (driftRef, suspects) = driftSuspects(
+      referenceCapture, sfDir, cpusN, results.map(r => (r._1, r._2)))
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpusN,"shuffle_partitions":$shufflePartitions,"warmup_sec":$warmupSec,"steal_delta":$stealDelta,"contended":$contended,"session_id":${jstr(sessionId)},"heap_gb":$heapGb,"query_steal":$stolen,"gc_delta_ms":$gcDelta,"query_gc_ms":$gcs,"errors":$errors,"error_msgs":$errorMsgs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpusN,"shuffle_partitions":$shufflePartitions,"warmup_sec":$warmupSec,"steal_delta":$stealDelta,"contended":$contended,"session_id":${jstr(sessionId)},"heap_gb":$heapGb,"query_steal":$stolen,"gc_delta_ms":$gcDelta,"query_gc_ms":$gcs,"drift_ref":$driftRef,"suspect":$suspects,"errors":$errors,"error_msgs":$errorMsgs}"""
     // the driver's BENCH_rN.json artifact keeps only the tail of stdout, so
     // most per-query timings were invisible to cross-round judging; persist
     // the full line in the repo (committed each round as bench_full_rN.json).

@@ -34,18 +34,16 @@ import org.apache.spark.sql.functions._
 object DedupClusters {
 
   /** Size-gated broadcast hint for the node-sized label/message tables of a
-    * propagation round — [[graft.queries.GraphQ]]'s msgHint discipline
-    * applied to the CC loop: the label table is O(nodes) while the edge
+    * propagation round — the ONE shared definition ([[graft.functions.Hints]];
+    * GraphQ's round loops use the same): labels are O(nodes) while the edge
     * table is O(pairs), so shipping labels to the (checkpointed, never
     * re-shuffled) edge list beats shuffling edges to labels by the
-    * edge/node ratio, every round. Past ~30M rows (≈2 GB hashed) the hint
-    * is withheld and Catalyst plans the shuffle join — correct at any
-    * scale, broadcast-fast on every measurable one. The gate reads the
-    * node count ONCE (a metadata-cheap count over the round-0 label
-    * checkpoint); the label table's row count is invariant across rounds.
+    * edge/node ratio, every round. The gate reads the node count ONCE (a
+    * metadata-cheap count over the round-0 label checkpoint); the label
+    * table's row count is invariant across rounds.
     */
   private def msgHint(df: DataFrame, rows: Long): DataFrame =
-    if (rows >= 0 && rows <= 30000000L) broadcast(df) else df
+    graft.functions.Hints.msgHint(df, rows)
 
   /** (id, cluster_id) for every node; cluster_id = min id in its component.
     * `nodes` carries exactly one id column `idCol`; `pairs` carries (id1,
@@ -100,42 +98,19 @@ object DedupClusters {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // every per-round join ships the NODE-sized side ([[msgHint]]): the
-      // edge list stays in place, the propagate and jump joins are
-      // broadcast hash joins, and the only exchange left in a round is the
-      // node-sized min-aggregate by dst (r12: the SMJ form paid ~5
-      // exchanges per round; graph_cc_incremental isolated 8.6 → measured
-      // below after this change)
-      val nbrMin = edges
-        .join(msgHint(
-          labels.select(col("id").as("src"), col("label").as("src_label")),
-          nNodes), "src")
-        .groupBy(col("dst"))
-        .agg(min(col("src_label")).as("nbr_min"))
-        .select(col("dst").as("id"), col("nbr_min"))
-      // propagate: adopt the smallest label in the closed neighborhood.
-      // Snapshotted because the shortcut below consumes it on BOTH join
-      // sides — without the checkpoint the edge join would execute twice.
-      val prop = labels
-        .join(msgHint(nbrMin, nNodes), Seq("id"), "left")
-        .select(
-          col("id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint()
-      // pointer-jump: l(u) := l(l(u)). A label is always the id of a node in
-      // the same component with l(x) <= x, so the jump only ever lowers the
-      // label and never crosses components; it is what collapses a chain in
-      // log rounds instead of one hop per round.
-      val step = prop
-        .join(
-          msgHint(prop.select(col("id").as("label"), col("label").as("__ll")),
-            nNodes),
-          Seq("label"), "left")
-        .select(
-          col("id"),
-          coalesce(col("__ll"), col("label")).as("label"),
-          (coalesce(col("__ll"), col("label")) < col("old_label")).as("__chg"))
-        .localCheckpoint()
+      // propagate is materialized, then the jump runs on the snapshot —
+      // TWO checkpoints + one count per round. The fused single-checkpoint
+      // round (jump consuming the un-materialized propagate on both sides,
+      // ReuseExchange deduping the nbrMin broadcast) was A/B-probed twice
+      // and lost both times at fixture scale (r12: isolated 7.99 vs 7.86 s;
+      // r13: 6.15 vs 5.55 s adjacent calm probes) — the "saved" prop job is
+      // repaid with interest because the jump's broadcast side must
+      // executeCollect the un-materialized propagate join anyway, while the
+      // checkpointed form collects a ready snapshot. Kept the measured
+      // shape (guide §1 measure-first); the round pieces are extracted
+      // below ([[ccPropagate]]/[[ccJump]]) so plan evidence can pin them.
+      val prop = ccPropagate(edges, labels, nNodes).localCheckpoint()
+      val step = ccJump(prop, nNodes).localCheckpoint()
       changed = step.filter(col("__chg")).count()
       labels = step.drop("__chg")
       iter += 1
@@ -149,6 +124,49 @@ object DedupClusters {
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     (labels.select(col("id"), col("label").as("cluster_id")), iter)
   }
+
+  /** The PROPAGATE half of a CC round: adopt the smallest label in the
+    * closed neighborhood — (id, old_label, label) from a checkpointed edge
+    * list and label table. Every join ships the NODE-sized side
+    * ([[msgHint]]): the edge list stays in place, the join is a broadcast
+    * hash join, and the only exchange in the round is the node-sized
+    * min-aggregate by dst (the r12 SMJ form paid ~5 exchanges per round).
+    * Plan pinned in R13OpsSpec; dumped by [[graft.tools.PlanDump]]
+    * `cc_round`.
+    */
+  private[graft] def ccPropagate(
+      edges: DataFrame, labels: DataFrame, nNodes: Long): DataFrame = {
+    val nbrMin = edges
+      .join(msgHint(
+        labels.select(col("id").as("src"), col("label").as("src_label")),
+        nNodes), "src")
+      .groupBy(col("dst"))
+      .agg(min(col("src_label")).as("nbr_min"))
+      .select(col("dst").as("id"), col("nbr_min"))
+    labels
+      .join(msgHint(nbrMin, nNodes), Seq("id"), "left")
+      .select(
+        col("id"), col("label").as("old_label"),
+        least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+  }
+
+  /** The POINTER-JUMP half of a CC round over the materialized propagate
+    * snapshot: l(u) := l(l(u)) — a label is always the id of a node in the
+    * same component with l(x) <= x, so the jump only ever lowers the label
+    * and never crosses components; it is what collapses a chain in log
+    * rounds instead of one hop per round. Zero exchanges in the gated
+    * regime (a broadcast self-probe of the node-sized snapshot).
+    */
+  private[graft] def ccJump(prop: DataFrame, nNodes: Long): DataFrame =
+    prop
+      .join(
+        msgHint(prop.select(col("id").as("label"), col("label").as("__ll")),
+          nNodes),
+        Seq("label"), "left")
+      .select(
+        col("id"),
+        coalesce(col("__ll"), col("label")).as("label"),
+        (coalesce(col("__ll"), col("label")) < col("old_label")).as("__chg"))
 
   /** Incremental maintenance of a component labeling as new edges arrive —
     * the daily-ingest shape: yesterday's (id, cluster_id) artifact is

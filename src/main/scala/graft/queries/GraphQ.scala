@@ -24,12 +24,12 @@ object GraphQ {
     * ≈ 256 MB at the sf100 corpus, one in-process reference in local mode,
     * a torrent broadcast on a cluster) while the edge table is O(edges)
     * (1.1B rows ≈ 18 GB there), so shipping state to edges beats shuffling
-    * edges to state by the edge/node ratio, every round. Gate: past ~30M
-    * rows (≈2 GB hashed) the hint is withheld and Catalyst plans a shuffle
-    * join — correct at any scale, broadcast-fast on every measurable one.
+    * edges to state by the edge/node ratio, every round. Gate and hint are
+    * the ONE shared definition ([[graft.functions.Hints]], also used by
+    * DedupClusters' CC rounds) so the discipline can't drift per file.
     */
   private def msgHint(df: DataFrame, rows: Long): DataFrame =
-    if (rows >= 0 && rows <= 30000000L) broadcast(df) else df
+    graft.functions.Hints.msgHint(df, rows)
 
   /** The distinct customer–supplier trade pair table (c, su) — the ONE
     * edge artifact four graph analytics derive their graph from (pagerank,

@@ -1423,13 +1423,17 @@ object TextQ {
     * boundary-safe encoding (every symbol wrapped in single spaces, so
     * adjacent symbols meet at a DOUBLE space and left-to-right
     * non-overlapping replace of " a  b " → " ab " is exactly the greedy BPE
-    * merge — no regex lookaround, which DuckDB's RE2 lacks). Each round's
-    * merged vocab is localCheckpointed: without it the 4-round lineage
-    * re-derives every prior round per consumer (exponential recompute); the
-    * vocab table is O(|vocab|) rows so the checkpoint is cheap at any corpus
-    * size. The election is a 1-row top-k, broadcast back — the corpus is
-    * never rescanned after round 0, which is what makes N-round training
-    * viable at 100 TB.
+    * merge — no regex lookaround, which DuckDB's RE2 lacks). Only the
+    * round-0 dictionary and the FINAL vocab are materialized: because each
+    * election is read to the driver and spliced back as string literals,
+    * an intermediate round's vocab is just the round-0 checkpoint plus r
+    * stacked constant `replace` projections — one codegen'd map, linear in
+    * the merge budget, so per-round checkpoints bought nothing but one
+    * materialization job per round (r13; the pre-literal shape DID need
+    * them — a 1-row crossJoin per round made unmaterialized lineage
+    * re-derive every prior election). The election is a 1-row top-k — the
+    * corpus is never rescanned after round 0, which is what makes N-round
+    * training viable at 100 TB.
     */
   /** (session, dir, final vocab, ledger frames, per-round vocab states) —
     * see [[bpeLoop]]. */
@@ -1452,11 +1456,10 @@ object TextQ {
     * merged vocab, per-round election frames, vocab state per round 0..4)
     * — built once per (session, dir): a trained tokenizer is one artifact
     * in production and every readout reads it (the [[graft.queries.RecQ]]
-    * snapshot discipline; every intermediate is already localCheckpointed
-    * eagerly, so the cache just stops the third consumer from re-running
-    * the merge elections).
+    * snapshot discipline; the cache also stops a later consumer from
+    * re-running the four 1-row merge elections).
     */
-  private def bpeLoop(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[graft] def bpeLoop(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame],
          Seq[org.apache.spark.sql.DataFrame]) = bpeCache.synchronized {
     val cur = bpeCache.get()
@@ -1484,7 +1487,7 @@ object TextQ {
         .as("pair"))
       .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
       .orderBy(col("freq").desc, col("pair")).limit(1)
-    val (vf, ledger, states) = (1 to 4).foldLeft(
+    val (vLast, ledger, states) = (1 to 4).foldLeft(
       (vocab0, Seq.empty[org.apache.spark.sql.DataFrame], Seq(vocab0))) {
       case ((v, acc, vs), r) =>
         // the election is a 1-ROW aggregate (the round's winning pair) —
@@ -1496,20 +1499,38 @@ object TextQ {
         // read, same class as SimilarityQ's 2-cell prune collects); at any
         // corpus size the elected pair is still one row — the corpus is
         // never rescanned after round 0 (scaladoc above).
-        val Array(winner) = topPair(v).collect()
+        //
+        // A degenerate corpus can run out of adjacent pairs before round 4
+        // (every word already fused to one token); the old destructuring
+        // threw a bare MatchError there — fail with the actual condition
+        // instead (ADVICE r12). The fixture corpora never trigger it.
+        val winner = topPair(v).collect().headOption.getOrElse(
+          sys.error(s"buildBpe: no mergeable symbol pair remains at round $r " +
+            "(vocabulary already fully fused — corpus too small for a 4-round " +
+            "BPE ledger)"))
         val (pair, freq) = (winner.getString(0), winner.getLong(1))
         val spaced = " " + pair.replace(" ", "  ") + " "
         val fused = " " + pair.replace(" ", "") + " "
+        // NOT checkpointed per round (the r12 shape paid one eager
+        // corpus-dictionary materialization job per merge): each round's
+        // vocab is the round-0 checkpoint plus r stacked single-pass
+        // `replace` projections — one whole-stage-codegen'd map over the
+        // vocab-sized table, so the next election (and any state readout)
+        // re-applies the splices in-stage instead of waiting on a per-round
+        // materialization. Lineage depth is the merge budget (4), flat.
         val merged = v
           .withColumn("seq", org.apache.spark.sql.functions.replace(
             col("seq"), lit(spaced), lit(fused)))
-          .localCheckpoint(true)
         (merged,
           acc :+ merged.sparkSession.range(1)
             .select(lit(r).as("round"), lit(pair).as("pair"), lit(freq).as("freq")),
           vs :+ merged)
     }
-    (vf, ledger, states)
+    // the FINAL vocab is the artifact two consumers re-scan (bpe_encode's
+    // dictionary, coverage's round-4 state): one eager materialization here
+    // (build total: exactly 2 vocab materializations — round 0 and this)
+    val vf = vLast.localCheckpoint(true)
+    (vf, ledger, states.init :+ vf)
   }
 
   /** The words/v0/per-round CTE chain both BPE oracles share (4 unrolled
