@@ -82,8 +82,10 @@ object DedupQ {
     * overstating dedup_ngram_jaccard ~9× purely from this accounting).
     */
   private[graft] def warmShared(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     bandedCandidates(s, dir) // eager localCheckpoint: the call materializes
+    scoredPairs(s, dir) // ...and the jaccard-verified snapshot its consumers read
+  }
 
   private def bandedCandidates(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
@@ -203,27 +205,18 @@ object DedupQ {
         .distinct()
   }
 
-  /** The ngram pair pipeline (cached candidates → exact-shingle verify):
-    * dedup_ngram_jaccard emits the pairs themselves; dedup_containment
-    * rescoring and dedup_clusters both reuse the same candidate snapshot.
-    * `idLimit` restricts the corpus to doc_id < limit (exact — see
-    * [[bandedCandidates]]); the oracle applies the same WHERE to its scan.
+  /** The exact-shingle verify stage over a candidate set: join candidates
+    * back to RAW text and shingle only the survivors — re-shingling the
+    * whole corpus (or shipping shingle arrays through a join) would be two
+    * more full passes at 100 TB, while candidates are near-linear in the
+    * true-dup count. Used by the [[scoredPairs]] snapshot (jaccard) and by
+    * dedup_containment's custom rescoring.
     */
-  private def ngramPairs(
+  private def verifyPairs(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      idLimit: Option[Long],
-      score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
-        TextFns.jaccard,
-      scoreName: String = "jaccard",
-      minScore: Double = 0.5): org.apache.spark.sql.DataFrame = {
-      val cand0 = bandedCandidates(s, dir)
-      val cand = idLimit
-        .map(l => cand0.filter(col("id1") < l && col("id2") < l))
-        .getOrElse(cand0)
-      // verify stage: join candidates back to RAW text and shingle only the
-      // survivors — re-shingling the whole corpus (or shipping shingle
-      // arrays through a join) would be two more full passes at 100 TB,
-      // while candidates are near-linear in the true-dup count
+      cand: org.apache.spark.sql.DataFrame,
+      score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      scoreName: String): org.apache.spark.sql.DataFrame = {
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
       cand
         .join(base.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
@@ -232,7 +225,54 @@ object DedupQ {
           col("id1"), col("id2"),
           round(score(
             TextFns.charShingles("t1", 8), TextFns.charShingles("t2", 8)), 6).as(scoreName))
-        .filter(col(scoreName) >= minScore)
+  }
+
+  /** The full banded candidate set scored with exact shingle Jaccard — ONE
+    * verify pass per (session, dir), snapshotted (pairs are near-linear in
+    * the true-dup count, so the checkpoint is candidate-sized) and shared
+    * by every jaccard-scoring consumer: dedup_ngram_jaccard and
+    * decontaminate_fuzzy filter ≥ 0.5 on the pre-rounded score (identical
+    * to filtering their own verify output), the cluster family (clusters /
+    * canonicalize / cluster_stats / split_leakage_free) additionally
+    * restricts doc_id < 2500 — exact, because a pair's score depends only
+    * on its own two texts, so restricting AFTER scoring ≡ scoring the
+    * restricted candidates — and corpus_dedup_curve buckets the whole
+    * table (its minScore was already 0). The r12 shape re-ran the verify
+    * join + per-pair double re-shingling once per consumer: 3 full-corpus
+    * verify passes and 4 restricted ones per suite run (guide §1.2:
+    * don't compute things twice).
+    */
+  private val scoredCache = new java.util.concurrent.atomic.AtomicReference[
+    (org.apache.spark.sql.SparkSession, String, org.apache.spark.sql.DataFrame)]()
+
+  private def scoredPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    scoredCache.synchronized {
+      val cur = scoredCache.get()
+      if (cur != null && (cur._1 eq s) && cur._2 == dir) cur._3
+      else {
+        val df = verifyPairs(s, dir, bandedCandidates(s, dir),
+          TextFns.jaccard, "jaccard").localCheckpoint()
+        scoredCache.set((s, dir, df))
+        df
+      }
+    }
+
+  /** The ngram pair pipeline (cached candidates → shared scored snapshot):
+    * dedup_ngram_jaccard emits the pairs themselves; the cluster family and
+    * corpus_dedup_curve reuse the same scored snapshot. `idLimit` restricts
+    * the corpus to doc_id < limit (exact — see [[bandedCandidates]] and
+    * [[scoredPairs]]); the oracle applies the same WHERE to its scan.
+    */
+  private def ngramPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      idLimit: Option[Long],
+      minScore: Double = 0.5): org.apache.spark.sql.DataFrame = {
+      val scored0 = scoredPairs(s, dir)
+      val scored = idLimit
+        .map(l => scored0.filter(col("id1") < l && col("id2") < l))
+        .getOrElse(scored0)
+      if (minScore > 0.0) scored.filter(col("jaccard") >= minScore) else scored
   }
 
   /** DuckDB CTE block mirroring [[ngramPairs]], ending in `pairs(id1, id2,
@@ -303,11 +343,12 @@ object DedupQ {
     */
   val containment = Declared(
     "dedup_containment",
-    (s, dir) => ngramPairs(
-        s, dir, None: Option[Long],
+    (s, dir) => verifyPairs(
+        s, dir, bandedCandidates(s, dir),
         score = (a, b) => size(array_intersect(a, b)).cast("double") /
           least(size(a), size(b)).cast("double"),
-        scoreName = "containment", minScore = 0.6)
+        scoreName = "containment")
+      .filter(col("containment") >= 0.6)
       .orderBy(col("id1"), col("id2")),
     Some(s"""WITH ${ngramPairCtes(
         "",
@@ -1721,15 +1762,23 @@ object DedupQ {
         .select(col("doc_id"), (col("pos0") + 1).as("pos"),
           graft.functions.Hashing.md5Hash32(col("g")).as("h"))
       // hashes present in >= 2 distinct docs, via the min≠max identity:
-      // "in ≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id). min/max fold
-      // map-side through ONE exchange; the count-distinct formulation
-      // planned an expand + two exchanges keyed by (h, doc_id) and its
-      // final hash-agg spilled at decade scale (measured: 3.9 s at sf1 but
-      // 200.6 s at sf10 — 51× for 10× rows; this identity reads ~linear)
-      val dupFps = grams.groupBy(col("h"))
-        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
-        .filter(col("d0") =!= col("d1")).select(col("h"))
-      val dupPos = grams.join(dupFps, "h")
+      // "in ≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id) — computed as
+      // WINDOW aggregates over one h-partitioned exchange of the gram
+      // table, so the gram+md5 fan-out pipeline runs ONCE. The r12 shape
+      // (groupBy(h) min/max + join grams back on h) re-ran the whole gram
+      // derivation on the probe side: one more full md5 pass at every
+      // scale, plus — past the broadcast regime — a second gram-sized
+      // exchange for the SMJ probe; this form pays one gram-sized exchange
+      // total and the only rows that move again are the DUP positions
+      // (output-sized) into the per-doc interval window. (The
+      // count-distinct formulation stays banished: it planned an expand +
+      // two exchanges keyed by (h, doc_id) and its final hash-agg spilled
+      // at decade scale — 3.9 s at sf1 but 200.6 s at sf10.)
+      val wh = Window.partitionBy(col("h"))
+      val dupPos = grams
+        .withColumn("d0", min(col("doc_id")).over(wh))
+        .withColumn("d1", max(col("doc_id")).over(wh))
+        .filter(col("d0") =!= col("d1"))
         .select(col("doc_id"), col("pos"))
       // exact union length of overlapping [pos, pos+L) intervals: running
       // max of prior interval ends, each row contributes only its uncovered
